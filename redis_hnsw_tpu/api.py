@@ -1,0 +1,191 @@
+"""Host API -- the command surface.
+
+TPU-native replacement for the reference's Redis module command layer
+(zhao-lang/redis_hnsw src/lib.rs): the seven ``HNSW.*`` commands
+(src/lib.rs:498-514) become methods on a client object holding a registry
+of device-resident indexes (the equivalent of the global ``INDICES`` map,
+src/lib.rs:32-35 -- no server, no RESP, no lazy rehydration needed because
+indexes live in process and snapshots upload in O(1)).
+
+Command mapping:
+
+    HNSW.NEW       -> create_index        (src/lib.rs:131-171)
+    HNSW.GET       -> get_index / info    (src/lib.rs:173-190)
+    HNSW.DEL       -> delete_index        (src/lib.rs:192-227)
+    HNSW.NODE.ADD  -> add_node            (src/lib.rs:334-368)
+    HNSW.NODE.GET  -> get_node            (src/lib.rs:425-444)
+    HNSW.NODE.DEL  -> delete_node         (src/lib.rs:370-407)
+    HNSW.SEARCH    -> search              (src/lib.rs:462-496)
+
+Defaults mirror the reference: m=5, ef_construction=200, k=5
+(src/lib.rs:48, :53, :120). Error strings mirror the reference's
+(errors.py). Batched extensions (add_batch / search_batch) are the TPU-side
+additions -- the reference has no batching anywhere.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from .config import IndexConfig
+from .errors import HNSWError, IndexExists, IndexNotFound
+from .models.flat import FlatIndex
+from .models.hnsw import HNSWIndex, SearchResult
+
+DEFAULT_K = 5  # src/lib.rs:120
+
+
+class HNSW:
+    """A registry of named indexes -- the module-level INDICES equivalent."""
+
+    def __init__(self) -> None:
+        self._indices: dict[str, HNSWIndex | FlatIndex] = {}
+        # The reference serializes all commands under Redis's event loop and
+        # errors on lock contention (src/lib.rs:349, :474). Here a plain
+        # lock around registry + mutation keeps the single-controller model.
+        self._lock = threading.RLock()
+
+    # -- index lifecycle ------------------------------------------------------
+
+    def create_index(
+        self,
+        name: str,
+        dim: int,
+        m: int = 5,
+        ef_construction: int = 200,
+        metric: str = "euclidean",
+        capacity: int = 1024,
+        seed: int | None = None,
+        kind: str = "hnsw",
+    ):
+        """HNSW.NEW. Returns the index handle (reference returns "OK")."""
+        with self._lock:
+            if name in self._indices:
+                raise IndexExists(name)
+            cfg = IndexConfig(
+                dim=dim,
+                m=m,
+                ef_construction=ef_construction,
+                metric=metric,
+                capacity=capacity,
+                seed=seed,
+            )
+            if kind == "hnsw":
+                idx = HNSWIndex(name, cfg)
+            elif kind == "flat":
+                idx = FlatIndex(name, cfg)
+            else:
+                raise ValueError(f"unknown index kind: {kind!r}")
+            self._indices[name] = idx
+            return idx
+
+    def index(self, name: str):
+        with self._lock:
+            idx = self._indices.get(name)
+            if idx is None:
+                raise IndexNotFound(name)
+            return idx
+
+    def get_index(self, name: str) -> dict:
+        """HNSW.GET -- index metadata reply (src/types.rs:122-155)."""
+        idx = self.index(name)
+        if isinstance(idx, HNSWIndex):
+            return idx.info()
+        return {
+            "name": idx.name,
+            "metric": idx.config.metric.capitalize(),
+            "data_dim": idx.config.dim,
+            "node_count": idx.node_count,
+        }
+
+    def delete_index(self, name: str) -> int:
+        """HNSW.DEL -- drops the index and all nodes; returns 1."""
+        with self._lock:
+            if name not in self._indices:
+                raise IndexNotFound(name)
+            del self._indices[name]
+            return 1
+
+    def list_indices(self) -> list[str]:
+        with self._lock:
+            return sorted(self._indices)
+
+    # -- node ops -------------------------------------------------------------
+
+    def add_node(self, index: str, node: str, data) -> None:
+        with self._lock:
+            self.index(index).add_node(node, data)
+
+    def get_node(self, index: str, node: str) -> dict:
+        return self.index(index).get_node(node)
+
+    def delete_node(self, index: str, node: str) -> int:
+        with self._lock:
+            self.index(index).delete_node(node)
+            return 1
+
+    # -- search ---------------------------------------------------------------
+
+    def search(
+        self,
+        index: str,
+        query,
+        k: int = DEFAULT_K,
+        ef_search: int | None = None,
+    ) -> list[SearchResult]:
+        """HNSW.SEARCH -- single query, reference-parity semantics."""
+        idx = self.index(index)
+        if isinstance(idx, FlatIndex):
+            return idx.search_knn(query, k)
+        return idx.search_knn(query, k, ef_search=ef_search)
+
+    # -- persistence (checkpoint/restore; reference: RDB callbacks) ------------
+
+    def save_index(self, index: str, path: str) -> None:
+        """Checkpoint an index to disk (reference: RDB save callbacks,
+        src/types.rs:157-284)."""
+        from .models.hnsw import HNSWIndex
+        from .utils.checkpoint import save_index as _save
+
+        idx = self.index(index)
+        if not isinstance(idx, HNSWIndex):
+            raise HNSWError("only hnsw indexes support checkpointing")
+        with self._lock:
+            _save(idx, path)
+
+    def restore_index(self, path: str, name: str | None = None):
+        """Restore an index from a checkpoint and register it (reference:
+        RDB load + make_index rehydration, src/lib.rs:229-315)."""
+        from .utils.checkpoint import load_index as _load
+
+        idx = _load(path)
+        if name is not None:
+            idx.name = name
+        with self._lock:
+            if idx.name in self._indices:
+                raise IndexExists(idx.name)
+            self._indices[idx.name] = idx
+        return idx
+
+    # -- batched TPU extensions -------------------------------------------------
+
+    def add_batch(self, index: str, names, data, batch_size: int = 1024):
+        with self._lock:
+            self.index(index).add_batch(names, data)
+
+    def search_batch(
+        self,
+        index: str,
+        queries,
+        k: int = DEFAULT_K,
+        ef_search: int | None = None,
+    ) -> list[list[SearchResult]]:
+        idx = self.index(index)
+        if isinstance(idx, FlatIndex):
+            return idx.search_batch(queries, k)
+        return idx.search_batch(queries, k, ef_search=ef_search)
+
+
+# Module-level default client, mirroring the reference's process-global
+# INDICES registry (src/lib.rs:32-35).
+default_client = HNSW()

@@ -1,0 +1,153 @@
+"""Flat (brute-force, exact) index.
+
+Not present in the reference (which only has the HNSW graph), but required
+infrastructure here: it is the exact-kNN oracle the tests measure recall
+against (generalizing the reference's known-lattice assertions,
+src/hnsw/core_tests.rs:44-53), and a useful model in its own right -- on a
+TPU a full [B,D]x[D,N] MXU scan of a 100k-row table is often faster than
+graph traversal. Shares the name table and similarity conventions of the
+HNSW index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IndexConfig
+from ..errors import DimensionMismatch, NodeExists, NodeNotFound
+from ..ops import distance as D
+from ..utils.names import NameTable
+from .hnsw import SearchResult
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _scan_topk(vecs, sqn, valid, queries, *, k: int, metric: str):
+    if metric == "hamming":
+        scores = D.pairwise_hamming(queries, vecs)
+    else:
+        scores = D.pairwise_neg_sq_l2(queries, vecs, sqn)
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    sims, ids = jax.lax.top_k(scores, k)
+    if metric == "euclidean":
+        sims = D.exact_neg_sq_l2(queries, vecs, ids, sims != -jnp.inf)
+    return ids, sims
+
+
+class FlatIndex:
+    def __init__(self, name: str, config: IndexConfig) -> None:
+        self.name = name
+        self.config = config
+        width = (
+            config.dim // 32 if config.metric == "hamming" else config.dim
+        )
+        dtype = np.uint32 if config.metric == "hamming" else np.float32
+        cap = max(int(config.capacity), 8)
+        self._vectors = np.zeros((cap, width), dtype)
+        self._valid = np.zeros(cap, bool)
+        self._names = NameTable()
+        self._epoch = 0
+        self._dev = None
+        self._dev_epoch = -1
+
+    @property
+    def node_count(self) -> int:
+        return len(self._names)
+
+    def __len__(self) -> int:
+        return self.node_count
+
+    def _coerce(self, data) -> np.ndarray:
+        arr = np.asarray(data, dtype=self._vectors.dtype).ravel()
+        got = arr.size * (32 if self.config.metric == "hamming" else 1)
+        if got != self.config.dim:
+            raise DimensionMismatch(got)
+        return arr
+
+    def add_node(self, name: str, data) -> None:
+        if name in self._names:
+            raise NodeExists(name)
+        q = self._coerce(data)
+        row = self._names.alloc(name)
+        if row >= self._vectors.shape[0]:
+            new_cap = max(self._vectors.shape[0] * 2, row + 1)
+            vecs = np.zeros((new_cap, self._vectors.shape[1]), q.dtype)
+            vecs[: self._vectors.shape[0]] = self._vectors
+            valid = np.zeros(new_cap, bool)
+            valid[: self._valid.shape[0]] = self._valid
+            self._vectors, self._valid = vecs, valid
+        self._vectors[row] = q
+        self._valid[row] = True
+        self._epoch += 1
+
+    def add_batch(self, names, data) -> None:
+        data = np.atleast_2d(np.asarray(data, dtype=self._vectors.dtype))
+        for name, row in zip(names, data):
+            self.add_node(name, row)
+
+    def delete_node(self, name: str) -> None:
+        if name not in self._names:
+            raise NodeNotFound(name)
+        row = self._names.free(name)
+        self._valid[row] = False
+        self._epoch += 1
+
+    def _device(self):
+        if self._dev is None or self._dev_epoch != self._epoch:
+            n = max(self._names.high_water, 1)
+            n_pad = ((n + 127) // 128) * 128
+            vecs = np.zeros((n_pad, self._vectors.shape[1]), self._vectors.dtype)
+            vecs[:n] = self._vectors[:n]
+            valid = np.zeros(n_pad, bool)
+            valid[:n] = self._valid[:n]
+            if self.config.metric == "hamming":
+                sqn = np.zeros(n_pad, np.float32)
+            else:
+                sqn = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+            self._dev = (
+                jnp.asarray(vecs),
+                jnp.asarray(sqn),
+                jnp.asarray(valid),
+            )
+            self._dev_epoch = self._epoch
+        return self._dev
+
+    def search_batch(self, queries, k: int) -> list[list[SearchResult]]:
+        qs = np.atleast_2d(np.asarray(queries, dtype=self._vectors.dtype))
+        if qs.shape[1] != self._vectors.shape[1]:
+            got = qs.shape[1] * (
+                32 if self.config.metric == "hamming" else 1
+            )
+            raise DimensionMismatch(got)
+        if self.node_count == 0:
+            return [[] for _ in range(qs.shape[0])]
+        vecs, sqn, valid = self._device()
+        k_eff = min(int(k), int(vecs.shape[0]))
+        ids, sims = _scan_topk(
+            vecs, sqn, valid, jnp.asarray(qs), k=k_eff, metric=self.config.metric
+        )
+        ids = np.asarray(ids)
+        sims = np.asarray(sims)
+        out = []
+        for b in range(qs.shape[0]):
+            res = []
+            for col in range(ids.shape[1]):
+                if sims[b, col] == float("-inf"):
+                    continue
+                row = int(ids[b, col])
+                res.append(
+                    SearchResult(
+                        sim=float(sims[b, col]),
+                        name=self._names.name(row),
+                        data=self._vectors[row].copy(),
+                    )
+                )
+            out.append(res)
+        return out
+
+    def search_knn(self, data, k: int) -> list[SearchResult]:
+        return self.search_batch(np.atleast_2d(self._coerce(data)), k)[0]

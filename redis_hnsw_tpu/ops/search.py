@@ -1,0 +1,298 @@
+"""Batched HNSW search on TPU -- the query hot path.
+
+TPU-native redesign of the reference's one-query-at-a-time search
+(zhao-lang/redis_hnsw src/hnsw/core.rs:607-675 ``search_level``,
+:865-892 ``search_knn_internal``). Instead of a pointer-chasing loop with
+heaps and a HashSet, a whole batch of queries traverses the dense adjacency
+snapshot together:
+
+* **Greedy descent** (reference ef=1 descent, core.rs:869-874) becomes a
+  vectorized hill-climb: per step, gather every lane's upper-layer neighbor
+  row, score the [B, deg] tile, move lanes that improved, mask lanes that
+  converged.
+* **Layer-0 beam** (reference ef-wide search_level) becomes a fixed-shape
+  frontier loop: each lane keeps a top-ef beam (ids, sims, expanded flags)
+  and a visited bitmap; per step the best unexpanded candidate of every
+  lane is expanded at once -- one [B, deg0] gather + one MXU-form distance
+  tile + one top-k merge. A lane is done when its best unexpanded candidate
+  scores below its worst beam entry (the reference's early-exit,
+  core.rs:630-637).
+
+Equivalences to the reference worth noting:
+* accept-if ``sim > worst or |W| < ef`` (core.rs:657) == top-ef merge with
+  -inf padding; ties break toward incumbents in both.
+* candidates evicted from W are never expanded in the reference either
+  (pop-best < worst-of-W implies the break fires first), except exact-tie
+  corner cases, so the single sorted beam is faithful.
+* ef defaults to ef_construction (core.rs:485); ``ef_search`` is exposed
+  as a TPU-side extension knob.
+
+Reported similarities for the final k are rescored in direct -(q-x)^2 form
+so they match the reference kernel to f32 rounding (the matmul form used
+inside the loop loses ~1e-3 to cancellation, fine for ordering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import distance as D
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _score(metric, q, qn, vecs, vn, ids, mask):
+    if metric == "hamming":
+        return D.frontier_hamming(q, vecs, ids, mask)
+    return D.frontier_neg_sq_l2(q, qn, vecs, vn, ids, mask)
+
+
+def _query_sqnorms(metric, q):
+    if metric == "hamming":
+        return jnp.zeros(q.shape[0], jnp.float32)
+    return jnp.sum(q * q, axis=-1)
+
+
+def _point_sims(metric, q, qn, vecs, vn, ids):
+    mask = jnp.ones((ids.shape[0], 1), bool)
+    return _score(metric, q, qn, vecs, vn, ids[:, None], mask)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Greedy descent over upper layers (vectorized core.rs:869-874).
+# ---------------------------------------------------------------------------
+
+def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
+    B = q.shape[0]
+    ids = jnp.full((B,), ep, jnp.int32)
+    sims = _point_sims(metric, q, qn, vecs, vn, ids)
+
+    def layer_body(i, carry):
+        ids, sims = carry
+        # layer l = max_layer - i, stored at adj_up[l - 1]
+        adj_l = jax.lax.dynamic_index_in_dim(
+            adj_up, max_layer - 1 - i, axis=0, keepdims=False
+        )
+
+        def cond(c):
+            return jnp.any(c[2])
+
+        def body(c):
+            ids, sims, active = c
+            u = upper_of[ids]
+            nbrs = adj_l[jnp.maximum(u, 0)]                  # [B, degU]
+            valid = (nbrs >= 0) & (u >= 0)[:, None] & active[:, None]
+            nb_safe = jnp.maximum(nbrs, 0)
+            nsims = _score(metric, q, qn, vecs, vn, nb_safe, valid)
+            j = jnp.argmax(nsims, axis=1)
+            bsim = jnp.take_along_axis(nsims, j[:, None], 1)[:, 0]
+            bid = jnp.take_along_axis(nb_safe, j[:, None], 1)[:, 0]
+            improved = bsim > sims
+            return (
+                jnp.where(improved, bid, ids),
+                jnp.where(improved, bsim, sims),
+                active & improved,
+            )
+
+        # note: the initial mask derives from a traced input (not a
+        # constant) so its "varying manual axes" match the body outputs
+        # when this runs under shard_map (see parallel/sharded.py).
+        ids, sims, _ = jax.lax.while_loop(
+            cond, body, (ids, sims, ids == ids)
+        )
+        return ids, sims
+
+    return jax.lax.fori_loop(0, max_layer, layer_body, (ids, sims))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-shape beam search over one adjacency table (vectorized search_level).
+# ---------------------------------------------------------------------------
+
+def beam_search(
+    metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int
+):
+    """Run the ef-wide beam for every lane; returns sorted (ids, sims).
+
+    ``adj`` is any [N_pad, F] adjacency table (layer 0 for queries; upper
+    layers reuse this for batched construction). Beams are sorted descending
+    by sim; -inf/-1 marks empty slots.
+    """
+    B = q.shape[0]
+    F = adj.shape[1]
+    W = vecs.shape[0] // 32
+    rows = jnp.arange(B)
+
+    # All initial carries derive from traced inputs (never bare constants)
+    # so their "varying manual axes" match the loop body outputs under
+    # shard_map (see parallel/sharded.py).
+    no_b = ep_ids != ep_ids  # all-False [B], varying with inputs
+    beam_ids = jnp.where(
+        jnp.arange(ef)[None, :] == 0, ep_ids[:, None], -1
+    ).astype(jnp.int32)
+    beam_sims = jnp.where(
+        jnp.arange(ef)[None, :] == 0, ep_sims[:, None], NEG_INF
+    )
+    expanded = jnp.broadcast_to(no_b[:, None], (B, ef))
+    visited = jnp.broadcast_to(
+        (ep_ids * 0).astype(jnp.uint32)[:, None], (B, W)
+    )
+    ep_bit = (jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32))
+    visited = visited.at[rows, ep_ids >> 5].set(ep_bit)
+    done = no_b
+
+    def cond(c):
+        return jnp.any(~c[4])
+
+    def body(c):
+        beam_ids, beam_sims, expanded, visited, done = c
+        # Best unexpanded candidate per lane (c.pop() of core.rs:631).
+        cand = jnp.where(expanded, NEG_INF, beam_sims)
+        j = jnp.argmax(cand, axis=1)
+        csim = jnp.take_along_axis(cand, j[:, None], 1)[:, 0]
+        worst = jnp.min(beam_sims, axis=1)   # -inf while beam underfull
+        newly_done = (csim == NEG_INF) | (csim < worst)
+        done = done | newly_done
+        act = ~done
+
+        exp_marked = expanded.at[rows, j].set(True)
+        cid = jnp.take_along_axis(beam_ids, j[:, None], 1)[:, 0]
+        nbrs = adj[jnp.maximum(cid, 0)]                       # [B, F]
+        nb_safe = jnp.maximum(nbrs, 0)
+        word = nb_safe >> 5
+        bit = (jnp.uint32(1) << (nb_safe & 31).astype(jnp.uint32))
+        seen = (visited[rows[:, None], word] & bit) != 0
+        fresh = (nbrs >= 0) & ~seen & act[:, None]
+
+        # OR the fresh bits into the visited bitmaps. F is small and
+        # static; fresh already masks inactive lanes so no outer select is
+        # needed. (Pallas fuses this away; see ops/pallas_beam.py.)
+        for f in range(F):
+            old = visited[rows, word[:, f]]
+            visited = visited.at[rows, word[:, f]].set(
+                jnp.where(fresh[:, f], old | bit[:, f], old)
+            )
+
+        nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
+
+        # Merge: top-ef of beam U frontier. Ties keep incumbents (lower
+        # concat index), matching the reference's strict-> accept test.
+        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
+        all_sims = jnp.concatenate([beam_sims, nsims], axis=1)
+        all_exp = jnp.concatenate(
+            [exp_marked, jnp.zeros((B, F), bool)], axis=1
+        )
+        top_sims, idx = jax.lax.top_k(all_sims, ef)
+        top_ids = jnp.take_along_axis(all_ids, idx, 1)
+        top_exp = jnp.take_along_axis(all_exp, idx, 1)
+
+        keep = act[:, None]
+        return (
+            jnp.where(keep, top_ids, beam_ids),
+            jnp.where(keep, top_sims, beam_sims),
+            jnp.where(keep, top_exp, expanded),
+            visited,
+            done,
+        )
+
+    beam_ids, beam_sims, _, _, _ = jax.lax.while_loop(
+        cond, body, (beam_ids, beam_sims, expanded, visited, done)
+    )
+    return beam_ids, beam_sims
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline, jitted per (shapes, ef, k, metric).
+# ---------------------------------------------------------------------------
+
+def search_pipeline(
+    vecs, sqn, adj0, adj_up, upper_of, ep, max_layer, queries,
+    *, ef: int, k: int, metric: str,
+):
+    qn = _query_sqnorms(metric, queries)
+    ep_ids, ep_sims = greedy_descent(
+        metric, queries, qn, vecs, sqn, adj_up, upper_of, ep, max_layer
+    )
+    beam_ids, beam_sims = beam_search(
+        metric, queries, qn, vecs, sqn, adj0, ep_ids, ep_sims, ef
+    )
+    k_eff = min(k, ef)
+    k_ids = beam_ids[:, :k_eff]
+    k_raw = beam_sims[:, :k_eff]
+    valid = k_raw != NEG_INF
+    if metric == "euclidean":
+        k_sims = D.exact_neg_sq_l2(
+            queries, vecs, jnp.maximum(k_ids, 0), valid
+        )
+    else:
+        k_sims = jnp.where(valid, k_raw, NEG_INF)
+    return k_ids, k_sims
+
+
+search_batch_jit = jax.jit(
+    search_pipeline, static_argnames=("ef", "k", "metric")
+)
+
+
+def _pad_batch(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def search_batch(index, queries, k: int, ef_search: int | None = None):
+    """Host entry: batched k-NN over an index. Returns per-query result
+    lists of models.hnsw.SearchResult, nearest first."""
+    from ..models.hnsw import SearchResult
+
+    cfg = index.config
+    qs = np.atleast_2d(
+        np.asarray(queries, dtype=index._vectors.dtype)
+    )
+    want = index._vectors.shape[1]
+    if qs.shape[1] != want:
+        got = qs.shape[1] * (32 if cfg.metric == "hamming" else 1)
+        from ..errors import DimensionMismatch
+
+        raise DimensionMismatch(got)
+    n_q = qs.shape[0]
+    if index.enterpoint < 0 or index.node_count == 0:
+        return [[] for _ in range(n_q)]
+
+    ef = cfg.ef_construction if ef_search is None else int(ef_search)
+    ef = max(ef, 1)
+    snap = index.device_snapshot()
+    b_pad = _pad_batch(n_q)
+    if b_pad != n_q:
+        qs = np.concatenate(
+            [qs, np.zeros((b_pad - n_q, qs.shape[1]), qs.dtype)], axis=0
+        )
+
+    ids, sims = search_batch_jit(
+        *snap.arrays, jnp.asarray(qs), ef=ef, k=int(k), metric=snap.metric
+    )
+    ids = np.asarray(ids[:n_q])
+    sims = np.asarray(sims[:n_q])
+
+    out = []
+    for b in range(n_q):
+        res = []
+        for col in range(ids.shape[1]):
+            row = int(ids[b, col])
+            s = float(sims[b, col])
+            if row < 0 or s == float("-inf"):
+                continue
+            res.append(
+                SearchResult(
+                    sim=s,
+                    name=index._names.name(row),
+                    data=index._vectors[row].copy(),
+                )
+            )
+        out.append(res)
+    return out

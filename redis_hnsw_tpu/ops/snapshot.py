@@ -1,0 +1,130 @@
+"""Dense device-resident snapshots of an index.
+
+The bridge between the host-authoritative graph (models/hnsw.py) and the
+batched TPU engines: the pointer graph is flattened into fixed-shape int32
+adjacency tables + the f32 vector table, uploaded to HBM once per mutation
+epoch and reused across queries. This replaces the reference's
+``make_index`` 3-pass pointer-graph rehydration (src/lib.rs:252-315) with
+O(1) dense array uploads -- there is nothing to rewire when rows are ids.
+
+Layout:
+* ``vecs [N_pad, D]`` + ``sqnorms [N_pad]`` -- vector table (f32) or packed
+  bits (uint32, Hamming).
+* ``adj0 [N_pad, deg0]`` -- layer-0 adjacency, -1 padded
+  (deg0 >= m_max_0 = 2m, core.rs:336).
+* ``adj_up [L_up, U_pad, degU]`` -- upper-layer adjacency over a *compact*
+  id space holding only the ~N/m rows whose level >= 1 (most rows exist only
+  at layer 0, so dense [L, N, m] would waste HBM by a factor of m).
+* ``upper_of [N_pad]`` -- global row -> compact upper id (-1 if level 0).
+* ``ep``, ``max_layer`` -- dynamic scalars (no recompile when they change).
+
+Shapes are padded to multiples of 128 rows / 8 columns so capacity growth is
+geometric and jit recompiles stay rare.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import distance as D
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class Snapshot:
+    """Immutable device view of one index epoch."""
+
+    vecs: jnp.ndarray       # [N_pad, D] f32 (or uint32 packed for hamming)
+    sqnorms: jnp.ndarray    # [N_pad] f32 (zeros for hamming)
+    adj0: jnp.ndarray       # [N_pad, deg0] int32, -1 padded
+    adj_up: jnp.ndarray     # [L_up, U_pad, degU] int32, -1 padded
+    upper_of: jnp.ndarray   # [N_pad] int32, -1 if level < 1
+    ep: jnp.ndarray         # [] int32
+    max_layer: jnp.ndarray  # [] int32
+    metric: str             # static
+    n_pad: int              # static row capacity (visited bitmap width)
+
+    @property
+    def arrays(self):
+        return (
+            self.vecs,
+            self.sqnorms,
+            self.adj0,
+            self.adj_up,
+            self.upper_of,
+            self.ep,
+            self.max_layer,
+        )
+
+
+def build_snapshot(index) -> Snapshot:
+    """Flatten a host HNSWIndex into a Snapshot (uploads to device)."""
+    cfg = index.config
+    n_rows = max(index._names.high_water, 1)
+    n_pad = _round_up(n_rows, 128)
+
+    vecs = np.zeros((n_pad, index._vectors.shape[1]), index._vectors.dtype)
+    vecs[:n_rows] = index._vectors[:n_rows]
+
+    # Layer-0 adjacency. Degree can transiently exceed m_max_0 after delete
+    # repair (the reference's delete path adds extension links without a
+    # shrink pass, core.rs:824-863) -- size columns to the observed max.
+    max0 = cfg.m_max_0
+    max_up = cfg.m_max
+    upper_rows: list[int] = []
+    for row in range(n_rows):
+        lists = index._neighbors[row]
+        if lists is None:
+            continue
+        if lists and len(lists[0]) > max0:
+            max0 = len(lists[0])
+        if index._levels[row] >= 1:
+            upper_rows.append(row)
+        for lc in range(1, len(lists)):
+            if len(lists[lc]) > max_up:
+                max_up = len(lists[lc])
+    deg0 = _round_up(max0, 8)
+    deg_up = _round_up(max_up, 8)
+
+    adj0 = np.full((n_pad, deg0), -1, np.int32)
+    for row in range(n_rows):
+        lists = index._neighbors[row]
+        if lists and lists[0]:
+            adj0[row, : len(lists[0])] = lists[0]
+
+    l_up = max(int(index.max_layer), 1)
+    u_pad = _round_up(max(len(upper_rows), 1), 8)
+    adj_up = np.full((l_up, u_pad, deg_up), -1, np.int32)
+    upper_of = np.full(n_pad, -1, np.int32)
+    for u, row in enumerate(upper_rows):
+        upper_of[row] = u
+        lists = index._neighbors[row]
+        for lc in range(1, min(len(lists), l_up + 1)):
+            if lists[lc]:
+                adj_up[lc - 1, u, : len(lists[lc])] = lists[lc]
+
+    if cfg.metric == "hamming":
+        sq = np.zeros(n_pad, np.float32)
+    else:
+        sq = np.zeros(n_pad, np.float32)
+        sq[:n_rows] = np.einsum(
+            "nd,nd->n", vecs[:n_rows], vecs[:n_rows]
+        ).astype(np.float32)
+
+    return Snapshot(
+        vecs=jnp.asarray(vecs),
+        sqnorms=jnp.asarray(sq),
+        adj0=jnp.asarray(adj0),
+        adj_up=jnp.asarray(adj_up),
+        upper_of=jnp.asarray(upper_of),
+        ep=jnp.asarray(max(index.enterpoint, 0), jnp.int32),
+        max_layer=jnp.asarray(index.max_layer, jnp.int32),
+        metric=cfg.metric,
+        n_pad=n_pad,
+    )

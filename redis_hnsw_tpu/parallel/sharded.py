@@ -1,0 +1,272 @@
+"""Multi-chip sharded HNSW: scale index size beyond one chip's HBM.
+
+Design (new axis -- the reference is strictly single-process, see
+SURVEY.md section 2): the corpus is hash-partitioned into S independent
+sub-indexes, one per device. A query batch is **replicated** to every
+device; each device runs the full batched HNSW traversal (ops/search.py)
+over its local shard under ``shard_map``; the per-shard top-k candidate
+lists are then merged with one all-gather + top-k -- the collective rides
+ICI, inserted by GSPMD from the output sharding, never hand-scheduled.
+
+This is the TPU-native analog of distributed ANN serving (scatter-gather
+over index partitions): graph traversal never crosses a shard boundary, so
+there is no fine-grained cross-chip pointer chasing -- the only
+communication is the [S, B, k] result merge.
+
+Build scales the same way: inserts hash to a shard
+(host-side), and each sub-graph builds independently (embarrassingly
+parallel across hosts/devices).
+"""
+
+from __future__ import annotations
+
+import zlib
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import IndexConfig
+from ..errors import NodeNotFound
+from ..models.hnsw import HNSWIndex, SearchResult
+from ..ops.search import search_pipeline
+from .mesh import DATA_AXIS, make_mesh
+
+
+def _shard_of(name: str, n_shards: int) -> int:
+    return zlib.crc32(name.encode("utf-8")) % n_shards
+
+
+@partial(jax.jit, static_argnames=("ef", "k", "metric", "mesh"))
+def _sharded_search_jit(
+    vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts, queries,
+    *, ef: int, k: int, metric: str, mesh,
+):
+    """All shards traverse in parallel; one collective merges top-k.
+
+    Inputs carry a leading shard axis sharded over the data mesh axis;
+    queries are replicated. Per-shard ids are encoded globally as
+    shard * n_pad + row before the merge. ``counts`` masks empty shards
+    (their padded snapshot would otherwise report phantom row 0).
+    """
+    n_pad = vecs.shape[1]
+
+    def local(
+        vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts, queries
+    ):
+        # shard_map gives [1, ...] blocks; drop the shard axis.
+        ids, sims = search_pipeline(
+            vecs[0], sqn[0], adj0[0], adj_up[0], upper_of[0],
+            eps[0], max_layers[0], queries,
+            ef=ef, k=k, metric=metric,
+        )
+        nonempty = counts[0] > 0
+        s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        gids = jnp.where((ids >= 0) & nonempty, s * n_pad + ids, -1)
+        sims = jnp.where(nonempty, sims, -jnp.inf)
+        return gids[None], sims[None]
+
+    spec_sharded = P(DATA_AXIS)
+    gids, sims = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            spec_sharded, spec_sharded, spec_sharded, spec_sharded,
+            spec_sharded, spec_sharded, spec_sharded, spec_sharded, P(),
+        ),
+        out_specs=(spec_sharded, spec_sharded),
+    )(vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts, queries)
+
+    # [S, B, k] -> [B, S*k]; top-k over all shards (GSPMD inserts the
+    # all-gather along the sharded axis here).
+    S = gids.shape[0]
+    B = queries.shape[0]
+    flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
+    flat_gids = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
+    top_sims, idx = jax.lax.top_k(flat_sims, k)
+    top_gids = jnp.take_along_axis(flat_gids, idx, axis=1)
+    return top_gids, top_sims
+
+
+class ShardedHNSW:
+    """S independent sub-indexes presented as one index."""
+
+    def __init__(
+        self,
+        name: str,
+        config: IndexConfig,
+        n_shards: int | None = None,
+        mesh=None,
+    ) -> None:
+        self.name = name
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(n_shards)
+        self.n_shards = self.mesh.devices.size
+        base_seed = config.seed if config.seed is not None else 0
+        self.shards = [
+            HNSWIndex(
+                f"{name}/shard{s}",
+                IndexConfig(
+                    dim=config.dim,
+                    m=config.m,
+                    ef_construction=config.ef_construction,
+                    metric=config.metric,
+                    capacity=config.capacity,
+                    seed=base_seed + s,
+                ),
+            )
+            for s in range(self.n_shards)
+        ]
+        self._stacked = None
+        self._stacked_epochs = None
+
+    # -- mutation: dispatch by stable hash ------------------------------------
+
+    def _shard(self, node: str) -> HNSWIndex:
+        return self.shards[_shard_of(node, self.n_shards)]
+
+    def add_node(self, name: str, data) -> None:
+        self._shard(name).add_node(name, data)
+
+    def delete_node(self, name: str) -> None:
+        self._shard(name).delete_node(name)
+
+    def get_node(self, name: str) -> dict:
+        return self._shard(name).get_node(name)
+
+    def add_batch(self, names, data, batch_size: int = 1024) -> None:
+        data = np.atleast_2d(np.asarray(data))
+        buckets: dict[int, tuple[list, list]] = {}
+        for i, n in enumerate(names):
+            b = buckets.setdefault(_shard_of(n, self.n_shards), ([], []))
+            b[0].append(n)
+            b[1].append(i)
+        for s, (ns, rows) in buckets.items():
+            self.shards[s].add_batch(ns, data[rows], batch_size=batch_size)
+
+    @property
+    def node_count(self) -> int:
+        return sum(s.node_count for s in self.shards)
+
+    def __len__(self) -> int:
+        return self.node_count
+
+    def info(self) -> dict:
+        out = self.shards[0].info()
+        out.update(
+            name=self.name,
+            node_count=self.node_count,
+            max_layer=max(s.max_layer for s in self.shards),
+            enterpoint=None,
+            n_shards=self.n_shards,
+        )
+        return out
+
+    # -- stacked device state ---------------------------------------------------
+
+    def _stack(self):
+        """Pad per-shard snapshots to common shapes, stack on a leading
+        shard axis, and place sharded over the mesh."""
+        epochs = tuple(s.epoch for s in self.shards)
+        if self._stacked is not None and self._stacked_epochs == epochs:
+            return self._stacked
+        snaps = [s.device_snapshot() for s in self.shards]
+        n_pad = max(sn.vecs.shape[0] for sn in snaps)
+        deg0 = max(sn.adj0.shape[1] for sn in snaps)
+        l_up = max(sn.adj_up.shape[0] for sn in snaps)
+        u_pad = max(sn.adj_up.shape[1] for sn in snaps)
+        deg_u = max(sn.adj_up.shape[2] for sn in snaps)
+
+        def padded(arr, shape, fill):
+            out = np.full(shape, fill, dtype=arr.dtype)
+            sl = tuple(slice(0, s) for s in arr.shape)
+            out[sl] = np.asarray(arr)
+            return out
+
+        width = snaps[0].vecs.shape[1]
+        vecs = np.stack(
+            [padded(sn.vecs, (n_pad, width), 0) for sn in snaps]
+        )
+        sqn = np.stack([padded(sn.sqnorms, (n_pad,), 0) for sn in snaps])
+        adj0 = np.stack(
+            [padded(sn.adj0, (n_pad, deg0), -1) for sn in snaps]
+        )
+        adj_up = np.stack(
+            [padded(sn.adj_up, (l_up, u_pad, deg_u), -1) for sn in snaps]
+        )
+        upper_of = np.stack(
+            [padded(sn.upper_of, (n_pad,), -1) for sn in snaps]
+        )
+        eps = np.array([int(sn.ep) for sn in snaps], np.int32)
+        mls = np.array([int(sn.max_layer) for sn in snaps], np.int32)
+        counts = np.array(
+            [s.node_count for s in self.shards], np.int32
+        )
+
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        put = lambda x, s: jax.device_put(jnp.asarray(x), s)
+        self._stacked = (
+            put(vecs, sh), put(sqn, sh), put(adj0, sh), put(adj_up, sh),
+            put(upper_of, sh), put(eps, sh), put(mls, sh), put(counts, sh),
+        )
+        self._stacked_epochs = epochs
+        self._stacked_npad = n_pad
+        return self._stacked
+
+    # -- search -----------------------------------------------------------------
+
+    def search_batch(
+        self, queries, k: int, ef_search: int | None = None
+    ) -> list[list[SearchResult]]:
+        qs = np.atleast_2d(
+            np.asarray(queries, dtype=self.shards[0]._vectors.dtype)
+        )
+        n_q = qs.shape[0]
+        if self.node_count == 0:
+            return [[] for _ in range(n_q)]
+        ef = (
+            self.config.ef_construction
+            if ef_search is None
+            else int(ef_search)
+        )
+        stacked = self._stack()
+        n_pad = self._stacked_npad
+        b_pad = 8
+        while b_pad < n_q:
+            b_pad *= 2
+        if b_pad != n_q:
+            qs = np.concatenate(
+                [qs, np.zeros((b_pad - n_q, qs.shape[1]), qs.dtype)]
+            )
+        qs_dev = jax.device_put(
+            jnp.asarray(qs), NamedSharding(self.mesh, P())
+        )
+        gids, sims = _sharded_search_jit(
+            *stacked, qs_dev,
+            ef=max(ef, 1), k=int(k), metric=self.config.metric,
+            mesh=self.mesh,
+        )
+        gids = np.asarray(gids[:n_q])
+        sims = np.asarray(sims[:n_q])
+        out = []
+        for b in range(n_q):
+            res = []
+            for col in range(gids.shape[1]):
+                g = int(gids[b, col])
+                s = float(sims[b, col])
+                if g < 0 or s == float("-inf"):
+                    continue
+                shard = self.shards[g // n_pad]
+                row = g % n_pad
+                res.append(
+                    SearchResult(
+                        sim=s,
+                        name=shard._names.name(row),
+                        data=shard._vectors[row].copy(),
+                    )
+                )
+            out.append(res)
+        return out

@@ -1,0 +1,149 @@
+"""Versioned checkpoint save/restore.
+
+TPU-native replacement for the reference's RDB binary persistence: the
+per-type C-ABI save/load callbacks (zhao-lang/redis_hnsw
+src/types.rs:157-284 index, :354-428 node, version-gated at :181, :378)
+plus the lazy 3-pass pointer-graph reconstruction on first touch
+(src/lib.rs:229-315). Here the whole index is a handful of dense arrays, so
+a checkpoint is one `.npz` with a version gate, and restore is O(1) array
+loads -- the graph needs no rewiring because edges are row ids, and the
+device snapshot re-uploads straight to HBM on first use.
+
+The reference's per-mutation write-through (update_fn plumbing,
+core.rs:580-584 / lib.rs:446-460) becomes `save()` on demand; incremental
+checkpointing can layer on the same format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..errors import HNSWError
+
+FORMAT_VERSION = 1
+
+
+def save_index(index, path: str) -> None:
+    """Serialize a host HNSWIndex to ``path`` (npz, atomic rename)."""
+    h = index._names.high_water
+    n_layers = index.max_layer + 1
+
+    names = np.array(
+        [
+            index._names._name_of[r] if index._names._name_of[r] is not None else ""
+            for r in range(h)
+        ],
+        dtype="U",
+    )
+    counts = np.zeros((h, n_layers), np.int32)
+    flat: list[int] = []
+    for row in range(h):
+        lists = index._neighbors[row]
+        if lists is None:
+            continue
+        for lc, layer in enumerate(lists):
+            counts[row, lc] = len(layer)
+            flat.extend(layer)
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "name": index.name,
+        "config": {
+            "dim": index.config.dim,
+            "m": index.config.m,
+            "ef_construction": index.config.ef_construction,
+            "metric": index.config.metric,
+            "capacity": index.config.capacity,
+            "seed": index.config.seed,
+        },
+        "node_count": index.node_count,
+        "max_layer": index.max_layer,
+        "enterpoint": int(index.enterpoint),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(
+            f,
+            meta=np.frombuffer(
+                json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            ),
+            names=names,
+            vectors=index._vectors[:h],
+            levels=index._levels[:h],
+            adj_counts=counts,
+            adj_flat=np.asarray(flat, np.int32),
+        )
+    os.replace(tmp, path)
+
+
+def load_index(path: str):
+    """Restore an index from a checkpoint; inverse of save_index.
+
+    The version gate mirrors the reference's encver check
+    (types.rs:181-182: unknown versions are refused, not migrated).
+    """
+    from ..models.hnsw import HNSWIndex
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
+        if meta["format_version"] != FORMAT_VERSION:
+            raise HNSWError(
+                f"cannot load checkpoint format version "
+                f"{meta['format_version']} (supported: {FORMAT_VERSION})"
+            )
+        names = z["names"]
+        vectors = z["vectors"]
+        levels = z["levels"]
+        counts = z["adj_counts"]
+        flat = z["adj_flat"]
+
+    cfg = IndexConfig(**meta["config"])
+    index = HNSWIndex(meta["name"], cfg)
+    h = len(names)
+    index._grow(max(h, 1))
+    index._vectors[:h] = vectors
+    index._levels[:h] = levels
+
+    # Rebuild name table preserving row ids (free rows -> free list).
+    nt = index._names
+    for row in range(h):
+        name = str(names[row])
+        nt._name_of.append(name if name else None)
+        if name:
+            nt._id_of[name] = row
+        else:
+            nt._free.append(row)
+
+    # Rebuild adjacency lists and layer sets.
+    pos = 0
+    max_layer = int(meta["max_layer"])
+    while len(index._layer_sets) < max_layer + 1:
+        index._layer_sets.append(set())
+    for row in range(h):
+        if levels[row] < 0:
+            # free row: skip its (empty) count block
+            continue
+        lists = []
+        for lc in range(counts.shape[1]):
+            c = int(counts[row, lc])
+            lists.append([int(x) for x in flat[pos : pos + c]])
+            pos += c
+        # trim trailing empty layers beyond the row's level
+        lvl = int(levels[row])
+        while len(lists) > lvl + 1 and not lists[-1]:
+            lists.pop()
+        index._neighbors[row] = lists
+        index._layer_sets[lvl].add(row)
+    # drop trailing empty layer sets the reference would have popped
+    while len(index._layer_sets) > max_layer + 1:
+        index._layer_sets.pop()
+
+    index.node_count = int(meta["node_count"])
+    index.max_layer = max_layer
+    index.enterpoint = int(meta["enterpoint"])
+    index._bump()
+    return index

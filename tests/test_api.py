@@ -1,0 +1,122 @@
+"""API-surface tests: the seven commands + error semantics + reply shapes.
+
+The reference has no command-layer tests (SURVEY.md section 4); its manual
+smoke script cmd.sh (new -> 100 adds -> get -> node.get -> search -> 100
+dels -> del) is reproduced here as an automated test.
+"""
+
+import numpy as np
+import pytest
+
+from redis_hnsw_tpu import (
+    HNSW,
+    DimensionMismatch,
+    IndexExists,
+    IndexNotFound,
+    NodeNotFound,
+)
+
+
+def test_cmd_sh_smoke():
+    """cmd.sh:4-25, scaled: DIM 128 M 5, 100 adds, get, search, dels, del."""
+    client = HNSW()
+    client.create_index("test1", dim=128, m=5)
+    for i in range(1, 101):
+        client.add_node("test1", f"node{i}", np.full(128, float(i), np.float32))
+
+    info = client.get_index("test1")
+    assert info["name"] == "test1"
+    assert info["metric"] == "Euclidean"
+    assert info["data_dim"] == 128
+    assert info["m"] == 5
+    assert info["ef_construction"] == 200
+    assert info["node_count"] == 100
+    np.testing.assert_allclose(info["level_mult"], 1.0 / np.log(5.0))
+    assert info["enterpoint"] is not None
+    assert info["max_layer"] >= 0
+
+    node = client.get_node("test1", "node1")
+    np.testing.assert_array_equal(node["data"], np.full(128, 1.0, np.float32))
+    assert len(node["neighbors"]) >= 1
+    assert all(
+        isinstance(n, str) and n.startswith("node")
+        for layer in node["neighbors"]
+        for n in layer
+    )
+
+    res = client.search("test1", np.full(128, 2.0, np.float32), k=5)
+    assert len(res) == 5
+    assert res[0].name == "node2"
+    assert res[0].sim == 0.0
+    # next nearest: node1 and node3 at distance 128 each
+    assert {res[1].name, res[2].name} == {"node1", "node3"}
+    assert res[1].sim == -128.0
+
+    for i in range(1, 101):
+        assert client.delete_node("test1", f"node{i}") == 1
+    assert client.get_index("test1")["node_count"] == 0
+    assert client.delete_index("test1") == 1
+    with pytest.raises(IndexNotFound):
+        client.get_index("test1")
+
+
+def test_index_lifecycle_errors():
+    client = HNSW()
+    client.create_index("a", dim=8)
+    with pytest.raises(IndexExists):
+        client.create_index("a", dim=8)
+    with pytest.raises(IndexNotFound):
+        client.search("missing", np.zeros(8, np.float32))
+    with pytest.raises(IndexNotFound):
+        client.delete_index("missing")
+    with pytest.raises(NodeNotFound):
+        client.get_node("a", "nope")
+    with pytest.raises(NodeNotFound):
+        client.delete_node("a", "nope")
+    with pytest.raises(DimensionMismatch):
+        client.add_node("a", "x", np.zeros(9, np.float32))
+
+
+def test_search_default_k_is_5():
+    client = HNSW()
+    client.create_index("a", dim=4, ef_construction=16)
+    for i in range(20):
+        client.add_node("a", f"n{i}", np.full(4, float(i), np.float32))
+    res = client.search("a", np.zeros(4, np.float32))
+    assert len(res) == 5  # src/lib.rs:120 default K=5
+
+
+def test_search_k_larger_than_count():
+    client = HNSW()
+    client.create_index("a", dim=4)
+    for i in range(3):
+        client.add_node("a", f"n{i}", np.full(4, float(i), np.float32))
+    res = client.search("a", np.zeros(4, np.float32), k=10)
+    assert len(res) == 3
+
+
+def test_flat_index_kind():
+    client = HNSW()
+    client.create_index("f", dim=16, kind="flat")
+    data = np.eye(16, dtype=np.float32)
+    for i in range(16):
+        client.add_node("f", f"e{i}", data[i])
+    res = client.search("f", data[3], k=2)
+    assert res[0].name == "e3"
+    assert res[0].sim == 0.0
+    assert res[1].sim == -2.0
+    client.delete_node("f", "e3")
+    res = client.search("f", data[3], k=1)
+    assert res[0].name != "e3"
+
+
+def test_batched_api():
+    client = HNSW()
+    client.create_index("b", dim=8, m=4, ef_construction=32, seed=1)
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((64, 8)).astype(np.float32)
+    names = [f"n{i}" for i in range(64)]
+    client.add_batch("b", names, data)
+    assert client.get_index("b")["node_count"] == 64
+    res = client.search_batch("b", data[:4], k=1)
+    assert [r[0].name for r in res] == names[:4]

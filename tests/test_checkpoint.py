@@ -1,0 +1,105 @@
+"""Checkpoint/restore round-trip tests.
+
+The reference's checkpoint mechanism is RDB save/load callbacks + lazy
+pointer-graph reconstruction (src/types.rs:157-284, src/lib.rs:229-315);
+the invariant tested here is the same: a restored index is operationally
+identical to the one saved (same search results, same graph, mutable).
+"""
+
+import numpy as np
+import pytest
+
+from redis_hnsw_tpu import HNSW, HNSWError, HNSWIndex, IndexConfig
+from redis_hnsw_tpu.utils.checkpoint import load_index, save_index
+
+
+def build(n=300, dim=12, seed=4):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        "ck", IndexConfig(dim=dim, m=4, ef_construction=32, seed=1)
+    )
+    for i in range(n):
+        idx.add_node(f"n{i}", data[i])
+    # leave some holes so the free list round-trips
+    for i in range(0, n, 7):
+        idx.delete_node(f"n{i}")
+    return idx, data, rng
+
+
+def test_roundtrip_identical_graph(tmp_path):
+    idx, data, rng = build()
+    path = str(tmp_path / "ck.npz")
+    save_index(idx, path)
+    idx2 = load_index(path)
+
+    assert idx2.name == idx.name
+    assert idx2.config == idx.config
+    assert idx2.node_count == idx.node_count
+    assert idx2.max_layer == idx.max_layer
+    assert idx2.enterpoint == idx.enterpoint
+    assert idx2._names._id_of == idx._names._id_of
+    np.testing.assert_array_equal(
+        idx2._levels[: idx._names.high_water],
+        idx._levels[: idx._names.high_water],
+    )
+    for row in range(idx._names.high_water):
+        assert idx2._neighbors[row] == idx._neighbors[row]
+    assert idx2._layer_sets == idx._layer_sets
+
+    # identical search behavior, host and device paths
+    qs = rng.standard_normal((8, 12)).astype(np.float32)
+    for q in qs:
+        a = idx.search_knn(q, 5)
+        b = idx2.search_knn(q, 5)
+        assert [r.name for r in a] == [r.name for r in b]
+        np.testing.assert_allclose(
+            [r.sim for r in a], [r.sim for r in b]
+        )
+    dev_a = idx.search_batch(qs, 5)
+    dev_b = idx2.search_batch(qs, 5)
+    for ra, rb in zip(dev_a, dev_b):
+        assert [r.name for r in ra] == [r.name for r in rb]
+
+
+def test_restored_index_is_mutable(tmp_path):
+    idx, data, _ = build(n=100)
+    path = str(tmp_path / "ck.npz")
+    save_index(idx, path)
+    idx2 = load_index(path)
+    idx2.add_node("extra", np.zeros(12, np.float32))
+    res = idx2.search_knn(np.zeros(12, np.float32), 1)
+    assert res[0].name == "extra"
+    idx2.delete_node("extra")
+    assert "extra" not in idx2
+
+
+def test_version_gate(tmp_path):
+    idx, _, _ = build(n=20)
+    path = str(tmp_path / "ck.npz")
+    save_index(idx, path)
+    # corrupt the version
+    import json
+
+    with np.load(path) as z:
+        arrs = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrs["meta"].tobytes()).decode())
+    meta["format_version"] = 999
+    arrs["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrs)
+    with pytest.raises(HNSWError):
+        load_index(path)
+
+
+def test_client_save_restore(tmp_path):
+    client = HNSW()
+    client.create_index("a", dim=8, m=4, ef_construction=16, seed=0)
+    for i in range(50):
+        client.add_node("a", f"n{i}", np.full(8, float(i), np.float32))
+    path = str(tmp_path / "a.npz")
+    client.save_index("a", path)
+    client.delete_index("a")
+    client.restore_index(path)
+    assert client.get_index("a")["node_count"] == 50
+    res = client.search("a", np.full(8, 3.0, np.float32), k=1)
+    assert res[0].name == "n3"

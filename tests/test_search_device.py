@@ -1,0 +1,115 @@
+"""Batched device search vs host reference search and exact oracle."""
+
+import numpy as np
+import pytest
+
+from redis_hnsw_tpu import HNSWIndex, IndexConfig
+from redis_hnsw_tpu.models.flat import FlatIndex
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(42)
+    n, dim = 1500, 24
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        "dev", IndexConfig(dim=dim, m=8, ef_construction=64, seed=5)
+    )
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    names = [f"n{i}" for i in range(n)]
+    for i in range(n):
+        idx.add_node(names[i], data[i])
+    oracle.add_batch(names, data)
+    queries = rng.standard_normal((32, dim)).astype(np.float32)
+    return idx, oracle, data, queries
+
+
+def test_device_matches_host_result_sets(built):
+    """The batched engine must find the same neighbors as the host
+    reference-parity engine (same graph, same ef)."""
+    idx, _, _, queries = built
+    k = 10
+    dev = idx.search_batch(queries, k)
+    for b, q in enumerate(queries):
+        host = idx.search_knn(q, k)
+        got = [r.name for r in dev[b]]
+        want = [r.name for r in host]
+        # identical graphs + identical ef -> identical expansion frontier;
+        # allow tie-order differences only.
+        assert set(got) == set(want), f"query {b}: {got} vs {want}"
+        got_sims = np.array([r.sim for r in dev[b]])
+        want_sims = np.array([r.sim for r in host])
+        np.testing.assert_allclose(got_sims, want_sims, rtol=1e-4)
+        # nearest-first ordering
+        assert (np.diff(got_sims) <= 1e-6).all()
+
+
+def test_device_recall_vs_oracle(built):
+    idx, oracle, _, queries = built
+    k = 10
+    dev = idx.search_batch(queries, k)
+    want = oracle.search_batch(queries, k)
+    hits = total = 0
+    for b in range(len(queries)):
+        hits += len(
+            {r.name for r in dev[b]} & {r.name for r in want[b]}
+        )
+        total += k
+    assert hits / total >= 0.95
+
+
+def test_device_single_query_and_padding(built):
+    idx, _, data, _ = built
+    res = idx.search_batch(data[7][None], k=1)
+    assert res[0][0].name == "n7"
+    assert res[0][0].sim == 0.0
+    # odd batch size exercises lane padding
+    res = idx.search_batch(data[:5], k=1)
+    assert [r[0].name for r in res] == [f"n{i}" for i in range(5)]
+
+
+def test_device_empty_and_tiny_index():
+    idx = HNSWIndex("t", IndexConfig(dim=8, m=4, ef_construction=16, seed=0))
+    q = np.zeros((2, 8), np.float32)
+    assert idx.search_batch(q, 3) == [[], []]
+    idx.add_node("only", np.ones(8, np.float32))
+    res = idx.search_batch(q, 3)
+    assert [r.name for r in res[0]] == ["only"]
+    assert res[0][0].sim == -8.0
+
+
+def test_device_ef_search_knob(built):
+    """ef_search=1 degrades recall vs ef_search=ef_construction -- the knob
+    the reference lacks (search ef hardwired at core.rs:485)."""
+    idx, oracle, _, queries = built
+    k = 10
+    lo = idx.search_batch(queries, k, ef_search=k)
+    hi = idx.search_batch(queries, k, ef_search=128)
+    want = oracle.search_batch(queries, k)
+
+    def recall(res):
+        hits = sum(
+            len({r.name for r in res[b]} & {r.name for r in want[b]})
+            for b in range(len(queries))
+        )
+        return hits / (k * len(queries))
+
+    assert recall(hi) >= recall(lo)
+    assert recall(hi) >= 0.97
+
+
+def test_device_search_after_deletes(built):
+    rng = np.random.default_rng(3)
+    n, dim = 300, 12
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex("d2", IndexConfig(dim=dim, m=4, ef_construction=32, seed=9))
+    for i in range(n):
+        idx.add_node(f"n{i}", data[i])
+    for i in range(0, n, 2):
+        idx.delete_node(f"n{i}")
+    res = idx.search_batch(data[:8], k=3)
+    surviving = {f"n{i}" for i in range(1, n, 2)}
+    for r in res:
+        assert r, "search returned nothing after deletes"
+        for item in r:
+            assert item.name in surviving

@@ -1,0 +1,75 @@
+"""Multi-chip sharded index tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from redis_hnsw_tpu import IndexConfig
+from redis_hnsw_tpu.models.flat import FlatIndex
+from redis_hnsw_tpu.parallel import ShardedHNSW, make_mesh
+
+
+@pytest.fixture(scope="module")
+def sharded_built():
+    rng = np.random.default_rng(1)
+    n, dim = 800, 16
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    mesh = make_mesh(8)
+    idx = ShardedHNSW(
+        "sh", IndexConfig(dim=dim, m=8, ef_construction=48, seed=0), mesh=mesh
+    )
+    idx.add_batch(names, data)
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    return idx, oracle, data, rng
+
+
+def test_sharded_recall(sharded_built):
+    idx, oracle, data, rng = sharded_built
+    k = 10
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
+    got = idx.search_batch(queries, k)
+    want = oracle.search_batch(queries, k)
+    hits = sum(
+        len({r.name for r in got[b]} & {r.name for r in want[b]})
+        for b in range(len(queries))
+    )
+    assert hits / (k * len(queries)) >= 0.95
+
+
+def test_sharded_exact_self_lookup(sharded_built):
+    idx, _, data, _ = sharded_built
+    res = idx.search_batch(data[:8], k=1)
+    assert [r[0].name for r in res] == [f"n{i}" for i in range(8)]
+    assert all(abs(r[0].sim) < 1e-5 for r in res)
+
+
+def test_sharded_node_ops(sharded_built):
+    idx, _, data, _ = sharded_built
+    node = idx.get_node("n5")
+    np.testing.assert_array_equal(node["data"], data[5])
+    idx.delete_node("n5")
+    assert idx.node_count == 799
+    res = idx.search_batch(data[5][None], k=3)
+    assert all(r.name != "n5" for r in res[0])
+    idx.add_node("n5", data[5])
+    assert idx.node_count == 800
+
+
+def test_sharded_results_sorted(sharded_built):
+    idx, _, data, rng = sharded_built
+    queries = rng.standard_normal((4, 16)).astype(np.float32)
+    for r in idx.search_batch(queries, 8):
+        sims = [x.sim for x in r]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_empty_sharded():
+    mesh = make_mesh(8)
+    idx = ShardedHNSW("e", IndexConfig(dim=8, m=4), mesh=mesh)
+    assert idx.search_batch(np.zeros((2, 8), np.float32), 3) == [[], []]
+    # one node on one shard; other shards empty -> must be masked
+    idx.add_node("solo", np.ones(8, np.float32))
+    res = idx.search_batch(np.zeros((2, 8), np.float32), 3)
+    assert [r.name for r in res[0]] == ["solo"]
+    assert len(res[0]) == 1
