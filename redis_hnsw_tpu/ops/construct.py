@@ -1,23 +1,262 @@
-"""Batched index construction.
+"""Batched index construction -- the TPU bulk-build engine.
 
 The reference inserts one node at a time through a strictly sequential
-pointer-graph path (src/hnsw/core.rs:489-599); on TPU the win is to score
-whole insert batches against the device snapshot (descent + ef beams as in
-ops/search.py) and apply the cheap link surgery on the host. This module
-currently provides the correct sequential fallback; the device-scored bulk
-builder lands on top of the same entry point.
+pointer-graph path (src/hnsw/core.rs:489-599): per insert, a greedy
+descent plus an ef_construction-wide beam per layer, each scoring one
+neighbor at a time. On TPU the expensive part of that path -- candidate
+discovery -- vectorizes perfectly across an insert *wave*: one device pass
+runs the descent and every layer beam for W inserts at once (masked by
+each insert's sampled level), plus one [W, W] matmul scoring the wave
+against itself. The remaining graph surgery (top-m link selection,
+bidirectional connect, degree shrink -- core.rs:523-577) is tiny pointer
+work applied on the host in insertion order.
+
+Approximations relative to the strictly sequential reference build (the
+exact path remains ``HNSWIndex.add_node``):
+
+* Beams see the graph as of the wave start; nodes inserted earlier in the
+  same wave are injected as candidates via exact intra-wave similarities
+  (better than traversal would find them) but their *links* are not
+  traversed until the next wave.
+* ``select_neighbors``'s candidate extension (core.rs:689-722) is skipped:
+  with an ef_construction-wide beam the top-m of the beam is virtually
+  always the top-m of the extended set, and the extension is a
+  host-round-trip per insert. Recall parity is validated in
+  tests/test_core.py::test_bulk_build_recall.
+
+Wave candidate quality and the resulting graph are validated against the
+brute-force oracle; recall at equal (M, efcon) matches the sequential
+build within noise.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+
+from . import distance as D
+from .search import _query_sqnorms, _score, beam_search, hill_climb_layer
+
+
+def _point_sims(metric, q, qn, vecs, vn, ids):
+    mask = jnp.ones((ids.shape[0], 1), bool)
+    return _score(metric, q, qn, vecs, vn, ids[:, None], mask)[:, 0]
+
+
+@partial(
+    jax.jit, static_argnames=("ef", "l_max", "n_up", "metric")
+)
+def construct_scores(
+    vecs, sqn, adj0, adj_up, upper_of, ep,
+    queries, levels,
+    *, ef: int, l_max: int, n_up: int, metric: str,
+):
+    """One device pass scoring a whole insert wave against the snapshot.
+
+    For each wave lane i with sampled level l_i (reference semantics,
+    core.rs:511-577): greedy ef=1 descent at layers l_max..l_i+1, then an
+    ef-wide beam at layers min(l_max, l_i)..0. ``n_up`` =
+    min(l_max, max(levels)) upper layers emit beam candidates; layers are
+    unrolled (static) since l_max is small and changes rarely.
+
+    Returns:
+      up_ids, up_sims: [n_up, W, ef] -- candidates at layers n_up..1
+        (index lc-1), valid only for lanes with levels >= lc;
+      l0_ids, l0_sims: [W, ef] -- layer-0 candidates, all lanes;
+      cross: [W, W] -- intra-wave similarity matrix (matmul form).
+    """
+    qn = _query_sqnorms(metric, queries)
+    W = queries.shape[0]
+    ids = jnp.full((W,), ep, jnp.int32)
+    sims = _point_sims(metric, queries, qn, vecs, sqn, ids)
+
+    up_ids = []
+    up_sims = []
+    for lc in range(l_max, 0, -1):
+        adj_l = adj_up[lc - 1]
+        descending = levels < lc
+        d_ids, d_sims = hill_climb_layer(
+            metric, queries, qn, vecs, sqn, adj_l, upper_of,
+            ids, sims, active=descending,
+        )
+        if lc <= n_up:
+            beaming = levels >= lc
+            b_ids, b_sims = beam_search(
+                metric, queries, qn, vecs, sqn, adj_l, ids, sims, ef,
+                row_map=upper_of, active=beaming,
+            )
+            up_ids.append(b_ids)
+            up_sims.append(b_sims)
+            # ep for the next layer: best of beam where beaming, else the
+            # descent result (w.peek(), core.rs:576).
+            ids = jnp.where(beaming, b_ids[:, 0], d_ids)
+            sims = jnp.where(beaming, b_sims[:, 0], d_sims)
+        else:
+            ids, sims = d_ids, d_sims
+
+    l0_ids, l0_sims = beam_search(
+        metric, queries, qn, vecs, sqn, adj0, ids, sims, ef
+    )
+
+    if metric == "hamming":
+        cross = D.pairwise_hamming(queries, queries)
+    else:
+        cross = D.pairwise_neg_sq_l2(queries, queries)
+
+    if up_ids:
+        # stack in layer order 1..n_up at index lc-1
+        up_ids_arr = jnp.stack(list(reversed(up_ids)))
+        up_sims_arr = jnp.stack(list(reversed(up_sims)))
+    else:
+        up_ids_arr = jnp.zeros((0, W, ef), jnp.int32)
+        up_sims_arr = jnp.zeros((0, W, ef), jnp.float32)
+    return up_ids_arr, up_sims_arr, l0_ids, l0_sims, cross
+
+
+def _select_top_m(index, cand_ids, cand_sims, m, exclude):
+    """Top-m candidates by sim (bulk-path select; see module docstring).
+
+    ``cand_*`` are parallel arrays sorted descending. Dedupes and drops
+    ``exclude`` rows and free rows.
+    """
+    out = []
+    seen = set(exclude)
+    for cid, s in zip(cand_ids, cand_sims):
+        cid = int(cid)
+        if cid < 0 or s == -np.inf or cid in seen:
+            continue
+        if index._neighbors[cid] is None:
+            continue  # freed row in the snapshot epoch gap
+        seen.add(cid)
+        out.append((float(s), cid))
+        if len(out) == m:
+            break
+    return out
+
+
+def _shrink_over_cap(index, e_row, lc, m_cap):
+    """Degree-cap repair (core.rs:540-574) with top-m_cap selection."""
+    e_nbrs = index._nbrs(e_row, lc)
+    if len(e_nbrs) <= m_cap:
+        return
+    e_vec = index._vectors[e_row]
+    e_sims = index._sims_to(e_vec, e_nbrs)
+    order = sorted(
+        zip(e_sims.tolist(), e_nbrs), key=lambda p: (-p[0], p[1])
+    )
+    keep = [r for _, r in order[:m_cap]]
+    index._update_connections(e_row, keep, list(e_nbrs), lc)
 
 
 def add_batch(index, names, data, batch_size: int = 1024) -> None:
+    """Bulk insert via device-scored waves. Entry for HNSWIndex.add_batch."""
     data = np.atleast_2d(np.asarray(data, dtype=index._vectors.dtype))
+    names = list(names)
     if len(names) != data.shape[0]:
         raise ValueError(
             f"{len(names)} names for {data.shape[0]} data rows"
         )
-    for name, row in zip(names, data):
-        index.add_node(name, row)
+    if data.shape[0] == 0:
+        return
+    # validate dims + duplicate names up front (all-or-nothing per wave
+    # would be messier; reference errors per node, core.rs:389,407)
+    start = 0
+    if index.node_count == 0:
+        index.add_node(names[0], data[0])
+        start = 1
+
+    cfg = index.config
+    ef = cfg.ef_construction
+    for lo in range(start, len(names), batch_size):
+        hi = min(lo + batch_size, len(names))
+        _insert_wave(index, names[lo:hi], data[lo:hi], ef)
+
+
+def _insert_wave(index, names, data, ef: int) -> None:
+    cfg = index.config
+    W = len(names)
+    # 1. sample levels (core.rs:601-605) and validate
+    qs = np.stack([index._coerce(d) for d in data])
+    from ..errors import NodeExists
+
+    for n in names:
+        if n in index._names:
+            raise NodeExists(n)
+    levels = np.array(
+        [index._gen_random_level() for _ in range(W)], np.int32
+    )
+
+    # 2. one device pass against the wave-start snapshot. The wave is
+    # padded to a power of two (padding lanes: zero vectors, level 0,
+    # results ignored) so a trailing partial wave reuses the compile.
+    snap = index.device_snapshot()
+    l_max = int(index.max_layer)
+    n_up = int(min(l_max, int(levels.max(initial=0))))
+    w_pad = 8
+    while w_pad < W:
+        w_pad *= 2
+    qs_d = qs
+    levels_d = levels
+    if w_pad != W:
+        qs_d = np.concatenate(
+            [qs, np.zeros((w_pad - W, qs.shape[1]), qs.dtype)]
+        )
+        levels_d = np.concatenate(
+            [levels, np.zeros(w_pad - W, levels.dtype)]
+        )
+    up_ids, up_sims, l0_ids, l0_sims, cross = construct_scores(
+        snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
+        snap.ep, jnp.asarray(qs_d), jnp.asarray(levels_d),
+        ef=ef, l_max=l_max, n_up=n_up, metric=snap.metric,
+    )
+    up_ids = np.asarray(up_ids)
+    up_sims = np.asarray(up_sims)
+    l0_ids = np.asarray(l0_ids)
+    l0_sims = np.asarray(l0_sims)
+    cross = np.asarray(cross)
+
+    # 3. host surgery, in wave order (core.rs:523-599 per insert)
+    rows = np.empty(W, np.int64)
+    m = cfg.m
+    for i in range(W):
+        l = int(levels[i])
+        row = index._alloc_row(names[i], qs[i], level=l)
+        rows[i] = row
+
+        # earlier wave members are candidates via exact cross sims
+        for lc in range(min(l_max, l), -1, -1):
+            if lc == 0:
+                cids, csims = l0_ids[i], l0_sims[i]
+            else:
+                cids, csims = up_ids[lc - 1, i], up_sims[lc - 1, i]
+            cand_ids = list(cids)
+            cand_sims = list(csims)
+            if i:
+                mates = np.nonzero(levels[:i] >= lc)[0]
+                if mates.size:
+                    cand_ids.extend(rows[mates])
+                    cand_sims.extend(cross[i, mates])
+            order = np.argsort(np.asarray(cand_sims))[::-1]
+            sel = _select_top_m(
+                index,
+                np.asarray(cand_ids)[order],
+                np.asarray(cand_sims)[order],
+                m,
+                exclude=(row,),
+            )
+            index._connect_neighbors(row, sel, lc)
+            m_cap = cfg.m_max_0 if lc == 0 else cfg.m_max
+            for _, e_row in sel:
+                _shrink_over_cap(index, e_row, lc, m_cap)
+
+        # enterpoint / layer bookkeeping (core.rs:587-597)
+        if l > index.max_layer:
+            index.max_layer = l
+            index.enterpoint = row
+        while len(index._layer_sets) < l + 1:
+            index._layer_sets.append(set())
+        index._layer_sets[l].add(row)
+    index._bump()

@@ -66,6 +66,46 @@ def _point_sims(metric, q, qn, vecs, vn, ids):
 # Greedy descent over upper layers (vectorized core.rs:869-874).
 # ---------------------------------------------------------------------------
 
+def hill_climb_layer(
+    metric, q, qn, vecs, vn, adj_l, upper_of, ids, sims, active=None
+):
+    """ef=1 greedy step loop at one upper layer (core.rs:511-520 descent).
+
+    Per iteration every live lane gathers its current node's neighbor row,
+    scores the [B, degU] tile, and moves if the best neighbor improves.
+    ``active=None`` means all lanes; with a mask, inactive lanes pass
+    through unchanged (used by batched construction where lanes stop
+    descending at their sampled level).
+    """
+    # note: the initial mask derives from traced inputs (not a constant)
+    # so its "varying manual axes" match the body outputs under shard_map
+    # (see parallel/sharded.py).
+    live0 = (ids == ids) if active is None else active
+
+    def cond(c):
+        return jnp.any(c[2])
+
+    def body(c):
+        ids, sims, live = c
+        u = upper_of[ids]
+        nbrs = adj_l[jnp.maximum(u, 0)]                  # [B, degU]
+        valid = (nbrs >= 0) & (u >= 0)[:, None] & live[:, None]
+        nb_safe = jnp.maximum(nbrs, 0)
+        nsims = _score(metric, q, qn, vecs, vn, nb_safe, valid)
+        j = jnp.argmax(nsims, axis=1)
+        bsim = jnp.take_along_axis(nsims, j[:, None], 1)[:, 0]
+        bid = jnp.take_along_axis(nb_safe, j[:, None], 1)[:, 0]
+        improved = bsim > sims
+        return (
+            jnp.where(improved, bid, ids),
+            jnp.where(improved, bsim, sims),
+            live & improved,
+        )
+
+    ids, sims, _ = jax.lax.while_loop(cond, body, (ids, sims, live0))
+    return ids, sims
+
+
 def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
     B = q.shape[0]
     ids = jnp.full((B,), ep, jnp.int32)
@@ -77,34 +117,9 @@ def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
         adj_l = jax.lax.dynamic_index_in_dim(
             adj_up, max_layer - 1 - i, axis=0, keepdims=False
         )
-
-        def cond(c):
-            return jnp.any(c[2])
-
-        def body(c):
-            ids, sims, active = c
-            u = upper_of[ids]
-            nbrs = adj_l[jnp.maximum(u, 0)]                  # [B, degU]
-            valid = (nbrs >= 0) & (u >= 0)[:, None] & active[:, None]
-            nb_safe = jnp.maximum(nbrs, 0)
-            nsims = _score(metric, q, qn, vecs, vn, nb_safe, valid)
-            j = jnp.argmax(nsims, axis=1)
-            bsim = jnp.take_along_axis(nsims, j[:, None], 1)[:, 0]
-            bid = jnp.take_along_axis(nb_safe, j[:, None], 1)[:, 0]
-            improved = bsim > sims
-            return (
-                jnp.where(improved, bid, ids),
-                jnp.where(improved, bsim, sims),
-                active & improved,
-            )
-
-        # note: the initial mask derives from a traced input (not a
-        # constant) so its "varying manual axes" match the body outputs
-        # when this runs under shard_map (see parallel/sharded.py).
-        ids, sims, _ = jax.lax.while_loop(
-            cond, body, (ids, sims, ids == ids)
+        return hill_climb_layer(
+            metric, q, qn, vecs, vn, adj_l, upper_of, ids, sims
         )
-        return ids, sims
 
     return jax.lax.fori_loop(0, max_layer, layer_body, (ids, sims))
 
@@ -114,13 +129,16 @@ def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
 # ---------------------------------------------------------------------------
 
 def beam_search(
-    metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int
+    metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int,
+    row_map=None, active=None,
 ):
     """Run the ef-wide beam for every lane; returns sorted (ids, sims).
 
-    ``adj`` is any [N_pad, F] adjacency table (layer 0 for queries; upper
-    layers reuse this for batched construction). Beams are sorted descending
-    by sim; -inf/-1 marks empty slots.
+    ``adj`` is any [R, F] adjacency table (layer 0 for queries; upper
+    layers reuse this for batched construction, with ``row_map`` mapping
+    global row ids to the compact upper-layer row space, -1 = absent).
+    Lanes where ``active`` is False return their entrypoint untouched.
+    Beams are sorted descending by sim; -inf/-1 marks empty slots.
     """
     B = q.shape[0]
     F = adj.shape[1]
@@ -143,7 +161,7 @@ def beam_search(
     )
     ep_bit = (jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32))
     visited = visited.at[rows, ep_ids >> 5].set(ep_bit)
-    done = no_b
+    done = no_b if active is None else ~active
 
     def cond(c):
         return jnp.any(~c[4])
@@ -161,7 +179,9 @@ def beam_search(
 
         exp_marked = expanded.at[rows, j].set(True)
         cid = jnp.take_along_axis(beam_ids, j[:, None], 1)[:, 0]
-        nbrs = adj[jnp.maximum(cid, 0)]                       # [B, F]
+        crow = cid if row_map is None else row_map[jnp.maximum(cid, 0)]
+        nbrs = adj[jnp.maximum(crow, 0)]                      # [B, F]
+        nbrs = jnp.where((crow >= 0)[:, None], nbrs, -1)
         nb_safe = jnp.maximum(nbrs, 0)
         word = nb_safe >> 5
         bit = (jnp.uint32(1) << (nb_safe & 31).astype(jnp.uint32))

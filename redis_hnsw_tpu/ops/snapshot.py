@@ -36,6 +36,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _round_pow2(x: int, lo: int) -> int:
+    """Next power of two >= max(x, lo): geometric snapshot growth keeps
+    jitted engine shapes stable across mutations (recompiles only on
+    doubling), at <=2x HBM overhead on the padded tables."""
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
 @dataclasses.dataclass(frozen=True)
 class Snapshot:
     """Immutable device view of one index epoch."""
@@ -67,7 +77,7 @@ def build_snapshot(index) -> Snapshot:
     """Flatten a host HNSWIndex into a Snapshot (uploads to device)."""
     cfg = index.config
     n_rows = max(index._names.high_water, 1)
-    n_pad = _round_up(n_rows, 128)
+    n_pad = _round_pow2(n_rows, 128)
 
     vecs = np.zeros((n_pad, index._vectors.shape[1]), index._vectors.dtype)
     vecs[:n_rows] = index._vectors[:n_rows]
@@ -99,7 +109,7 @@ def build_snapshot(index) -> Snapshot:
             adj0[row, : len(lists[0])] = lists[0]
 
     l_up = max(int(index.max_layer), 1)
-    u_pad = _round_up(max(len(upper_rows), 1), 8)
+    u_pad = _round_pow2(max(len(upper_rows), 1), 8)
     adj_up = np.full((l_up, u_pad, deg_up), -1, np.int32)
     upper_of = np.full(n_pad, -1, np.int32)
     for u, row in enumerate(upper_rows):

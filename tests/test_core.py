@@ -202,3 +202,77 @@ def test_level_distribution(rng):
     assert abs(frac0 - 0.8) < 0.02
     frac1 = sum(1 for l in levels if l == 1) / len(levels)
     assert abs(frac1 - 0.16) < 0.02
+
+
+def test_bulk_build_recall(rng):
+    """Device-scored wave construction (ops/construct.py) reaches the
+    recall of the sequential reference-semantics build at equal M/efcon."""
+    n, dim, k = 1500, 32, 10
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((64, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    truth = [
+        {r.name for r in t} for t in oracle.search_batch(queries, k)
+    ]
+
+    idx = HNSWIndex(
+        "b", IndexConfig(dim=dim, m=8, ef_construction=100, seed=3)
+    )
+    idx.add_batch(names, data, batch_size=512)
+    assert idx.node_count == n
+    res = idx.search_batch(queries, k, ef_search=100)
+    hits = sum(
+        len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
+    )
+    recall = hits / (k * len(queries))
+    assert recall >= 0.88, f"bulk recall@{k} = {recall}"
+
+
+def test_bulk_build_graph_invariants(rng):
+    """Wave construction preserves the reference graph invariants:
+    symmetric links, degree caps, no dangling ids, single layer set."""
+    n, dim = 400, 16
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        "g", IndexConfig(dim=dim, m=6, ef_construction=60, seed=5)
+    )
+    idx.add_batch([f"n{i}" for i in range(n)], data, batch_size=128)
+    for row in range(n):
+        lists = idx._neighbors[row]
+        assert lists is not None
+        assert len(lists) == idx._levels[row] + 1
+        for lc, nbrs in enumerate(lists):
+            cap = idx.config.m_max_0 if lc == 0 else idx.config.m_max
+            assert len(nbrs) <= cap, (row, lc, len(nbrs))
+            assert len(set(nbrs)) == len(nbrs)
+            for nb in nbrs:
+                assert nb != row
+                back = idx._neighbors[nb]
+                assert back is not None and lc < len(back)
+                assert row in back[lc], (row, nb, lc)
+    # every node in exactly one layer set, at its level
+    seen = set()
+    for lc, s in enumerate(idx._layer_sets):
+        for row in s:
+            assert row not in seen
+            assert idx._levels[row] == lc
+            seen.add(row)
+    assert len(seen) == n
+
+
+def test_bulk_vs_sequential_equivalence_small(rng):
+    """A bulk build with batch_size=1 follows the same per-insert order
+    as sequential insertion and must produce a searchable graph with the
+    same node set and valid results."""
+    n, dim = 60, 8
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex("a", IndexConfig(dim=dim, m=4, ef_construction=30, seed=9))
+    idx.add_batch(names, data, batch_size=1)
+    assert idx.node_count == n
+    res = idx.search_knn(data[7], 1)
+    assert res[0].name == "n7"
+    assert res[0].sim == 0.0
