@@ -44,7 +44,7 @@ def main():
         "bench", IndexConfig(dim=dim, m=m, ef_construction=efcon, seed=7)
     )
     t0 = time.perf_counter()
-    idx.add_batch(names, data)
+    idx.add_batch(names, data, batch_size=1024)
     build_s = time.perf_counter() - t0
     log(f"build: {n} nodes in {build_s:.1f}s ({n / build_s:.0f} adds/s)")
 
@@ -64,7 +64,7 @@ def main():
     # pick the smallest ef_search hitting recall >= 0.95 (TPU knob; the
     # reference hardwires ef=efcon)
     ef = None
-    for cand in (32, 48, 64, 96, 128, 200):
+    for cand in (32, 48, 64, 96, 128, 200, 256, 320, 400, 512):
         res = idx.search_batch(queries[:256], k, ef_search=cand)
         r = recall(res)
         log(f"ef_search={cand}: recall@{k}={r:.4f} (256-query probe)")
@@ -72,7 +72,7 @@ def main():
             ef = cand
             break
     if ef is None:
-        ef = efcon
+        ef = 512
 
     # timed batched run (warmup first -- compile excluded)
     res = idx.search_batch(queries, k, ef_search=ef)

@@ -170,9 +170,15 @@ def add_batch(index, names, data, batch_size: int = 1024) -> None:
 
     cfg = index.config
     ef = cfg.ef_construction
-    for lo in range(start, len(names), batch_size):
-        hi = min(lo + batch_size, len(names))
+    lo = start
+    while lo < len(names):
+        # cap the wave so its visited maps fit the device budget
+        from .search import max_lanes_for
+
+        cap = max_lanes_for(index.device_snapshot().n_pad)
+        hi = min(lo + min(batch_size, cap), len(names))
         _insert_wave(index, names[lo:hi], data[lo:hi], ef)
+        lo = hi
 
 
 def _insert_wave(index, names, data, ef: int) -> None:

@@ -142,7 +142,7 @@ def beam_search(
     """
     B = q.shape[0]
     F = adj.shape[1]
-    W = vecs.shape[0] // 32
+    N = vecs.shape[0]
     rows = jnp.arange(B)
 
     # All initial carries derive from traced inputs (never bare constants)
@@ -156,11 +156,12 @@ def beam_search(
         jnp.arange(ef)[None, :] == 0, ep_sims[:, None], NEG_INF
     )
     expanded = jnp.broadcast_to(no_b[:, None], (B, ef))
-    visited = jnp.broadcast_to(
-        (ep_ids * 0).astype(jnp.uint32)[:, None], (B, W)
-    )
-    ep_bit = (jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32))
-    visited = visited.at[rows, ep_ids >> 5].set(ep_bit)
+    # Visited set: one bool per (lane, node). A byte map beats a packed
+    # bitmap here because marking a frontier becomes ONE scatter per step
+    # (vs one read-modify-write per frontier column); large-N memory is
+    # handled by query chunking in the host wrapper.
+    visited = jnp.broadcast_to(no_b[:, None], (B, N))
+    visited = visited.at[rows, ep_ids].set(True)
     done = no_b if active is None else ~active
 
     def cond(c):
@@ -183,19 +184,13 @@ def beam_search(
         nbrs = adj[jnp.maximum(crow, 0)]                      # [B, F]
         nbrs = jnp.where((crow >= 0)[:, None], nbrs, -1)
         nb_safe = jnp.maximum(nbrs, 0)
-        word = nb_safe >> 5
-        bit = (jnp.uint32(1) << (nb_safe & 31).astype(jnp.uint32))
-        seen = (visited[rows[:, None], word] & bit) != 0
+        seen = visited[rows[:, None], nb_safe]
         fresh = (nbrs >= 0) & ~seen & act[:, None]
-
-        # OR the fresh bits into the visited bitmaps. F is small and
-        # static; fresh already masks inactive lanes so no outer select is
-        # needed. (Pallas fuses this away; see ops/pallas_beam.py.)
-        for f in range(F):
-            old = visited[rows, word[:, f]]
-            visited = visited.at[rows, word[:, f]].set(
-                jnp.where(fresh[:, f], old | bit[:, f], old)
-            )
+        # Mark in one scatter. Every entry writes True: masked-out entries
+        # are redirected to the lane's entrypoint (already visited), so
+        # duplicate scatter indices never carry conflicting values.
+        mark_at = jnp.where(fresh, nb_safe, jnp.maximum(ep_ids, 0)[:, None])
+        visited = visited.at[rows[:, None], mark_at].set(True)
 
         nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
 
@@ -265,6 +260,32 @@ def _pad_batch(n: int) -> int:
     return b
 
 
+# Per-lane visited maps are n_pad bytes; cap a single device call's maps
+# at ~256MB and chunk the query batch above that.
+VISITED_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def max_lanes_for(n_pad: int) -> int:
+    lanes = 8
+    while lanes * 2 * n_pad <= VISITED_BUDGET_BYTES:
+        lanes *= 2
+    return lanes
+
+
+def _run_search(snap, qs, ef: int, k: int):
+    """One padded device call; returns trimmed (ids, sims) numpy."""
+    n_q = qs.shape[0]
+    b_pad = _pad_batch(n_q)
+    if b_pad != n_q:
+        qs = np.concatenate(
+            [qs, np.zeros((b_pad - n_q, qs.shape[1]), qs.dtype)], axis=0
+        )
+    ids, sims = search_batch_jit(
+        *snap.arrays, jnp.asarray(qs), ef=ef, k=int(k), metric=snap.metric
+    )
+    return np.asarray(ids[:n_q]), np.asarray(sims[:n_q])
+
+
 def search_batch(index, queries, k: int, ef_search: int | None = None):
     """Host entry: batched k-NN over an index. Returns per-query result
     lists of models.hnsw.SearchResult, nearest first."""
@@ -287,17 +308,18 @@ def search_batch(index, queries, k: int, ef_search: int | None = None):
     ef = cfg.ef_construction if ef_search is None else int(ef_search)
     ef = max(ef, 1)
     snap = index.device_snapshot()
-    b_pad = _pad_batch(n_q)
-    if b_pad != n_q:
-        qs = np.concatenate(
-            [qs, np.zeros((b_pad - n_q, qs.shape[1]), qs.dtype)], axis=0
-        )
-
-    ids, sims = search_batch_jit(
-        *snap.arrays, jnp.asarray(qs), ef=ef, k=int(k), metric=snap.metric
-    )
-    ids = np.asarray(ids[:n_q])
-    sims = np.asarray(sims[:n_q])
+    chunk = max_lanes_for(snap.n_pad)
+    if n_q > chunk:
+        id_parts, sim_parts = [], []
+        for lo in range(0, n_q, chunk):
+            part = qs[lo : lo + chunk]
+            i_p, s_p = _run_search(snap, part, ef, k)
+            id_parts.append(i_p)
+            sim_parts.append(s_p)
+        ids = np.concatenate(id_parts)
+        sims = np.concatenate(sim_parts)
+    else:
+        ids, sims = _run_search(snap, qs, ef, k)
 
     out = []
     for b in range(n_q):
