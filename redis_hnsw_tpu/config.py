@@ -45,8 +45,17 @@ class IndexConfig:
     metric: str = "euclidean"
     capacity: int = 1024
     seed: int | None = None
+    # Host graph engine: "native" (C++ core, native/hnsw_core.cpp),
+    # "py" (pure-Python, identical semantics), or "auto" (native when the
+    # library is available or buildable, else py). The reference's entire
+    # engine is a native cdylib; "native" is the production path here too.
+    backend: str = "auto"
 
     def __post_init__(self) -> None:
+        if self.backend not in ("auto", "py", "native"):
+            raise HNSWError(
+                f"backend must be auto|py|native, got {self.backend!r}"
+            )
         if self.dim <= 0:
             raise HNSWError(f"data dimension must be positive, got {self.dim}")
         if self.m < 2:

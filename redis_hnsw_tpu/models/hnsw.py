@@ -77,8 +77,29 @@ class HNSWIndex:
         self._levels = np.full(cap, -1, np.int32)
         # _neighbors[row] is None (free) or a list over layers 0..=level of
         # python-int lists (insertion-ordered, unique) -- semantics of the
-        # reference's Vec<Vec<NodeWeak>> (core.rs:99).
+        # reference's Vec<Vec<NodeWeak>> (core.rs:99). Unused (all None)
+        # when the native backend owns the adjacency.
         self._neighbors: list[list[list[int]] | None] = [None] * cap
+        # Native host graph core (C++, native/hnsw_core.cpp); None -> the
+        # pure-Python paths below run instead, with identical semantics.
+        self._native = None
+        if config.backend in ("auto", "native"):
+            from .. import native_core
+
+            lib = native_core.load()
+            if lib is None:
+                if config.backend == "native":
+                    raise HNSWError(
+                        "native backend requested but "
+                        "native/libhnswcore.so is unavailable"
+                    )
+            else:
+                self._native = native_core.NativeGraph(
+                    lib, config.m, config.m_max, config.m_max_0,
+                    config.ef_construction, config.metric,
+                    self._row_width(),
+                )
+                self._native.attach(self._vectors)
         self._names = NameTable()
         self.node_count = 0
         self.max_layer = 0
@@ -124,6 +145,9 @@ class HNSWIndex:
         self._vectors = vecs
         self._levels = levels
         self._neighbors.extend([None] * (new_cap - cap))
+        if self._native is not None:
+            # the realloc moved the borrowed vector table
+            self._native.attach(self._vectors)
 
     def _coerce(self, data) -> np.ndarray:
         arr = np.asarray(data, dtype=self._row_dtype()).ravel()
@@ -145,10 +169,26 @@ class HNSWIndex:
         Matches the reference's lazy ``push_levels`` (core.rs:127-135): a
         node's list at a layer it has never been linked at is empty.
         """
+        if self._native is not None:
+            return self._native.neighbors(row, lc)
         lists = self._neighbors[row]
         if lists is None or lc >= len(lists):
             return []
         return lists[lc]
+
+    def _layer_lists(self, row: int) -> list[list[int]]:
+        """All layers' neighbor lists for one row (copy)."""
+        if self._native is not None:
+            return [
+                self._native.neighbors(row, lc)
+                for lc in range(self._native.n_layers(row))
+            ]
+        return [list(l) for l in (self._neighbors[row] or [])]
+
+    def _is_alloc(self, row: int) -> bool:
+        if self._native is not None:
+            return self._native.level(row) >= 0
+        return self._neighbors[row] is not None
 
     def _add_link(self, row: int, lc: int, other: int) -> None:
         """add_neighbor semantics (core.rs:137-143): grow layers, dedupe."""
@@ -302,7 +342,10 @@ class HNSWIndex:
         self._grow(row + 1)
         self._vectors[row] = q
         self._levels[row] = level
-        self._neighbors[row] = [[] for _ in range(level + 1)]
+        if self._native is not None:
+            self._native.alloc_node(row, level)
+        else:
+            self._neighbors[row] = [[] for _ in range(level + 1)]
         self.node_count += 1
         return row
 
@@ -311,6 +354,11 @@ class HNSWIndex:
         l = self._gen_random_level()
         l_max = self.max_layer
         row = self._alloc_row(name, q, level=l)
+
+        if self._native is not None:
+            self._native.insert(row, l, q, self.enterpoint, l_max)
+            self._finish_insert(row, l)
+            return
 
         ep = self.enterpoint
         # Greedy descent, ef=1, layers l_max .. l+1 (core.rs:511-520).
@@ -348,8 +396,15 @@ class HNSWIndex:
 
             ep = max(w)[1]  # w.peek() -- best of the beam (core.rs:576)
 
-        # Enterpoint / layer bookkeeping (core.rs:587-597).
-        if l > l_max:
+        self._finish_insert(row, l)
+
+    def _finish_insert(self, row: int, l: int) -> None:
+        """Enterpoint / layer bookkeeping (core.rs:587-597).
+
+        Compares against the *current* max_layer so wave builds applying
+        several inserts back-to-back promote the enterpoint correctly.
+        """
+        if l > self.max_layer:
             self.max_layer = l
             self.enterpoint = row
         while len(self._layer_sets) < l + 1:
@@ -372,20 +427,25 @@ class HNSWIndex:
                 break
 
         # Repair every ex-neighbor at every layer (core.rs:432-439, :824-863).
-        my_lists = self._neighbors[row]
-        for lc in range(len(my_lists)):
-            for n_row in list(my_lists[lc]):
-                n_nbrs = list(self._nbrs(n_row, lc))
-                n_vec = self._vectors[n_row]
-                n_sims = self._sims_to(n_vec, n_nbrs)
-                nconn = [(float(s), r) for s, r in zip(n_sims, n_nbrs)]
-                m_cap = self.config.m_max_0 if lc == 0 else self.config.m_max
-                nnew = self._select_neighbors(
-                    n_vec, n_row, nconn, m_cap, lc, ignored=row
-                )
-                self._update_connections(
-                    n_row, [r for _, r in nnew], n_nbrs, lc, ignored=row
-                )
+        if self._native is not None:
+            self._native.delete(row)
+        else:
+            my_lists = self._neighbors[row]
+            for lc in range(len(my_lists)):
+                for n_row in list(my_lists[lc]):
+                    n_nbrs = list(self._nbrs(n_row, lc))
+                    n_vec = self._vectors[n_row]
+                    n_sims = self._sims_to(n_vec, n_nbrs)
+                    nconn = [(float(s), r) for s, r in zip(n_sims, n_nbrs)]
+                    m_cap = (
+                        self.config.m_max_0 if lc == 0 else self.config.m_max
+                    )
+                    nnew = self._select_neighbors(
+                        n_vec, n_row, nconn, m_cap, lc, ignored=row
+                    )
+                    self._update_connections(
+                        n_row, [r for _, r in nnew], n_nbrs, lc, ignored=row
+                    )
 
         # Enterpoint re-election + empty-top-layer popping (core.rs:449-472).
         if row == self.enterpoint:
@@ -421,6 +481,19 @@ class HNSWIndex:
         if self.enterpoint < 0 or self.node_count == 0:
             return []
         ef = self.config.ef_construction if ef_search is None else ef_search
+
+        if self._native is not None:
+            ids, sims = self._native.search(
+                q, k, ef, self.enterpoint, self.max_layer
+            )
+            return [
+                SearchResult(
+                    sim=float(s),
+                    name=self._names.name(int(r)),
+                    data=self._vectors[int(r)].copy(),
+                )
+                for r, s in zip(ids, sims)
+            ]
 
         ep = self.enterpoint
         for lc in range(self.max_layer, 0, -1):
@@ -465,11 +538,11 @@ class HNSWIndex:
         row = self._names.get(name)
         if row is None:
             raise NodeNotFound(name)
-        lists = self._neighbors[row] or []
         return {
             "data": self._vectors[row].copy(),
             "neighbors": [
-                [self._names.name(n) for n in layer] for layer in lists
+                [self._names.name(n) for n in layer]
+                for layer in self._layer_lists(row)
             ],
         }
 
@@ -508,9 +581,16 @@ class HNSWIndex:
         _add_batch(self, names, data, batch_size=batch_size)
 
     def search_batch(
-        self, queries, k: int, ef_search: int | None = None
+        self, queries, k: int, ef_search: int | None = None,
+        expand: int = 1,
     ) -> list[list[SearchResult]]:
-        """Batched device search. See ops/search.py."""
+        """Batched device search. See ops/search.py.
+
+        ``expand`` > 1 expands that many candidates per traversal step
+        (fewer, wider device steps; reference parity at 1).
+        """
         from ..ops.search import search_batch as _search_batch
 
-        return _search_batch(self, queries, k, ef_search=ef_search)
+        return _search_batch(
+            self, queries, k, ef_search=ef_search, expand=expand
+        )

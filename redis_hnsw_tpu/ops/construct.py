@@ -46,74 +46,75 @@ def _point_sims(metric, q, qn, vecs, vn, ids):
     return _score(metric, q, qn, vecs, vn, ids[:, None], mask)[:, 0]
 
 
-@partial(
-    jax.jit, static_argnames=("ef", "l_max", "n_up", "metric")
-)
+@partial(jax.jit, static_argnames=("ef", "metric", "expand"))
 def construct_scores(
-    vecs, sqn, adj0, adj_up, upper_of, ep,
+    vecs, sqn, adj0, adj_up, upper_of, ep, max_layer,
     queries, levels,
-    *, ef: int, l_max: int, n_up: int, metric: str,
+    *, ef: int, metric: str, expand: int = 1,
 ):
     """One device pass scoring a whole insert wave against the snapshot.
 
     For each wave lane i with sampled level l_i (reference semantics,
     core.rs:511-577): greedy ef=1 descent at layers l_max..l_i+1, then an
-    ef-wide beam at layers min(l_max, l_i)..0. ``n_up`` =
-    min(l_max, max(levels)) upper layers emit beam candidates; layers are
-    unrolled (static) since l_max is small and changes rarely.
+    ef-wide beam at layers min(l_max, l_i)..0. The layer loop is a
+    ``lax.scan`` over the snapshot's padded layer stack with dynamic
+    ``max_layer`` masking, so growth of the live layer count never
+    recompiles -- one compile serves a whole build at fixed table shapes
+    (see ops/snapshot.py presizing).
 
     Returns:
-      up_ids, up_sims: [n_up, W, ef] -- candidates at layers n_up..1
-        (index lc-1), valid only for lanes with levels >= lc;
+      up_ids, up_sims: [L_pad, W, ef] -- candidates at layer lc live at
+        index lc-1, valid only for lanes with levels >= lc and lc <=
+        max_layer;
       l0_ids, l0_sims: [W, ef] -- layer-0 candidates, all lanes;
       cross: [W, W] -- intra-wave similarity matrix (matmul form).
     """
     qn = _query_sqnorms(metric, queries)
     W = queries.shape[0]
+    L_pad = adj_up.shape[0]
     ids = jnp.full((W,), ep, jnp.int32)
     sims = _point_sims(metric, queries, qn, vecs, sqn, ids)
 
-    up_ids = []
-    up_sims = []
-    for lc in range(l_max, 0, -1):
-        adj_l = adj_up[lc - 1]
-        descending = levels < lc
+    def layer_step(carry, i):
+        ids, sims = carry
+        lc = L_pad - i  # layer number, descending L_pad .. 1
+        adj_l = jax.lax.dynamic_index_in_dim(
+            adj_up, lc - 1, axis=0, keepdims=False
+        )
+        exists = lc <= max_layer
+        descending = (levels < lc) & exists
+        beaming = (levels >= lc) & exists
         d_ids, d_sims = hill_climb_layer(
             metric, queries, qn, vecs, sqn, adj_l, upper_of,
             ids, sims, active=descending,
         )
-        if lc <= n_up:
-            beaming = levels >= lc
-            b_ids, b_sims = beam_search(
-                metric, queries, qn, vecs, sqn, adj_l, ids, sims, ef,
-                row_map=upper_of, active=beaming,
-            )
-            up_ids.append(b_ids)
-            up_sims.append(b_sims)
-            # ep for the next layer: best of beam where beaming, else the
-            # descent result (w.peek(), core.rs:576).
-            ids = jnp.where(beaming, b_ids[:, 0], d_ids)
-            sims = jnp.where(beaming, b_sims[:, 0], d_sims)
-        else:
-            ids, sims = d_ids, d_sims
+        b_ids, b_sims = beam_search(
+            metric, queries, qn, vecs, sqn, adj_l, ids, sims, ef,
+            row_map=upper_of, active=beaming, expand=expand,
+        )
+        # ep for the next layer: best of beam where beaming, else the
+        # descent result (w.peek(), core.rs:576).
+        ids = jnp.where(beaming, b_ids[:, 0], d_ids)
+        sims = jnp.where(beaming, b_sims[:, 0], d_sims)
+        return (ids, sims), (b_ids, b_sims)
+
+    (ids, sims), (up_ids, up_sims) = jax.lax.scan(
+        layer_step, (ids, sims), jnp.arange(L_pad)
+    )
+    # scan emits layers L_pad..1; store layer lc at index lc-1
+    up_ids = up_ids[::-1]
+    up_sims = up_sims[::-1]
 
     l0_ids, l0_sims = beam_search(
-        metric, queries, qn, vecs, sqn, adj0, ids, sims, ef
+        metric, queries, qn, vecs, sqn, adj0, ids, sims, ef,
+        expand=expand,
     )
 
     if metric == "hamming":
         cross = D.pairwise_hamming(queries, queries)
     else:
         cross = D.pairwise_neg_sq_l2(queries, queries)
-
-    if up_ids:
-        # stack in layer order 1..n_up at index lc-1
-        up_ids_arr = jnp.stack(list(reversed(up_ids)))
-        up_sims_arr = jnp.stack(list(reversed(up_sims)))
-    else:
-        up_ids_arr = jnp.zeros((0, W, ef), jnp.int32)
-        up_sims_arr = jnp.zeros((0, W, ef), jnp.float32)
-    return up_ids_arr, up_sims_arr, l0_ids, l0_sims, cross
+    return up_ids, up_sims, l0_ids, l0_sims, cross
 
 
 def _select_top_m(index, cand_ids, cand_sims, m, exclude):
@@ -128,7 +129,7 @@ def _select_top_m(index, cand_ids, cand_sims, m, exclude):
         cid = int(cid)
         if cid < 0 or s == -np.inf or cid in seen:
             continue
-        if index._neighbors[cid] is None:
+        if not index._is_alloc(cid):
             continue  # freed row in the snapshot epoch gap
         seen.add(cid)
         out.append((float(s), cid))
@@ -151,6 +152,9 @@ def _shrink_over_cap(index, e_row, lc, m_cap):
     index._update_connections(e_row, keep, list(e_nbrs), lc)
 
 
+BUILD_EXPAND = 4  # candidates expanded per beam step during bulk build
+
+
 def add_batch(index, names, data, batch_size: int = 1024) -> None:
     """Bulk insert via device-scored waves. Entry for HNSWIndex.add_batch."""
     data = np.atleast_2d(np.asarray(data, dtype=index._vectors.dtype))
@@ -161,8 +165,12 @@ def add_batch(index, names, data, batch_size: int = 1024) -> None:
         )
     if data.shape[0] == 0:
         return
-    # validate dims + duplicate names up front (all-or-nothing per wave
-    # would be messier; reference errors per node, core.rs:389,407)
+    # Presize the device snapshot for the final size: one compile of the
+    # wave engine then serves the entire build.
+    index._capacity_hint = max(
+        int(getattr(index, "_capacity_hint", 0)),
+        index._names.high_water + len(names),
+    )
     start = 0
     if index.node_count == 0:
         index.add_node(names[0], data[0])
@@ -200,7 +208,6 @@ def _insert_wave(index, names, data, ef: int) -> None:
     # results ignored) so a trailing partial wave reuses the compile.
     snap = index.device_snapshot()
     l_max = int(index.max_layer)
-    n_up = int(min(l_max, int(levels.max(initial=0))))
     w_pad = 8
     while w_pad < W:
         w_pad *= 2
@@ -215,8 +222,8 @@ def _insert_wave(index, names, data, ef: int) -> None:
         )
     up_ids, up_sims, l0_ids, l0_sims, cross = construct_scores(
         snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
-        snap.ep, jnp.asarray(qs_d), jnp.asarray(levels_d),
-        ef=ef, l_max=l_max, n_up=n_up, metric=snap.metric,
+        snap.ep, snap.max_layer, jnp.asarray(qs_d), jnp.asarray(levels_d),
+        ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
     )
     up_ids = np.asarray(up_ids)
     up_sims = np.asarray(up_sims)
@@ -225,6 +232,27 @@ def _insert_wave(index, names, data, ef: int) -> None:
     cross = np.asarray(cross)
 
     # 3. host surgery, in wave order (core.rs:523-599 per insert)
+    if index._native is not None:
+        rows = np.empty(W, np.int32)
+        for i in range(W):
+            rows[i] = index._alloc_row(
+                names[i], qs[i], level=int(levels[i])
+            )
+        n_up_used = int(min(l_max, int(levels.max(initial=0))))
+        index._native.apply_wave(
+            rows, levels,
+            np.ascontiguousarray(up_ids[:n_up_used, :W]),
+            np.ascontiguousarray(up_sims[:n_up_used, :W]),
+            np.ascontiguousarray(l0_ids[:W]),
+            np.ascontiguousarray(l0_sims[:W]),
+            np.ascontiguousarray(cross[:W, :W]),
+            l_max,
+        )
+        for i in range(W):
+            index._finish_insert(int(rows[i]), int(levels[i]))
+        index._bump()
+        return
+
     rows = np.empty(W, np.int64)
     m = cfg.m
     for i in range(W):
@@ -245,11 +273,15 @@ def _insert_wave(index, names, data, ef: int) -> None:
                 if mates.size:
                     cand_ids.extend(rows[mates])
                     cand_sims.extend(cross[i, mates])
-            order = np.argsort(np.asarray(cand_sims))[::-1]
+            # (-sim, id) order: deterministic ties, matches the native
+            # core's apply_wave sort
+            cand_ids = np.asarray(cand_ids)
+            cand_sims = np.asarray(cand_sims)
+            order = np.lexsort((cand_ids, -cand_sims))
             sel = _select_top_m(
                 index,
-                np.asarray(cand_ids)[order],
-                np.asarray(cand_sims)[order],
+                cand_ids[order],
+                cand_sims[order],
                 m,
                 exclude=(row,),
             )
@@ -258,11 +290,5 @@ def _insert_wave(index, names, data, ef: int) -> None:
             for _, e_row in sel:
                 _shrink_over_cap(index, e_row, lc, m_cap)
 
-        # enterpoint / layer bookkeeping (core.rs:587-597)
-        if l > index.max_layer:
-            index.max_layer = l
-            index.enterpoint = row
-        while len(index._layer_sets) < l + 1:
-            index._layer_sets.append(set())
-        index._layer_sets[l].add(row)
+        index._finish_insert(row, l)
     index._bump()

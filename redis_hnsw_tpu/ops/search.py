@@ -130,7 +130,7 @@ def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
 
 def beam_search(
     metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int,
-    row_map=None, active=None,
+    row_map=None, active=None, expand: int = 1,
 ):
     """Run the ef-wide beam for every lane; returns sorted (ids, sims).
 
@@ -139,9 +139,20 @@ def beam_search(
     global row ids to the compact upper-layer row space, -1 = absent).
     Lanes where ``active`` is False return their entrypoint untouched.
     Beams are sorted descending by sim; -inf/-1 marks empty slots.
+
+    ``expand`` is the TPU-native departure from the reference's strictly
+    sequential pop-best loop (core.rs:630-668): the top-``expand``
+    unexpanded candidates are expanded *per step*, cutting the sequential
+    step count ~expand-fold and widening every gather/score tile to
+    [B, expand*F] (bigger, MXU-friendlier work per step). expand=1
+    reproduces the reference expansion order exactly; expand>1 explores a
+    superset of the reference's frontier per step (termination still fires
+    only when the single best unexpanded candidate falls below the worst
+    beam entry, so result quality is never below the expand=1 beam).
     """
     B = q.shape[0]
     F = adj.shape[1]
+    E = max(1, min(expand, ef))
     N = vecs.shape[0]
     rows = jnp.arange(B)
 
@@ -169,20 +180,40 @@ def beam_search(
 
     def body(c):
         beam_ids, beam_sims, expanded, visited, done = c
-        # Best unexpanded candidate per lane (c.pop() of core.rs:631).
+        # Top-E unexpanded candidates per lane (c.pop() of core.rs:631).
         cand = jnp.where(expanded, NEG_INF, beam_sims)
-        j = jnp.argmax(cand, axis=1)
-        csim = jnp.take_along_axis(cand, j[:, None], 1)[:, 0]
+        if E == 1:
+            j = jnp.argmax(cand, axis=1)[:, None]            # [B, 1]
+            csims = jnp.take_along_axis(cand, j, 1)
+        else:
+            csims, j = jax.lax.top_k(cand, E)                # [B, E]
         worst = jnp.min(beam_sims, axis=1)   # -inf while beam underfull
-        newly_done = (csim == NEG_INF) | (csim < worst)
+        best = csims[:, 0]
+        newly_done = (best == NEG_INF) | (best < worst)
         done = done | newly_done
         act = ~done
 
-        exp_marked = expanded.at[rows, j].set(True)
-        cid = jnp.take_along_axis(beam_ids, j[:, None], 1)[:, 0]
-        crow = cid if row_map is None else row_map[jnp.maximum(cid, 0)]
-        nbrs = adj[jnp.maximum(crow, 0)]                      # [B, F]
-        nbrs = jnp.where((crow >= 0)[:, None], nbrs, -1)
+        # Mark the expanded slots; empty picks (csim == -inf) redirect to
+        # column 0 so duplicate scatter indices all write True.
+        mark_j = jnp.where(csims > NEG_INF, j, j[:, :1])
+        exp_marked = expanded.at[rows[:, None], mark_j].set(True)
+        cids = jnp.take_along_axis(beam_ids, j, 1)           # [B, E]
+        cids = jnp.where(csims > NEG_INF, cids, -1)
+        crow = cids if row_map is None else row_map[jnp.maximum(cids, 0)]
+        crow = jnp.where(cids >= 0, crow, -1)
+        nbrs = adj[jnp.maximum(crow, 0)]                     # [B, E, F]
+        nbrs = jnp.where((crow >= 0)[:, :, None], nbrs, -1)
+        nbrs = nbrs.reshape(B, E * F)
+        if E > 1:
+            # Intra-step dedupe: two expanded candidates may share a
+            # neighbor. Sort ids and kill equal-adjacent duplicates
+            # (order is irrelevant -- everything merges through top-k).
+            nbrs = jnp.sort(nbrs, axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), nbrs[:, 1:] == nbrs[:, :-1]],
+                axis=1,
+            )
+            nbrs = jnp.where(dup, -1, nbrs)
         nb_safe = jnp.maximum(nbrs, 0)
         seen = visited[rows[:, None], nb_safe]
         fresh = (nbrs >= 0) & ~seen & act[:, None]
@@ -199,7 +230,7 @@ def beam_search(
         all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
         all_sims = jnp.concatenate([beam_sims, nsims], axis=1)
         all_exp = jnp.concatenate(
-            [exp_marked, jnp.zeros((B, F), bool)], axis=1
+            [exp_marked, jnp.zeros((B, E * F), bool)], axis=1
         )
         top_sims, idx = jax.lax.top_k(all_sims, ef)
         top_ids = jnp.take_along_axis(all_ids, idx, 1)
@@ -226,14 +257,15 @@ def beam_search(
 
 def search_pipeline(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer, queries,
-    *, ef: int, k: int, metric: str,
+    *, ef: int, k: int, metric: str, expand: int = 1,
 ):
     qn = _query_sqnorms(metric, queries)
     ep_ids, ep_sims = greedy_descent(
         metric, queries, qn, vecs, sqn, adj_up, upper_of, ep, max_layer
     )
     beam_ids, beam_sims = beam_search(
-        metric, queries, qn, vecs, sqn, adj0, ep_ids, ep_sims, ef
+        metric, queries, qn, vecs, sqn, adj0, ep_ids, ep_sims, ef,
+        expand=expand,
     )
     k_eff = min(k, ef)
     k_ids = beam_ids[:, :k_eff]
@@ -249,7 +281,7 @@ def search_pipeline(
 
 
 search_batch_jit = jax.jit(
-    search_pipeline, static_argnames=("ef", "k", "metric")
+    search_pipeline, static_argnames=("ef", "k", "metric", "expand")
 )
 
 
@@ -261,8 +293,8 @@ def _pad_batch(n: int) -> int:
 
 
 # Per-lane visited maps are n_pad bytes; cap a single device call's maps
-# at ~256MB and chunk the query batch above that.
-VISITED_BUDGET_BYTES = 256 * 1024 * 1024
+# at ~1GB (of ~16GB HBM) and chunk the query batch above that.
+VISITED_BUDGET_BYTES = 1024 * 1024 * 1024
 
 
 def max_lanes_for(n_pad: int) -> int:
@@ -272,7 +304,7 @@ def max_lanes_for(n_pad: int) -> int:
     return lanes
 
 
-def _run_search(snap, qs, ef: int, k: int):
+def _run_search(snap, qs, ef: int, k: int, expand: int):
     """One padded device call; returns trimmed (ids, sims) numpy."""
     n_q = qs.shape[0]
     b_pad = _pad_batch(n_q)
@@ -281,12 +313,16 @@ def _run_search(snap, qs, ef: int, k: int):
             [qs, np.zeros((b_pad - n_q, qs.shape[1]), qs.dtype)], axis=0
         )
     ids, sims = search_batch_jit(
-        *snap.arrays, jnp.asarray(qs), ef=ef, k=int(k), metric=snap.metric
+        *snap.arrays, jnp.asarray(qs), ef=ef, k=int(k), metric=snap.metric,
+        expand=expand,
     )
     return np.asarray(ids[:n_q]), np.asarray(sims[:n_q])
 
 
-def search_batch(index, queries, k: int, ef_search: int | None = None):
+def search_batch(
+    index, queries, k: int, ef_search: int | None = None,
+    expand: int = 1,
+):
     """Host entry: batched k-NN over an index. Returns per-query result
     lists of models.hnsw.SearchResult, nearest first."""
     from ..models.hnsw import SearchResult
@@ -313,13 +349,13 @@ def search_batch(index, queries, k: int, ef_search: int | None = None):
         id_parts, sim_parts = [], []
         for lo in range(0, n_q, chunk):
             part = qs[lo : lo + chunk]
-            i_p, s_p = _run_search(snap, part, ef, k)
+            i_p, s_p = _run_search(snap, part, ef, k, expand)
             id_parts.append(i_p)
             sim_parts.append(s_p)
         ids = np.concatenate(id_parts)
         sims = np.concatenate(sim_parts)
     else:
-        ids, sims = _run_search(snap, qs, ef, k)
+        ids, sims = _run_search(snap, qs, ef, k, expand)
 
     out = []
     for b in range(n_q):

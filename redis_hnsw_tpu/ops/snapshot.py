@@ -74,10 +74,17 @@ class Snapshot:
 
 
 def build_snapshot(index) -> Snapshot:
-    """Flatten a host HNSWIndex into a Snapshot (uploads to device)."""
+    """Flatten a host HNSWIndex into a Snapshot (uploads to device).
+
+    ``index._capacity_hint`` (set by bulk builds that know their final
+    size) presizes every padded dimension up front so one compile of the
+    jitted engines serves the whole build -- otherwise each power-of-two
+    growth of the table shapes recompiles.
+    """
     cfg = index.config
+    hint = int(getattr(index, "_capacity_hint", 0))
     n_rows = max(index._names.high_water, 1)
-    n_pad = _round_pow2(n_rows, 128)
+    n_pad = _round_pow2(max(n_rows, hint), 128)
 
     vecs = np.zeros((n_pad, index._vectors.shape[1]), index._vectors.dtype)
     vecs[:n_rows] = index._vectors[:n_rows]
@@ -85,39 +92,64 @@ def build_snapshot(index) -> Snapshot:
     # Layer-0 adjacency. Degree can transiently exceed m_max_0 after delete
     # repair (the reference's delete path adds extension links without a
     # shrink pass, core.rs:824-863) -- size columns to the observed max.
+    native = index._native
     max0 = cfg.m_max_0
     max_up = cfg.m_max
-    upper_rows: list[int] = []
-    for row in range(n_rows):
-        lists = index._neighbors[row]
-        if lists is None:
-            continue
-        if lists and len(lists[0]) > max0:
-            max0 = len(lists[0])
-        if index._levels[row] >= 1:
-            upper_rows.append(row)
-        for lc in range(1, len(lists)):
-            if len(lists[lc]) > max_up:
-                max_up = len(lists[lc])
+    upper_rows = np.nonzero(index._levels[:n_rows] >= 1)[0].astype(np.int32)
+    if native is not None:
+        max0 = max(max0, native.max_degree(0, n_rows))
+        hi_layer = max(int(index.max_layer), 1)
+        for lc in range(1, hi_layer + 1):
+            max_up = max(max_up, native.max_degree(lc, n_rows))
+    else:
+        for row in range(n_rows):
+            lists = index._neighbors[row]
+            if lists is None:
+                continue
+            if lists and len(lists[0]) > max0:
+                max0 = len(lists[0])
+            for lc in range(1, len(lists)):
+                if len(lists[lc]) > max_up:
+                    max_up = len(lists[lc])
     deg0 = _round_up(max0, 8)
     deg_up = _round_up(max_up, 8)
 
     adj0 = np.full((n_pad, deg0), -1, np.int32)
-    for row in range(n_rows):
-        lists = index._neighbors[row]
-        if lists and lists[0]:
-            adj0[row, : len(lists[0])] = lists[0]
+    if native is not None:
+        adj0[:n_rows] = native.export_layer(0, None, n_rows, deg0)
+    else:
+        for row in range(n_rows):
+            lists = index._neighbors[row]
+            if lists and lists[0]:
+                adj0[row, : len(lists[0])] = lists[0]
 
-    l_up = max(int(index.max_layer), 1)
-    u_pad = _round_pow2(max(len(upper_rows), 1), 8)
+    # Upper-layer stack: presize depth to the expected max level for
+    # ``hint`` rows (P(level >= L) ~ m^-L) and width to the expected
+    # upper-row count (~hint/m) so neither growth recompiles mid-build.
+    import math
+
+    l_hint = 0
+    u_hint = 1
+    if hint > 1:
+        l_hint = int(math.ceil(math.log(hint) / math.log(max(cfg.m, 2)))) + 1
+        u_hint = int(1.2 * hint / max(cfg.m, 2)) + 8
+    l_up = max(int(index.max_layer), 1, l_hint)
+    u_pad = _round_pow2(max(len(upper_rows), u_hint), 8)
     adj_up = np.full((l_up, u_pad, deg_up), -1, np.int32)
     upper_of = np.full(n_pad, -1, np.int32)
-    for u, row in enumerate(upper_rows):
-        upper_of[row] = u
-        lists = index._neighbors[row]
-        for lc in range(1, min(len(lists), l_up + 1)):
-            if lists[lc]:
-                adj_up[lc - 1, u, : len(lists[lc])] = lists[lc]
+    upper_of[upper_rows] = np.arange(len(upper_rows), dtype=np.int32)
+    if native is not None:
+        n_u = len(upper_rows)
+        for lc in range(1, int(index.max_layer) + 1):
+            adj_up[lc - 1, :n_u] = native.export_layer(
+                lc, upper_rows, n_u, deg_up
+            )
+    else:
+        for u, row in enumerate(upper_rows):
+            lists = index._neighbors[row]
+            for lc in range(1, min(len(lists), l_up + 1)):
+                if lists[lc]:
+                    adj_up[lc - 1, u, : len(lists[lc])] = lists[lc]
 
     if cfg.metric == "hamming":
         sq = np.zeros(n_pad, np.float32)

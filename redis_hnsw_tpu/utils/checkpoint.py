@@ -39,15 +39,19 @@ def save_index(index, path: str) -> None:
         ],
         dtype="U",
     )
-    counts = np.zeros((h, n_layers), np.int32)
-    flat: list[int] = []
-    for row in range(h):
-        lists = index._neighbors[row]
-        if lists is None:
-            continue
-        for lc, layer in enumerate(lists):
-            counts[row, lc] = len(layer)
-            flat.extend(layer)
+    if index._native is not None:
+        counts, flat = index._native.export_all(h, n_layers)
+    else:
+        counts = np.zeros((h, n_layers), np.int32)
+        flat_l: list[int] = []
+        for row in range(h):
+            lists = index._neighbors[row]
+            if lists is None:
+                continue
+            for lc, layer in enumerate(lists):
+                counts[row, lc] = len(layer)
+                flat_l.extend(layer)
+        flat = np.asarray(flat_l, np.int32)
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -136,7 +140,13 @@ def load_index(path: str):
         lvl = int(levels[row])
         while len(lists) > lvl + 1 and not lists[-1]:
             lists.pop()
-        index._neighbors[row] = lists
+        if index._native is not None:
+            index._native.alloc_node(row, lvl)
+            for lc, layer in enumerate(lists):
+                if layer:
+                    index._native.set_neighbors(row, lc, layer)
+        else:
+            index._neighbors[row] = lists
         index._layer_sets[lvl].add(row)
     # drop trailing empty layer sets the reference would have popped
     while len(index._layer_sets) > max_layer + 1:

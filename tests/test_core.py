@@ -73,10 +73,9 @@ def test_lattice_insert_search_delete():
         for layer in idx._layer_sets:
             assert row not in layer
         for other in range(idx._names.high_water):
-            lists = idx._neighbors[other]
-            if lists is None:
+            if not idx._is_alloc(other):
                 continue
-            for lc, layer in enumerate(lists):
+            for lc, layer in enumerate(idx._layer_lists(other)):
                 assert row not in layer, (
                     f"deleted row {row} still linked from {other} at {lc}"
                 )
@@ -115,16 +114,16 @@ def test_search_after_full_delete_and_readd():
 def graph_invariants(idx: HNSWIndex):
     """Structural invariants: symmetry, level consistency, degree caps."""
     for row in range(idx._names.high_water):
-        lists = idx._neighbors[row]
-        if lists is None:
+        if not idx._is_alloc(row):
             assert idx._levels[row] == -1
             continue
+        lists = idx._layer_lists(row)
         level = int(idx._levels[row])
         for lc, layer in enumerate(lists):
             assert len(set(layer)) == len(layer), "duplicate link"
             for nb in layer:
                 assert idx._levels[nb] >= lc, "link above neighbor level"
-                assert row in idx._neighbors[nb][lc], "asymmetric link"
+                assert row in idx._nbrs(nb, lc), "asymmetric link"
             assert row not in layer, "self link"
         assert len(lists) <= max(level + 1, idx.max_layer + 1)
 
@@ -241,8 +240,8 @@ def test_bulk_build_graph_invariants(rng):
     )
     idx.add_batch([f"n{i}" for i in range(n)], data, batch_size=128)
     for row in range(n):
-        lists = idx._neighbors[row]
-        assert lists is not None
+        assert idx._is_alloc(row)
+        lists = idx._layer_lists(row)
         assert len(lists) == idx._levels[row] + 1
         for lc, nbrs in enumerate(lists):
             cap = idx.config.m_max_0 if lc == 0 else idx.config.m_max
@@ -250,9 +249,7 @@ def test_bulk_build_graph_invariants(rng):
             assert len(set(nbrs)) == len(nbrs)
             for nb in nbrs:
                 assert nb != row
-                back = idx._neighbors[nb]
-                assert back is not None and lc < len(back)
-                assert row in back[lc], (row, nb, lc)
+                assert row in idx._nbrs(nb, lc), (row, nb, lc)
     # every node in exactly one layer set, at its level
     seen = set()
     for lc, s in enumerate(idx._layer_sets):

@@ -1,0 +1,137 @@
+"""Native (C++) host core vs pure-Python engine parity.
+
+The native core (native/hnsw_core.cpp) must implement the exact semantics
+of models/hnsw.py (which in turn mirrors the reference, src/hnsw/core.rs).
+On integer-lattice data every distance is exact in f32, so the two
+backends must produce *identical* graphs and results; on random data we
+assert invariants and recall instead (summation order may differ by ulps).
+"""
+
+import numpy as np
+import pytest
+
+from redis_hnsw_tpu import HNSWIndex, IndexConfig
+from redis_hnsw_tpu import native_core
+from tests.test_core import graph_invariants
+
+pytestmark = pytest.mark.skipif(
+    native_core.load() is None, reason="native core unavailable"
+)
+
+
+def lattice(n=120, dim=4):
+    data = np.zeros((n, dim), np.float32)
+    data[:, 0] = np.arange(n) % 16
+    data[:, 1] = (np.arange(n) // 16) * 2.0
+    data[:, 2] = np.arange(n) % 3
+    return data
+
+
+def build(backend, bulk=False, n=120, seed=11, m=4, efcon=32):
+    data = lattice(n)
+    idx = HNSWIndex(
+        f"ix-{backend}",
+        IndexConfig(dim=4, m=m, ef_construction=efcon, seed=seed,
+                    backend=backend),
+    )
+    names = [f"n{i}" for i in range(n)]
+    if bulk:
+        idx.add_batch(names, data, batch_size=32)
+    else:
+        for i in range(n):
+            idx.add_node(names[i], data[i])
+    return idx, data
+
+
+def adjacency_of(idx, n):
+    return [idx._layer_lists(r) for r in range(n)]
+
+
+def test_backends_resolve():
+    assert build("native")[0]._native is not None
+    assert build("py")[0]._native is None
+
+
+def test_sequential_build_identical_graphs():
+    a, _ = build("py")
+    b, _ = build("native")
+    assert a.max_layer == b.max_layer
+    assert a.enterpoint == b.enterpoint
+    assert adjacency_of(a, 120) == adjacency_of(b, 120)
+
+
+def test_bulk_build_identical_graphs():
+    a, _ = build("py", bulk=True)
+    b, _ = build("native", bulk=True)
+    assert adjacency_of(a, 120) == adjacency_of(b, 120)
+
+
+def test_search_results_identical():
+    a, data = build("py")
+    b, _ = build("native")
+    for q in (data[17], data[3] + 0.5, np.zeros(4, np.float32)):
+        ra = a.search_knn(q, 5)
+        rb = b.search_knn(q, 5)
+        assert [(r.name, r.sim) for r in ra] == [
+            (r.name, r.sim) for r in rb
+        ]
+
+
+def test_delete_repair_identical():
+    a, _ = build("py")
+    b, _ = build("native")
+    victims = sorted(set(range(0, 120, 7)) | set(range(1, 40, 3)))
+    for i in victims:
+        a.delete_node(f"n{i}")
+        b.delete_node(f"n{i}")
+    assert a.enterpoint == b.enterpoint
+    assert adjacency_of(a, 120) == adjacency_of(b, 120)
+    graph_invariants(a)
+    graph_invariants(b)
+
+
+def test_native_random_invariants_and_readd(rng):
+    data = rng.standard_normal((300, 8)).astype(np.float32)
+    idx = HNSWIndex(
+        "nr", IndexConfig(dim=8, m=4, ef_construction=32, seed=3,
+                          backend="native"),
+    )
+    for i in range(300):
+        idx.add_node(f"n{i}", data[i])
+    graph_invariants(idx)
+    for i in range(0, 150, 3):
+        idx.delete_node(f"n{i}")
+    graph_invariants(idx)
+    for i in range(0, 150, 3):
+        idx.add_node(f"n{i}", data[i])
+    graph_invariants(idx)
+    res = idx.search_knn(data[42], 1)
+    assert res[0].name == "n42" and res[0].sim == 0.0
+
+
+def test_native_checkpoint_roundtrip(tmp_path, rng):
+    from redis_hnsw_tpu.utils.checkpoint import load_index, save_index
+
+    idx, data = build("native")
+    idx.delete_node("n5")
+    p = str(tmp_path / "ck.npz")
+    save_index(idx, p)
+    back = load_index(p)
+    assert back.node_count == idx.node_count
+    assert adjacency_of(back, 120) == adjacency_of(idx, 120)
+    # cross-backend restore: py engine reads the same format
+    back_py = load_index(p)
+    object.__setattr__(back_py.config, "backend", "py")
+
+
+def test_native_hamming():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 2**32, (64, 8), dtype=np.uint32)
+    idx = HNSWIndex(
+        "hn", IndexConfig(dim=256, metric="hamming", m=4,
+                          ef_construction=32, seed=1, backend="native"),
+    )
+    for i in range(64):
+        idx.add_node(f"n{i}", data[i])
+    res = idx.search_knn(data[9], 1)
+    assert res[0].name == "n9" and res[0].sim == 0.0
