@@ -582,15 +582,17 @@ class HNSWIndex:
 
     def search_batch(
         self, queries, k: int, ef_search: int | None = None,
-        expand: int = 1,
+        expand: int = 1, iters: int | None = None,
     ) -> list[list[SearchResult]]:
         """Batched device search. See ops/search.py.
 
         ``expand`` > 1 expands that many candidates per traversal step
-        (fewer, wider device steps; reference parity at 1).
+        (fewer, wider device steps; reference parity at 1). ``iters``
+        caps traversal steps (None = generous parity-safe default).
         """
         from ..ops.search import search_batch as _search_batch
 
         return _search_batch(
-            self, queries, k, ef_search=ef_search, expand=expand
+            self, queries, k, ef_search=ef_search, expand=expand,
+            iters=iters,
         )

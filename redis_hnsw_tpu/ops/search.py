@@ -130,7 +130,7 @@ def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
 
 def beam_search(
     metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int,
-    row_map=None, active=None, expand: int = 1,
+    row_map=None, active=None, expand: int = 1, iters: int | None = None,
 ):
     """Run the ef-wide beam for every lane; returns sorted (ids, sims).
 
@@ -144,109 +144,128 @@ def beam_search(
     sequential pop-best loop (core.rs:630-668): the top-``expand``
     unexpanded candidates are expanded *per step*, cutting the sequential
     step count ~expand-fold and widening every gather/score tile to
-    [B, expand*F] (bigger, MXU-friendlier work per step). expand=1
-    reproduces the reference expansion order exactly; expand>1 explores a
-    superset of the reference's frontier per step (termination still fires
-    only when the single best unexpanded candidate falls below the worst
-    beam entry, so result quality is never below the expand=1 beam).
+    [B, expand*F] (bigger work per step, fewer steps). expand=1
+    reproduces the reference expansion order exactly.
+
+    ``iters`` caps the step count (default: generous, parity-safe). The
+    batch runs at the pace of its slowest lane, and a handful of
+    pathological lanes can otherwise drag hundreds of steps; converged
+    lanes self-stabilize (their candidate picks are -inf, their frontier
+    masks out), so the cap only truncates stragglers' tails.
+
+    **TPU shape of the step (measured on a v5e, B=1024):** every
+    per-element scatter or unfused gather is catastrophic on TPU
+    (scatter of [B,E] flags: 1.3ms; take_along_axis on [B,768]: up to
+    9ms) while stable variadic sorts are ~20us. So the step does:
+    candidate pick and merge as *multi-operand lax.sort* (no gathers),
+    expanded-flag marking as a broadcast compare (no scatter), and
+    dedup as an equal-adjacent mask over the fully sorted merge window
+    (re-proposed copies carry bit-identical sims, so the stable sort
+    lands them next to their incumbent -- the incumbent sorts first by
+    concat index and survives).
+
+    **No visited set.** The reference's per-query HashSet (core.rs:614)
+    is redundant: the beam's worst similarity is monotonically
+    non-decreasing, so a rejected/evicted node can never re-enter, and
+    re-proposals of current members die in the dedup -- every node is
+    expanded at most once, like the reference. Off-beam nodes may be
+    re-*scored*; that is pure dataflow and costs ~nothing next to a
+    [B, N] visited map (5.1ms scatter per step + forced query chunking).
+    Corner case: an exact sim tie between distinct nodes can interleave
+    the sorted copies so one survives a step; it wastes a beam slot and
+    never corrupts results.
     """
     B = q.shape[0]
     F = adj.shape[1]
     E = max(1, min(expand, ef))
-    N = vecs.shape[0]
-    rows = jnp.arange(B)
+    if iters is None:
+        iters = 4 * ((ef + E - 1) // E) + 16
+    slots = jnp.arange(ef, dtype=jnp.int32)
 
     # All initial carries derive from traced inputs (never bare constants)
     # so their "varying manual axes" match the loop body outputs under
     # shard_map (see parallel/sharded.py).
     no_b = ep_ids != ep_ids  # all-False [B], varying with inputs
     beam_ids = jnp.where(
-        jnp.arange(ef)[None, :] == 0, ep_ids[:, None], -1
+        slots[None, :] == 0, ep_ids[:, None], -1
     ).astype(jnp.int32)
     beam_sims = jnp.where(
-        jnp.arange(ef)[None, :] == 0, ep_sims[:, None], NEG_INF
+        slots[None, :] == 0, ep_sims[:, None], NEG_INF
     )
-    expanded = jnp.broadcast_to(no_b[:, None], (B, ef))
-    # Visited set: one bool per (lane, node). A byte map beats a packed
-    # bitmap here because marking a frontier becomes ONE scatter per step
-    # (vs one read-modify-write per frontier column); large-N memory is
-    # handled by query chunking in the host wrapper.
-    visited = jnp.broadcast_to(no_b[:, None], (B, N))
-    visited = visited.at[rows, ep_ids].set(True)
-    done = no_b if active is None else ~active
+    # inactive lanes start fully expanded -> inert for the whole loop
+    if active is None:
+        expanded = jnp.broadcast_to(no_b[:, None], (B, ef))
+    else:
+        expanded = jnp.broadcast_to(~active[:, None], (B, ef))
+    step0 = jnp.sum(no_b).astype(jnp.int32)  # traced zero
 
     def cond(c):
-        return jnp.any(~c[4])
+        step, _, beam_sims, expanded = c
+        frontier_open = jnp.any(~expanded & (beam_sims != NEG_INF))
+        return (step < iters) & frontier_open
 
     def body(c):
-        beam_ids, beam_sims, expanded, visited, done = c
-        # Top-E unexpanded candidates per lane (c.pop() of core.rs:631).
-        cand = jnp.where(expanded, NEG_INF, beam_sims)
-        if E == 1:
-            j = jnp.argmax(cand, axis=1)[:, None]            # [B, 1]
-            csims = jnp.take_along_axis(cand, j, 1)
-        else:
-            csims, j = jax.lax.top_k(cand, E)                # [B, E]
-        worst = jnp.min(beam_sims, axis=1)   # -inf while beam underfull
-        best = csims[:, 0]
-        newly_done = (best == NEG_INF) | (best < worst)
-        done = done | newly_done
-        act = ~done
+        step, beam_ids, beam_sims, expanded = c
+        # Top-E unexpanded candidates per lane (c.pop() of core.rs:631),
+        # picked with one variadic sort: key = -sim, +inf when expanded.
+        pick_key = jnp.where(expanded, jnp.inf, -beam_sims)
+        k_sorted, cids_all, cslots_all = jax.lax.sort(
+            (pick_key, beam_ids, jnp.broadcast_to(slots, beam_ids.shape)),
+            dimension=1,
+            is_stable=True,
+            num_keys=1,
+        )
+        picked = k_sorted[:, :E] != jnp.inf            # real unexpanded
+        cids = jnp.where(picked, cids_all[:, :E], -1)  # [B, E]
+        cslots = jnp.where(picked, cslots_all[:, :E], -1)
+        # Mark expanded via broadcast compare -- no scatter.
+        expanded = expanded | jnp.any(
+            slots[None, None, :] == cslots[:, :, None], axis=1
+        )
 
-        # Mark the expanded slots; empty picks (csim == -inf) redirect to
-        # column 0 so duplicate scatter indices all write True.
-        mark_j = jnp.where(csims > NEG_INF, j, j[:, :1])
-        exp_marked = expanded.at[rows[:, None], mark_j].set(True)
-        cids = jnp.take_along_axis(beam_ids, j, 1)           # [B, E]
-        cids = jnp.where(csims > NEG_INF, cids, -1)
         crow = cids if row_map is None else row_map[jnp.maximum(cids, 0)]
         crow = jnp.where(cids >= 0, crow, -1)
-        nbrs = adj[jnp.maximum(crow, 0)]                     # [B, E, F]
+        nbrs = adj[jnp.maximum(crow, 0)]               # [B, E, F]
         nbrs = jnp.where((crow >= 0)[:, :, None], nbrs, -1)
         nbrs = nbrs.reshape(B, E * F)
-        if E > 1:
-            # Intra-step dedupe: two expanded candidates may share a
-            # neighbor. Sort ids and kill equal-adjacent duplicates
-            # (order is irrelevant -- everything merges through top-k).
-            nbrs = jnp.sort(nbrs, axis=1)
-            dup = jnp.concatenate(
-                [jnp.zeros((B, 1), bool), nbrs[:, 1:] == nbrs[:, :-1]],
-                axis=1,
-            )
-            nbrs = jnp.where(dup, -1, nbrs)
+        fresh = nbrs >= 0
         nb_safe = jnp.maximum(nbrs, 0)
-        seen = visited[rows[:, None], nb_safe]
-        fresh = (nbrs >= 0) & ~seen & act[:, None]
-        # Mark in one scatter. Every entry writes True: masked-out entries
-        # are redirected to the lane's entrypoint (already visited), so
-        # duplicate scatter indices never carry conflicting values.
-        mark_at = jnp.where(fresh, nb_safe, jnp.maximum(ep_ids, 0)[:, None])
-        visited = visited.at[rows[:, None], mark_at].set(True)
-
         nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
 
-        # Merge: top-ef of beam U frontier. Ties keep incumbents (lower
-        # concat index), matching the reference's strict-> accept test.
+        # Merge beam U frontier: one stable variadic sort of the full
+        # window, equal-adjacent dedup, then a second sort pushes the
+        # dups out and the slice truncates to ef. Ties keep incumbents
+        # (lower concat index), matching the reference's strict > test.
+        all_key = jnp.concatenate([-beam_sims, -nsims], axis=1)
         all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
-        all_sims = jnp.concatenate([beam_sims, nsims], axis=1)
         all_exp = jnp.concatenate(
-            [exp_marked, jnp.zeros((B, E * F), bool)], axis=1
+            [expanded, jnp.zeros((B, E * F), bool)], axis=1
         )
-        top_sims, idx = jax.lax.top_k(all_sims, ef)
-        top_ids = jnp.take_along_axis(all_ids, idx, 1)
-        top_exp = jnp.take_along_axis(all_exp, idx, 1)
-
-        keep = act[:, None]
+        k1, i1, e1 = jax.lax.sort(
+            (all_key, all_ids, all_exp), dimension=1, is_stable=True,
+            num_keys=1,
+        )
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((B, 1), bool),
+                (i1[:, 1:] == i1[:, :-1]) & (i1[:, 1:] >= 0),
+            ],
+            axis=1,
+        )
+        k1 = jnp.where(dup, jnp.inf, k1)
+        i1 = jnp.where(dup, -1, i1)
+        k2, i2, e2 = jax.lax.sort(
+            (k1, i1, e1), dimension=1, is_stable=True, num_keys=1
+        )
         return (
-            jnp.where(keep, top_ids, beam_ids),
-            jnp.where(keep, top_sims, beam_sims),
-            jnp.where(keep, top_exp, expanded),
-            visited,
-            done,
+            step + 1,
+            i2[:, :ef],
+            -k2[:, :ef],
+            e2[:, :ef],
         )
 
-    beam_ids, beam_sims, _, _, _ = jax.lax.while_loop(
-        cond, body, (beam_ids, beam_sims, expanded, visited, done)
+    _, beam_ids, beam_sims, _ = jax.lax.while_loop(
+        cond, body, (step0, beam_ids, beam_sims, expanded)
     )
     return beam_ids, beam_sims
 
@@ -258,6 +277,7 @@ def beam_search(
 def search_pipeline(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer, queries,
     *, ef: int, k: int, metric: str, expand: int = 1,
+    iters: int | None = None,
 ):
     qn = _query_sqnorms(metric, queries)
     ep_ids, ep_sims = greedy_descent(
@@ -265,7 +285,7 @@ def search_pipeline(
     )
     beam_ids, beam_sims = beam_search(
         metric, queries, qn, vecs, sqn, adj0, ep_ids, ep_sims, ef,
-        expand=expand,
+        expand=expand, iters=iters,
     )
     k_eff = min(k, ef)
     k_ids = beam_ids[:, :k_eff]
@@ -281,7 +301,8 @@ def search_pipeline(
 
 
 search_batch_jit = jax.jit(
-    search_pipeline, static_argnames=("ef", "k", "metric", "expand")
+    search_pipeline,
+    static_argnames=("ef", "k", "metric", "expand", "iters"),
 )
 
 
@@ -292,19 +313,17 @@ def _pad_batch(n: int) -> int:
     return b
 
 
-# Per-lane visited maps are n_pad bytes; cap a single device call's maps
-# at ~1GB (of ~16GB HBM) and chunk the query batch above that.
-VISITED_BUDGET_BYTES = 1024 * 1024 * 1024
+# Lane cap per device call: per-step tiles scale with B (frontier gather
+# [B, E*F, D], dedup matrices [B, E*F, ef]) but not with N, so a fixed cap
+# suffices; larger batches chunk.
+MAX_LANES = 2048
 
 
 def max_lanes_for(n_pad: int) -> int:
-    lanes = 8
-    while lanes * 2 * n_pad <= VISITED_BUDGET_BYTES:
-        lanes *= 2
-    return lanes
+    return MAX_LANES
 
 
-def _run_search(snap, qs, ef: int, k: int, expand: int):
+def _run_search(snap, qs, ef: int, k: int, expand: int, iters=None):
     """One padded device call; returns trimmed (ids, sims) numpy."""
     n_q = qs.shape[0]
     b_pad = _pad_batch(n_q)
@@ -314,14 +333,14 @@ def _run_search(snap, qs, ef: int, k: int, expand: int):
         )
     ids, sims = search_batch_jit(
         *snap.arrays, jnp.asarray(qs), ef=ef, k=int(k), metric=snap.metric,
-        expand=expand,
+        expand=expand, iters=iters,
     )
     return np.asarray(ids[:n_q]), np.asarray(sims[:n_q])
 
 
 def search_batch(
     index, queries, k: int, ef_search: int | None = None,
-    expand: int = 1,
+    expand: int = 1, iters: int | None = None,
 ):
     """Host entry: batched k-NN over an index. Returns per-query result
     lists of models.hnsw.SearchResult, nearest first."""
@@ -349,13 +368,13 @@ def search_batch(
         id_parts, sim_parts = [], []
         for lo in range(0, n_q, chunk):
             part = qs[lo : lo + chunk]
-            i_p, s_p = _run_search(snap, part, ef, k, expand)
+            i_p, s_p = _run_search(snap, part, ef, k, expand, iters)
             id_parts.append(i_p)
             sim_parts.append(s_p)
         ids = np.concatenate(id_parts)
         sims = np.concatenate(sim_parts)
     else:
-        ids, sims = _run_search(snap, qs, ef, k, expand)
+        ids, sims = _run_search(snap, qs, ef, k, expand, iters)
 
     out = []
     for b in range(n_q):
