@@ -91,6 +91,7 @@ def construct_scores(
         b_ids, b_sims = beam_search(
             metric, queries, qn, vecs, sqn, adj_l, ids, sims, ef,
             row_map=upper_of, active=beaming, expand=expand,
+            iters=(ef + expand - 1) // expand + BUILD_ITER_SLACK,
         )
         # ep for the next layer: best of beam where beaming, else the
         # descent result (w.peek(), core.rs:576).
@@ -108,6 +109,7 @@ def construct_scores(
     l0_ids, l0_sims = beam_search(
         metric, queries, qn, vecs, sqn, adj0, ids, sims, ef,
         expand=expand,
+        iters=(ef + expand - 1) // expand + BUILD_ITER_SLACK,
     )
 
     if metric == "hamming":
@@ -152,7 +154,8 @@ def _shrink_over_cap(index, e_row, lc, m_cap):
     index._update_connections(e_row, keep, list(e_nbrs), lc)
 
 
-BUILD_EXPAND = 4  # candidates expanded per beam step during bulk build
+BUILD_EXPAND = 16   # candidates expanded per beam step during bulk build
+BUILD_ITER_SLACK = 8  # extra beam steps beyond ceil(ef/expand)
 
 
 def add_batch(index, names, data, batch_size: int = 1024) -> None:

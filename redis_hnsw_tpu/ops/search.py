@@ -215,13 +215,15 @@ def beam_search(
             is_stable=True,
             num_keys=1,
         )
-        picked = k_sorted[:, :E] != jnp.inf            # real unexpanded
-        cids = jnp.where(picked, cids_all[:, :E], -1)  # [B, E]
-        cslots = jnp.where(picked, cslots_all[:, :E], -1)
-        # Mark expanded via broadcast compare -- no scatter.
-        expanded = expanded | jnp.any(
-            slots[None, None, :] == cslots[:, :, None], axis=1
+        picked_sorted = (k_sorted != jnp.inf) & (slots[None, :] < E)
+        cids = jnp.where(picked_sorted[:, :E], cids_all[:, :E], -1)
+        # Mark expanded by sorting the picked flags back to slot order
+        # (cslots is a permutation of 0..ef-1, so one cheap int-key sort
+        # realigns; ~2us vs 350us for a [B, E, ef] broadcast compare).
+        _, picked_back = jax.lax.sort(
+            (cslots_all, picked_sorted), dimension=1, num_keys=1
         )
+        expanded = expanded | picked_back
 
         crow = cids if row_map is None else row_map[jnp.maximum(cids, 0)]
         crow = jnp.where(cids >= 0, crow, -1)
@@ -324,15 +326,21 @@ def max_lanes_for(n_pad: int) -> int:
 
 
 def _run_search(snap, qs, ef: int, k: int, expand: int, iters=None):
-    """One padded device call; returns trimmed (ids, sims) numpy."""
+    """One padded device call; returns trimmed (ids, sims) numpy.
+
+    ``qs`` may already live on device (jax.Array): callers that reuse a
+    query batch should upload once with jnp.asarray and pass the device
+    array -- host->device transfer otherwise re-pays per call.
+    """
     n_q = qs.shape[0]
     b_pad = _pad_batch(n_q)
+    qd = qs if isinstance(qs, jax.Array) else jnp.asarray(qs)
     if b_pad != n_q:
-        qs = np.concatenate(
-            [qs, np.zeros((b_pad - n_q, qs.shape[1]), qs.dtype)], axis=0
+        qd = jnp.concatenate(
+            [qd, jnp.zeros((b_pad - n_q, qd.shape[1]), qd.dtype)], axis=0
         )
     ids, sims = search_batch_jit(
-        *snap.arrays, jnp.asarray(qs), ef=ef, k=int(k), metric=snap.metric,
+        *snap.arrays, qd, ef=ef, k=int(k), metric=snap.metric,
         expand=expand, iters=iters,
     )
     return np.asarray(ids[:n_q]), np.asarray(sims[:n_q])
@@ -347,9 +355,12 @@ def search_batch(
     from ..models.hnsw import SearchResult
 
     cfg = index.config
-    qs = np.atleast_2d(
-        np.asarray(queries, dtype=index._vectors.dtype)
-    )
+    if isinstance(queries, jax.Array) and queries.ndim == 2:
+        qs = queries  # device-resident: no host round-trip
+    else:
+        qs = np.atleast_2d(
+            np.asarray(queries, dtype=index._vectors.dtype)
+        )
     want = index._vectors.shape[1]
     if qs.shape[1] != want:
         got = qs.shape[1] * (32 if cfg.metric == "hamming" else 1)
@@ -376,20 +387,20 @@ def search_batch(
     else:
         ids, sims = _run_search(snap, qs, ef, k, expand, iters)
 
+    # Assemble replies. Like the reference's search reply (src/lib.rs:
+    # 484-495, types.rs:445-457) batch results carry (similarity, name)
+    # only -- vectors are fetched via get_node when needed. data=None
+    # keeps ~10k result-object assembly off the critical path.
     out = []
+    name_of = index._names._name_of
+    neg_inf = float("-inf")
     for b in range(n_q):
         res = []
         for col in range(ids.shape[1]):
-            row = int(ids[b, col])
+            row = ids[b, col]
             s = float(sims[b, col])
-            if row < 0 or s == float("-inf"):
+            if row < 0 or s == neg_inf:
                 continue
-            res.append(
-                SearchResult(
-                    sim=s,
-                    name=index._names.name(row),
-                    data=index._vectors[row].copy(),
-                )
-            )
+            res.append(SearchResult(sim=s, name=name_of[row], data=None))
         out.append(res)
     return out
