@@ -58,6 +58,19 @@ struct Core {
     std::vector<int32_t> stamp;
     int32_t epoch = 0;
 
+    // dirty-row tracking for incremental device snapshots: any row whose
+    // adjacency (or existence) changed since the last drain
+    std::vector<int32_t> dirty;
+    std::vector<uint8_t> dirty_flag;
+
+    void mark_dirty(int32_t row) {
+        if ((long)dirty_flag.size() <= row) dirty_flag.resize(row + 1, 0);
+        if (!dirty_flag[row]) {
+            dirty_flag[row] = 1;
+            dirty.push_back(row);
+        }
+    }
+
     const float* frow(int32_t r) const {
         return static_cast<const float*>(vecs) + (long)r * width;
     }
@@ -104,14 +117,19 @@ struct Core {
         auto& lists = adj[row];
         if ((int)lists.size() < lc + 1) lists.resize(lc + 1);
         auto& l = lists[lc];
-        if (std::find(l.begin(), l.end(), other) == l.end())
+        if (std::find(l.begin(), l.end(), other) == l.end()) {
             l.push_back(other);
+            mark_dirty(row);
+        }
     }
 
     void rm_link(int32_t row, int lc, int32_t other) {
         auto& l = adj[row][lc];
         auto it = std::find(l.begin(), l.end(), other);
-        if (it != l.end()) l.erase(it);
+        if (it != l.end()) {
+            l.erase(it);
+            mark_dirty(row);
+        }
     }
 
     // update_node_connections semantics (core.rs:776-822).
@@ -298,6 +316,7 @@ struct Core {
         }
         adj[row].clear();
         level[row] = -1;
+        mark_dirty(row);
     }
 
     // bulk-wave surgery (redis_hnsw_tpu/ops/construct.py step 3): apply
@@ -387,6 +406,7 @@ void hnsw_alloc_node(void* h, int row, int lvl) {
     c->ensure(row + 1);
     c->level[row] = lvl;
     c->adj[row].assign(lvl + 1, {});
+    c->mark_dirty(row);
 }
 
 int hnsw_level(void* h, int row) {
@@ -421,6 +441,7 @@ void hnsw_set_neighbors(void* h, int row, int lc, const int32_t* ids,
     auto& lists = c->adj[row];
     if ((int)lists.size() < lc + 1) lists.resize(lc + 1);
     lists[lc].assign(ids, ids + n);
+    c->mark_dirty(row);
 }
 
 void hnsw_insert(void* h, int row, int lvl, const void* q, int ep,
@@ -526,6 +547,18 @@ void hnsw_export_all(void* h, int n, int n_layers, int32_t* counts,
             }
         }
     }
+}
+
+long hnsw_dirty_count(void* h) {
+    return (long)static_cast<Core*>(h)->dirty.size();
+}
+
+// export-and-clear the dirty row set (for incremental snapshot deltas)
+void hnsw_drain_dirty(void* h, int32_t* out) {
+    auto* c = static_cast<Core*>(h);
+    std::memcpy(out, c->dirty.data(), c->dirty.size() * sizeof(int32_t));
+    for (int32_t r : c->dirty) c->dirty_flag[r] = 0;
+    c->dirty.clear();
 }
 
 }  // extern "C"

@@ -112,6 +112,17 @@ class HNSWIndex:
         self._epoch = 0        # bumped on every mutation
         self._snapshot = None  # lazily-built device snapshot (ops/snapshot)
         self._snapshot_epoch = -1
+        # Incremental-snapshot bookkeeping: rows whose adjacency changed
+        # (python backend only -- the native core tracks its own, drained
+        # via NativeGraph.drain_dirty), rows with new vectors, and a
+        # *stable* row -> compact upper-layer slot assignment so delta
+        # updates never reshuffle the adj_up table.
+        self._dirty_adj: set[int] = set()
+        self._dirty_vec: set[int] = set()
+        self._upper_slot: dict[int, int] = {}
+        self._upper_free: list[int] = []
+        self._freed_slots_pending: list[int] = []
+        self._upper_next = 0
 
     # -- storage helpers ----------------------------------------------------
 
@@ -198,10 +209,12 @@ class HNSWIndex:
             lists.append([])
         if other not in lists[lc]:
             lists[lc].append(other)
+            self._dirty_adj.add(row)
 
     def _rm_link(self, row: int, lc: int, other: int) -> None:
         """rm_neighbor semantics (core.rs:145-152): must exist (symmetry)."""
         self._neighbors[row][lc].remove(other)
+        self._dirty_adj.add(row)
 
     # -- level sampling (core.rs:601-605) ------------------------------------
 
@@ -346,6 +359,16 @@ class HNSWIndex:
             self._native.alloc_node(row, level)
         else:
             self._neighbors[row] = [[] for _ in range(level + 1)]
+            self._dirty_adj.add(row)
+        self._dirty_vec.add(row)
+        if level >= 1 and row not in self._upper_slot:
+            self._upper_slot[row] = (
+                self._upper_free.pop()
+                if self._upper_free
+                else self._upper_next
+            )
+            if self._upper_slot[row] == self._upper_next:
+                self._upper_next += 1
         self.node_count += 1
         return row
 
@@ -464,6 +487,12 @@ class HNSWIndex:
         # Free the row.
         self._levels[row] = -1
         self._neighbors[row] = None
+        if self._native is None:
+            self._dirty_adj.add(row)
+        slot = self._upper_slot.pop(row, None)
+        if slot is not None:
+            self._upper_free.append(slot)
+            self._freed_slots_pending.append(slot)
         self._bump()
 
     # -- public API: search (core.rs:477-486, :865-892) --------------------------
@@ -560,15 +589,24 @@ class HNSWIndex:
     def _bump(self) -> None:
         self._epoch += 1
 
+    def drain_dirty(self) -> np.ndarray:
+        """Rows whose adjacency changed since the last snapshot (clears)."""
+        if self._native is not None:
+            return self._native.drain_dirty()
+        out = np.fromiter(self._dirty_adj, np.int32, len(self._dirty_adj))
+        self._dirty_adj.clear()
+        return out
+
     def device_snapshot(self):
         """Dense device-resident snapshot for the batched engines.
 
-        Cached per mutation epoch; see ops/snapshot.py.
+        Cached per mutation epoch; refreshed incrementally (dirty-row
+        scatter) when shapes allow -- see ops/snapshot.py.
         """
         if self._snapshot is None or self._snapshot_epoch != self._epoch:
             from ..ops.snapshot import build_snapshot
 
-            self._snapshot = build_snapshot(self)
+            self._snapshot = build_snapshot(self, prev=self._snapshot)
             self._snapshot_epoch = self._epoch
         return self._snapshot
 

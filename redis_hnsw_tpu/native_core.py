@@ -62,6 +62,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hnsw_total_links.argtypes = [P, I]
     lib.hnsw_total_links.restype = L
     lib.hnsw_export_all.argtypes = [P, I, I, _I32P, _I32P]
+    lib.hnsw_dirty_count.argtypes = [P]
+    lib.hnsw_dirty_count.restype = L
+    lib.hnsw_drain_dirty.argtypes = [P, _I32P]
     return lib
 
 
@@ -195,6 +198,14 @@ class NativeGraph:
                 deg, out,
             )
         return out
+
+    def drain_dirty(self) -> np.ndarray:
+        """Rows whose adjacency changed since the last drain (clears)."""
+        n = self._lib.hnsw_dirty_count(self._h)
+        out = np.empty(max(n, 1), np.int32)
+        if n:
+            self._lib.hnsw_drain_dirty(self._h, out)
+        return out[:n]
 
     def export_all(self, n: int, n_layers: int):
         total = self._lib.hnsw_total_links(self._h, n)

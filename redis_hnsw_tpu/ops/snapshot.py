@@ -1,9 +1,9 @@
 """Dense device-resident snapshots of an index.
 
-The bridge between the host-authoritative graph (models/hnsw.py) and the
-batched TPU engines: the pointer graph is flattened into fixed-shape int32
-adjacency tables + the f32 vector table, uploaded to HBM once per mutation
-epoch and reused across queries. This replaces the reference's
+The bridge between the host-authoritative graph (models/hnsw.py or the
+native C++ core) and the batched TPU engines: the pointer graph is
+flattened into fixed-shape int32 adjacency tables + the f32 vector table
+in HBM and reused across queries. This replaces the reference's
 ``make_index`` 3-pass pointer-graph rehydration (src/lib.rs:252-315) with
 O(1) dense array uploads -- there is nothing to rewire when rows are ids.
 
@@ -13,23 +13,28 @@ Layout:
 * ``adj0 [N_pad, deg0]`` -- layer-0 adjacency, -1 padded
   (deg0 >= m_max_0 = 2m, core.rs:336).
 * ``adj_up [L_up, U_pad, degU]`` -- upper-layer adjacency over a *compact*
-  id space holding only the ~N/m rows whose level >= 1 (most rows exist only
-  at layer 0, so dense [L, N, m] would waste HBM by a factor of m).
-* ``upper_of [N_pad]`` -- global row -> compact upper id (-1 if level 0).
+  slot space holding only the ~N/m rows whose level >= 1. Slots are
+  assigned stably at insertion (models/hnsw.py ``_upper_slot``) so
+  incremental updates never reshuffle the table.
+* ``upper_of [N_pad]`` -- global row -> compact upper slot (-1 if level 0).
 * ``ep``, ``max_layer`` -- dynamic scalars (no recompile when they change).
 
-Shapes are padded to multiples of 128 rows / 8 columns so capacity growth is
-geometric and jit recompiles stay rare.
+Refresh strategy: a full rebuild re-uploads everything (O(N) host->device
+bytes -- ~3MB/s through the dev tunnel, GB/s on production hosts). When
+the padded shapes are unchanged, ``build_snapshot(prev=...)`` applies a
+**dirty-row delta** instead: only rows whose adjacency or vector changed
+since the last snapshot are scattered into the previous device arrays
+(both graph backends track dirty rows). A streaming insert+query workload
+therefore pays per-wave upload proportional to the wave, not the index.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax.numpy as jnp
 import numpy as np
-
-from . import distance as D
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,7 +63,7 @@ class Snapshot:
     ep: jnp.ndarray         # [] int32
     max_layer: jnp.ndarray  # [] int32
     metric: str             # static
-    n_pad: int              # static row capacity (visited bitmap width)
+    n_pad: int              # static row capacity
 
     @property
     def arrays(self):
@@ -73,33 +78,22 @@ class Snapshot:
         )
 
 
-def build_snapshot(index) -> Snapshot:
-    """Flatten a host HNSWIndex into a Snapshot (uploads to device).
-
-    ``index._capacity_hint`` (set by bulk builds that know their final
-    size) presizes every padded dimension up front so one compile of the
-    jitted engines serves the whole build -- otherwise each power-of-two
-    growth of the table shapes recompiles.
-    """
+def _shapes(index):
+    """Padded table shapes for the index's current state + hints."""
     cfg = index.config
     hint = int(getattr(index, "_capacity_hint", 0))
     n_rows = max(index._names.high_water, 1)
     n_pad = _round_pow2(max(n_rows, hint), 128)
 
-    vecs = np.zeros((n_pad, index._vectors.shape[1]), index._vectors.dtype)
-    vecs[:n_rows] = index._vectors[:n_rows]
-
-    # Layer-0 adjacency. Degree can transiently exceed m_max_0 after delete
-    # repair (the reference's delete path adds extension links without a
-    # shrink pass, core.rs:824-863) -- size columns to the observed max.
     native = index._native
     max0 = cfg.m_max_0
     max_up = cfg.m_max
-    upper_rows = np.nonzero(index._levels[:n_rows] >= 1)[0].astype(np.int32)
+    # Degree can transiently exceed the caps after delete repair (the
+    # reference's repair adds extension links without a shrink pass,
+    # core.rs:824-863) -- size columns to the observed max.
     if native is not None:
         max0 = max(max0, native.max_degree(0, n_rows))
-        hi_layer = max(int(index.max_layer), 1)
-        for lc in range(1, hi_layer + 1):
+        for lc in range(1, max(int(index.max_layer), 1) + 1):
             max_up = max(max_up, native.max_degree(lc, n_rows))
     else:
         for row in range(n_rows):
@@ -114,50 +108,92 @@ def build_snapshot(index) -> Snapshot:
     deg0 = _round_up(max0, 8)
     deg_up = _round_up(max_up, 8)
 
-    adj0 = np.full((n_pad, deg0), -1, np.int32)
-    if native is not None:
-        adj0[:n_rows] = native.export_layer(0, None, n_rows, deg0)
-    else:
-        for row in range(n_rows):
-            lists = index._neighbors[row]
-            if lists and lists[0]:
-                adj0[row, : len(lists[0])] = lists[0]
-
-    # Upper-layer stack: presize depth to the expected max level for
-    # ``hint`` rows (P(level >= L) ~ m^-L) and width to the expected
-    # upper-row count (~hint/m) so neither growth recompiles mid-build.
-    import math
-
+    # Upper stack: presize depth to the expected max level for ``hint``
+    # rows (P(level >= L) ~ m^-L) and width to the expected upper count
+    # (~hint/m) so neither growth recompiles mid-build.
     l_hint = 0
     u_hint = 1
     if hint > 1:
         l_hint = int(math.ceil(math.log(hint) / math.log(max(cfg.m, 2)))) + 1
         u_hint = int(1.2 * hint / max(cfg.m, 2)) + 8
     l_up = max(int(index.max_layer), 1, l_hint)
-    u_pad = _round_pow2(max(len(upper_rows), u_hint), 8)
+    u_pad = _round_pow2(max(index._upper_next, u_hint), 8)
+    return n_rows, n_pad, deg0, deg_up, l_up, u_pad
+
+
+def _row_adj(index, rows, lc, deg):
+    """Dense [-1 padded] adjacency block for given rows at one layer."""
+    native = index._native
+    if native is not None:
+        return native.export_layer(lc, rows, len(rows), deg)
+    out = np.full((len(rows), deg), -1, np.int32)
+    for i, row in enumerate(rows):
+        lists = index._neighbors[row]
+        if lists and lc < len(lists) and lists[lc]:
+            out[i, : len(lists[lc])] = lists[lc]
+    return out
+
+
+def _sqnorms_np(index, vec_rows):
+    if index.config.metric == "hamming":
+        return np.zeros(len(vec_rows), np.float32)
+    return np.einsum("nd,nd->n", vec_rows, vec_rows).astype(np.float32)
+
+
+def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
+    """Flatten a host HNSWIndex into a Snapshot (uploads to device).
+
+    With ``prev`` whose shapes still fit, only dirty rows are scattered
+    into the previous device arrays (delta refresh); otherwise a full
+    rebuild uploads everything.
+    """
+    cfg = index.config
+    n_rows, n_pad, deg0, deg_up, l_up, u_pad = _shapes(index)
+    if prev is not None and prev.metric == cfg.metric:
+        # sticky dims: observed max degree can shrink again after repair
+        # (links over the cap get pruned) -- never shrink the padded
+        # tables or shapes flip-flop and every refresh recompiles
+        n_pad = max(n_pad, prev.n_pad)
+        deg0 = max(deg0, prev.adj0.shape[1])
+        l_up = max(l_up, prev.adj_up.shape[0])
+        u_pad = max(u_pad, prev.adj_up.shape[1])
+        deg_up = max(deg_up, prev.adj_up.shape[2])
+
+    if (
+        prev is not None
+        and prev.metric == cfg.metric
+        and prev.n_pad == n_pad
+        and prev.adj0.shape[1] == deg0
+        and prev.adj_up.shape == (l_up, u_pad, deg_up)
+    ):
+        return _delta_snapshot(index, prev)
+
+    # full rebuild covers everything: discard pending delta state
+    index.drain_dirty()
+    index._dirty_vec.clear()
+    index._freed_slots_pending = []
+
+    vecs = np.zeros((n_pad, index._vectors.shape[1]), index._vectors.dtype)
+    vecs[:n_rows] = index._vectors[:n_rows]
+    all_rows = np.arange(n_rows, dtype=np.int32)
+    adj0 = np.full((n_pad, deg0), -1, np.int32)
+    adj0[:n_rows] = _row_adj(index, all_rows, 0, deg0)
+
     adj_up = np.full((l_up, u_pad, deg_up), -1, np.int32)
     upper_of = np.full(n_pad, -1, np.int32)
-    upper_of[upper_rows] = np.arange(len(upper_rows), dtype=np.int32)
-    if native is not None:
-        n_u = len(upper_rows)
+    if index._upper_slot:
+        up_rows = np.fromiter(
+            index._upper_slot.keys(), np.int32, len(index._upper_slot)
+        )
+        up_slots = np.fromiter(
+            index._upper_slot.values(), np.int32, len(index._upper_slot)
+        )
+        upper_of[up_rows] = up_slots
         for lc in range(1, int(index.max_layer) + 1):
-            adj_up[lc - 1, :n_u] = native.export_layer(
-                lc, upper_rows, n_u, deg_up
-            )
-    else:
-        for u, row in enumerate(upper_rows):
-            lists = index._neighbors[row]
-            for lc in range(1, min(len(lists), l_up + 1)):
-                if lists[lc]:
-                    adj_up[lc - 1, u, : len(lists[lc])] = lists[lc]
+            adj_up[lc - 1, up_slots] = _row_adj(index, up_rows, lc, deg_up)
 
-    if cfg.metric == "hamming":
-        sq = np.zeros(n_pad, np.float32)
-    else:
-        sq = np.zeros(n_pad, np.float32)
-        sq[:n_rows] = np.einsum(
-            "nd,nd->n", vecs[:n_rows], vecs[:n_rows]
-        ).astype(np.float32)
+    sq = np.zeros(n_pad, np.float32)
+    sq[:n_rows] = _sqnorms_np(index, vecs[:n_rows])
 
     return Snapshot(
         vecs=jnp.asarray(vecs),
@@ -169,4 +205,78 @@ def build_snapshot(index) -> Snapshot:
         max_layer=jnp.asarray(index.max_layer, jnp.int32),
         metric=cfg.metric,
         n_pad=n_pad,
+    )
+
+
+def _pad_rows(rows: np.ndarray) -> np.ndarray:
+    """Pad a scatter-index vector to the next power of two by repeating
+    its first element: duplicate scatters write identical data (safe) and
+    the fixed bucket sizes keep the un-jitted update ops compile-cached
+    (a fresh shape would otherwise recompile every refresh)."""
+    n = len(rows)
+    p = 8
+    while p < n:
+        p *= 2
+    if p == n:
+        return rows
+    return np.concatenate([rows, np.full(p - n, rows[0], rows.dtype)])
+
+
+def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
+    """Scatter dirty rows into the previous device arrays."""
+    dirty = np.unique(index.drain_dirty())
+    vec_new = index._dirty_vec
+    index._dirty_vec = set()
+
+    vecs = prev.vecs
+    sq = prev.sqnorms
+    if vec_new:
+        vrows = _pad_rows(np.fromiter(vec_new, np.int64, len(vec_new)))
+        vdata = index._vectors[vrows]
+        vecs = vecs.at[vrows].set(jnp.asarray(vdata))
+        sq = sq.at[vrows].set(jnp.asarray(_sqnorms_np(index, vdata)))
+
+    adj0 = prev.adj0
+    adj_up = prev.adj_up
+    upper_of = prev.upper_of
+    if dirty.size:
+        deg0 = prev.adj0.shape[1]
+        deg_up = prev.adj_up.shape[2]
+        dirty_p = _pad_rows(dirty)
+        adj0 = adj0.at[dirty_p].set(
+            jnp.asarray(_row_adj(index, dirty_p, 0, deg0))
+        )
+        # upper_of for dirty rows: slot or -1 (covers frees + allocs)
+        slots = np.array(
+            [index._upper_slot.get(int(r), -1) for r in dirty_p], np.int32
+        )
+        upper_of = upper_of.at[dirty_p].set(jnp.asarray(slots))
+        has_up = slots >= 0
+        if has_up.any():
+            up_rows = _pad_rows(dirty_p[has_up].astype(np.int32))
+            up_slots = np.array(
+                [index._upper_slot[int(r)] for r in up_rows], np.int32
+            )
+            for lc in range(1, int(index.max_layer) + 1):
+                adj_up = adj_up.at[lc - 1, up_slots].set(
+                    jnp.asarray(_row_adj(index, up_rows, lc, deg_up))
+                )
+    # freed upper slots: wipe their rows at every layer so stale
+    # adjacency can never be traversed (their upper_of is already -1)
+    freed = index._freed_slots_pending
+    if freed:
+        index._freed_slots_pending = []
+        fr = _pad_rows(np.asarray(freed, np.int32))
+        adj_up = adj_up.at[:, fr].set(-1)
+
+    return Snapshot(
+        vecs=vecs,
+        sqnorms=sq,
+        adj0=adj0,
+        adj_up=adj_up,
+        upper_of=upper_of,
+        ep=jnp.asarray(max(index.enterpoint, 0), jnp.int32),
+        max_layer=jnp.asarray(index.max_layer, jnp.int32),
+        metric=prev.metric,
+        n_pad=prev.n_pad,
     )

@@ -147,6 +147,9 @@ def load_index(path: str):
                     index._native.set_neighbors(row, lc, layer)
         else:
             index._neighbors[row] = lists
+        if lvl >= 1:
+            index._upper_slot[row] = index._upper_next
+            index._upper_next += 1
         index._layer_sets[lvl].add(row)
     # drop trailing empty layer sets the reference would have popped
     while len(index._layer_sets) > max_layer + 1:

@@ -103,3 +103,69 @@ def test_client_save_restore(tmp_path):
     assert client.get_index("a")["node_count"] == 50
     res = client.search("a", np.full(8, 3.0, np.float32), k=1)
     assert res[0].name == "n3"
+
+
+def test_snapshot_delta_matches_full(rng):
+    """Incremental (dirty-row) snapshot refresh must produce arrays
+    identical to a from-scratch rebuild, through inserts, bulk waves,
+    and deletes, on both graph backends."""
+    import numpy as np
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.ops.snapshot import build_snapshot
+
+    for backend in ("py", "native"):
+        try:
+            idx = HNSWIndex(
+                "d",
+                IndexConfig(
+                    dim=8, m=4, ef_construction=24, seed=2, backend=backend
+                ),
+            )
+        except Exception:
+            continue  # native unavailable
+        idx._capacity_hint = 512  # pin shapes so deltas apply
+        data = rng.standard_normal((300, 8)).astype(np.float32)
+        idx.add_batch([f"n{i}" for i in range(120)], data[:120])
+        s1 = idx.device_snapshot()  # full build + drains dirty
+
+        from redis_hnsw_tpu.ops import snapshot as S
+
+        deltas = []
+        orig_delta = S._delta_snapshot
+        S._delta_snapshot = lambda *a: deltas.append(1) or orig_delta(*a)
+        for i in range(120, 180):
+            idx.add_node(f"n{i}", data[i])
+        for i in range(0, 60, 5):
+            idx.delete_node(f"n{i}")
+        idx.add_batch([f"n{i}" for i in range(180, 300)], data[180:])
+        s_delta = idx.device_snapshot()  # should take the delta path
+        S._delta_snapshot = orig_delta
+        assert deltas, "delta path never taken"
+        # force a fresh index state for a from-scratch snapshot
+        idx._snapshot = None
+        idx._dirty_vec = set(range(idx._names.high_water))
+        if idx._native is None:
+            idx._dirty_adj = set(range(idx._names.high_water))
+        s_full = build_snapshot(idx, prev=None)
+
+        def norm(x, like):
+            """Trim/compare up to the fresh build's (possibly smaller)
+            padding; the delta keeps sticky dims whose extra tail must
+            be pure -1/0 padding."""
+            x = np.asarray(x)
+            like = np.asarray(like)
+            sl = tuple(slice(0, s) for s in like.shape)
+            trimmed = x[sl]
+            rest = x.copy()
+            rest[sl] = -1 if x.dtype == np.int32 else 0
+            pad_ok = (
+                (rest == -1).all()
+                if x.dtype == np.int32
+                else (rest == 0).all()
+            )
+            return trimmed, pad_ok
+
+        for a, b in zip(s_delta.arrays, s_full.arrays):
+            trimmed, pad_ok = norm(a, b)
+            assert pad_ok, "delta snapshot has non-padding data in tail"
+            np.testing.assert_array_equal(trimmed, np.asarray(b))
