@@ -38,6 +38,25 @@ def _scan_topk(vecs, sqn, valid, queries, *, k: int, metric: str):
     return ids, sims
 
 
+def _scan_topk_pallas(vecs, sqn, valid, queries, *, k: int, metric: str):
+    """Fused Pallas scan path (see ops/pallas_scan.py for the tradeoff)."""
+    from ..ops import pallas_scan as P
+
+    if metric == "hamming":
+        bias = P.hamming_bias(valid)
+    else:
+        bias = P.euclid_bias(sqn, valid)
+    ids, sims = P.flat_topk_pallas(
+        queries, vecs, bias, k=k, metric=metric,
+        interpret=jax.default_backend() == "cpu",
+    )
+    if metric == "euclidean":
+        sims = D.exact_neg_sq_l2(
+            queries, vecs, jnp.maximum(ids, 0), sims != -jnp.inf
+        )
+    return ids, sims
+
+
 class FlatIndex:
     def __init__(self, name: str, config: IndexConfig) -> None:
         self.name = name
@@ -116,7 +135,9 @@ class FlatIndex:
             self._dev_epoch = self._epoch
         return self._dev
 
-    def search_batch(self, queries, k: int) -> list[list[SearchResult]]:
+    def search_batch(
+        self, queries, k: int, use_pallas: bool = False
+    ) -> list[list[SearchResult]]:
         qs = np.atleast_2d(np.asarray(queries, dtype=self._vectors.dtype))
         if qs.shape[1] != self._vectors.shape[1]:
             got = qs.shape[1] * (
@@ -127,7 +148,8 @@ class FlatIndex:
             return [[] for _ in range(qs.shape[0])]
         vecs, sqn, valid = self._device()
         k_eff = min(int(k), int(vecs.shape[0]))
-        ids, sims = _scan_topk(
+        scan = _scan_topk_pallas if use_pallas else _scan_topk
+        ids, sims = scan(
             vecs, sqn, valid, jnp.asarray(qs), k=k_eff, metric=self.config.metric
         )
         ids = np.asarray(ids)

@@ -40,10 +40,14 @@ def _shard_of(name: str, n_shards: int) -> int:
     return zlib.crc32(name.encode("utf-8")) % n_shards
 
 
-@partial(jax.jit, static_argnames=("ef", "k", "metric", "mesh"))
+@partial(
+    jax.jit,
+    static_argnames=("ef", "k", "metric", "mesh", "expand", "iters"),
+)
 def _sharded_search_jit(
     vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts, queries,
-    *, ef: int, k: int, metric: str, mesh,
+    *, ef: int, k: int, metric: str, mesh, expand: int = 1,
+    iters: int | None = None,
 ):
     """All shards traverse in parallel; one collective merges top-k.
 
@@ -61,7 +65,7 @@ def _sharded_search_jit(
         ids, sims = search_pipeline(
             vecs[0], sqn[0], adj0[0], adj_up[0], upper_of[0],
             eps[0], max_layers[0], queries,
-            ef=ef, k=k, metric=metric,
+            ef=ef, k=k, metric=metric, expand=expand, iters=iters,
         )
         nonempty = counts[0] > 0
         s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
@@ -116,6 +120,7 @@ class ShardedHNSW:
                     metric=config.metric,
                     capacity=config.capacity,
                     seed=base_seed + s,
+                    backend=config.backend,
                 ),
             )
             for s in range(self.n_shards)
@@ -219,7 +224,8 @@ class ShardedHNSW:
     # -- search -----------------------------------------------------------------
 
     def search_batch(
-        self, queries, k: int, ef_search: int | None = None
+        self, queries, k: int, ef_search: int | None = None,
+        expand: int = 1, iters: int | None = None,
     ) -> list[list[SearchResult]]:
         qs = np.atleast_2d(
             np.asarray(queries, dtype=self.shards[0]._vectors.dtype)
@@ -247,7 +253,7 @@ class ShardedHNSW:
         gids, sims = _sharded_search_jit(
             *stacked, qs_dev,
             ef=max(ef, 1), k=int(k), metric=self.config.metric,
-            mesh=self.mesh,
+            mesh=self.mesh, expand=expand, iters=iters,
         )
         gids = np.asarray(gids[:n_q])
         sims = np.asarray(sims[:n_q])
@@ -263,9 +269,7 @@ class ShardedHNSW:
                 row = g % n_pad
                 res.append(
                     SearchResult(
-                        sim=s,
-                        name=shard._names.name(row),
-                        data=shard._vectors[row].copy(),
+                        sim=s, name=shard._names.name(row), data=None
                     )
                 )
             out.append(res)

@@ -1,0 +1,66 @@
+"""Pallas fused-scan kernels vs the jnp reference (interpret mode).
+
+Mirrors the reference's kernel-equivalence strategy: AVX2 vs scalar
+(src/hnsw/metrics_tests.rs) becomes Pallas vs jnp here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redis_hnsw_tpu import IndexConfig
+from redis_hnsw_tpu.models.flat import FlatIndex
+from redis_hnsw_tpu.ops import distance as D
+from redis_hnsw_tpu.ops.pallas_scan import (
+    euclid_bias,
+    flat_topk_pallas,
+    hamming_bias,
+)
+
+
+def test_euclid_scan_matches_reference(rng):
+    B, N, dim, k = 48, 700, 24, 10
+    q = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
+    valid = jnp.asarray(rng.random(N) > 0.1)
+    sqn = jnp.sum(v * v, axis=1)
+    ids, sims = flat_topk_pallas(
+        q, v, euclid_bias(sqn, valid), k=k, metric="euclidean",
+        interpret=True,
+    )
+    scores = jnp.where(
+        valid[None, :], D.pairwise_neg_sq_l2(q, v, sqn), -jnp.inf
+    )
+    ref_s, ref_i = jax.lax.top_k(scores, k)
+    assert (ids == ref_i).all()
+    np.testing.assert_allclose(
+        np.asarray(sims), np.asarray(ref_s), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_hamming_scan_matches_reference(rng):
+    B, N, W, k = 40, 500, 8, 7
+    q = jnp.asarray(rng.integers(0, 2**32, (B, W), dtype=np.uint32))
+    v = jnp.asarray(rng.integers(0, 2**32, (N, W), dtype=np.uint32))
+    valid = jnp.asarray(rng.random(N) > 0.15)
+    ids, sims = flat_topk_pallas(
+        q, v, hamming_bias(valid), k=k, metric="hamming", interpret=True
+    )
+    scores = jnp.where(
+        valid[None, :], D.pairwise_hamming(q, v), -jnp.inf
+    )
+    ref_s, _ = jax.lax.top_k(scores, k)
+    assert (sims == ref_s).all()
+
+
+def test_flat_index_pallas_path(rng):
+    n, dim, k = 400, 16, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = FlatIndex("f", IndexConfig(dim=dim))
+    idx.add_batch([f"n{i}" for i in range(n)], data)
+    idx.delete_node("n3")
+    q = data[:8]
+    a = idx.search_batch(q, k)
+    b = idx.search_batch(q, k, use_pallas=True)
+    for ra, rb in zip(a, b):
+        assert [r.name for r in ra] == [r.name for r in rb]
