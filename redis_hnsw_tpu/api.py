@@ -179,11 +179,18 @@ class HNSW:
         queries,
         k: int = DEFAULT_K,
         ef_search: int | None = None,
+        expand: int = 1,
+        iters: int | None = None,
     ) -> list[list[SearchResult]]:
+        """Batched device search. ``expand``/``iters`` tune the traversal
+        (candidates expanded per step / step cap); defaults are
+        reference-parity."""
         idx = self.index(index)
         if isinstance(idx, FlatIndex):
             return idx.search_batch(queries, k)
-        return idx.search_batch(queries, k, ef_search=ef_search)
+        return idx.search_batch(
+            queries, k, ef_search=ef_search, expand=expand, iters=iters
+        )
 
 
 # Module-level default client, mirroring the reference's process-global

@@ -57,13 +57,18 @@ from ..ops import distance as D
 from ..utils.names import NameTable
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class SearchResult:
-    """Mirror of the reference's SearchResult (core.rs:48-62)."""
+    """Mirror of the reference's SearchResult (core.rs:48-62).
+
+    ``data`` is None in batch replies (the reference's search reply also
+    carries only similarity + name, src/types.rs:445-457); single-query
+    ``search_knn`` fills it like HNSW.NODE.GET would.
+    """
 
     sim: float
     name: str
-    data: np.ndarray
+    data: np.ndarray | None = None
 
 
 class HNSWIndex:

@@ -394,13 +394,13 @@ def search_batch(
     out = []
     name_of = index._names._name_of
     neg_inf = float("-inf")
-    for b in range(n_q):
-        res = []
-        for col in range(ids.shape[1]):
-            row = ids[b, col]
-            s = float(sims[b, col])
-            if row < 0 or s == neg_inf:
-                continue
-            res.append(SearchResult(sim=s, name=name_of[row], data=None))
+    ids_l = ids.tolist()
+    sims_l = sims.tolist()
+    for brow, bsim in zip(ids_l, sims_l):
+        res = [
+            SearchResult(sim=s, name=name_of[row], data=None)
+            for row, s in zip(brow, bsim)
+            if row >= 0 and s != neg_inf
+        ]
         out.append(res)
     return out

@@ -120,3 +120,30 @@ def test_batched_api():
     assert client.get_index("b")["node_count"] == 64
     res = client.search_batch("b", data[:4], k=1)
     assert [r[0].name for r in res] == names[:4]
+
+
+def test_high_dim_gist_style(rng):
+    """960-d vectors (GIST regime, BASELINE config 3): distance-bound
+    shapes must work through build and batched search."""
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.models.flat import FlatIndex
+    import numpy as np
+
+    n, dim, k = 400, 960, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+    names = [f"g{i}" for i in range(n)]
+    idx = HNSWIndex(
+        "g", IndexConfig(dim=dim, m=8, ef_construction=60, seed=6)
+    )
+    idx.add_batch(names, data, batch_size=128)
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    truth = [
+        {r.name for r in t} for t in oracle.search_batch(queries, k)
+    ]
+    res = idx.search_batch(queries, k, ef_search=60, expand=4)
+    hits = sum(
+        len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
+    )
+    assert hits / (k * len(queries)) >= 0.9
