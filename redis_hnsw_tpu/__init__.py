@@ -21,6 +21,11 @@ from .errors import (
 )
 from .models.flat import FlatIndex
 from .models.hnsw import HNSWIndex, SearchResult
+from .utils.cache import enable_compilation_cache
+
+# Persistent XLA compilation cache: the jitted engines compile once per
+# machine instead of once per process (opt out: REDIS_HNSW_TPU_NO_CACHE=1).
+enable_compilation_cache()
 
 __version__ = "0.1.0"
 
