@@ -173,8 +173,14 @@ class ShardedHNSW:
     # -- stacked device state ---------------------------------------------------
 
     def _stack(self):
-        """Pad per-shard snapshots to common shapes, stack on a leading
-        shard axis, and place sharded over the mesh."""
+        """Stack per-shard snapshots on a leading shard axis, sharded
+        over the mesh.
+
+        Each shard's snapshot refreshes *incrementally* (dirty-row
+        deltas, ops/snapshot.py), so assembling the stacked state is
+        device-side padding + stacking of already-device-resident
+        arrays: no O(total index) host->device re-upload per mutation
+        epoch."""
         epochs = tuple(s.epoch for s in self.shards)
         if self._stacked is not None and self._stacked_epochs == epochs:
             return self._stacked
@@ -186,23 +192,25 @@ class ShardedHNSW:
         deg_u = max(sn.adj_up.shape[2] for sn in snaps)
 
         def padded(arr, shape, fill):
-            out = np.full(shape, fill, dtype=arr.dtype)
-            sl = tuple(slice(0, s) for s in arr.shape)
-            out[sl] = np.asarray(arr)
-            return out
+            widths = [
+                (0, t - s) for s, t in zip(arr.shape, shape)
+            ]
+            if any(w != (0, 0) for w in widths):
+                arr = jnp.pad(arr, widths, constant_values=fill)
+            return arr
 
         width = snaps[0].vecs.shape[1]
-        vecs = np.stack(
+        vecs = jnp.stack(
             [padded(sn.vecs, (n_pad, width), 0) for sn in snaps]
         )
-        sqn = np.stack([padded(sn.sqnorms, (n_pad,), 0) for sn in snaps])
-        adj0 = np.stack(
+        sqn = jnp.stack([padded(sn.sqnorms, (n_pad,), 0) for sn in snaps])
+        adj0 = jnp.stack(
             [padded(sn.adj0, (n_pad, deg0), -1) for sn in snaps]
         )
-        adj_up = np.stack(
+        adj_up = jnp.stack(
             [padded(sn.adj_up, (l_up, u_pad, deg_u), -1) for sn in snaps]
         )
-        upper_of = np.stack(
+        upper_of = jnp.stack(
             [padded(sn.upper_of, (n_pad,), -1) for sn in snaps]
         )
         eps = np.array([int(sn.ep) for sn in snaps], np.int32)
