@@ -1,113 +1,128 @@
-"""Million-vector capability run (BASELINE.json config-2 scale).
+"""Million-vector capability run (BASELINE.json config-2 scale), staged.
 
-Builds a 1M x 128d index via device-scored waves, then measures batched
-search throughput, the native sequential baseline on the same graph, and
-checkpoint save/restore time. Random vectors stand in for SIFT1M (no
-dataset egress on this box); random 128-d data is the *hardest* case for
-graph recall, so treat recall here as a floor, not a ceiling.
+Builds an n x 128d index via device-scored waves in resumable stages
+(checkpoint between invocations, so a bounded-walltime runner can drive
+it), then measures batched search throughput, the native sequential
+baseline on the same graph, and checkpoint save/restore time. Random
+vectors stand in for SIFT1M (no dataset egress on this box); random
+128-d data is the *hardest* case for graph recall, so treat recall here
+as a floor, not a ceiling.
 
-    python benchmarks/million.py [n]
+    python benchmarks/million.py build  N STAGE CKPT   # one stage
+    python benchmarks/million.py search N CKPT         # measurements
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+DIM, K, M, EFCON = 128, 10, 16, 200
 
 
 def log(*a):
     print(*a, flush=True)
 
 
-def main(n: int = 1_000_000) -> None:
-    import jax
+def dataset(n: int) -> np.ndarray:
+    return (
+        np.random.default_rng(0)
+        .standard_normal((n, DIM))
+        .astype(np.float32)
+    )
+
+
+def build_stage(n: int, stage: int, ckpt: str) -> None:
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.utils.checkpoint import load_index, save_index
+
+    data = dataset(n)
+    if os.path.exists(ckpt):
+        t0 = time.perf_counter()
+        idx = load_index(ckpt)
+        log(f"resume: {idx.node_count} nodes ({time.perf_counter()-t0:.1f}s load)")
+    else:
+        idx = HNSWIndex(
+            "m1", IndexConfig(dim=DIM, m=M, ef_construction=EFCON, seed=7)
+        )
+    start = idx.node_count
+    if start >= n:
+        log("build complete")
+        return
+    hi = min(start + stage, n)
+    idx._capacity_hint = n  # stable shapes across all stages
+    t0 = time.perf_counter()
+    idx.add_batch(
+        [f"n{i}" for i in range(start, hi)], data[start:hi],
+        batch_size=2048,
+    )
+    dt = time.perf_counter() - t0
+    log(f"stage: +{hi-start} nodes in {dt:.0f}s ({(hi-start)/dt:.0f} adds/s), total {idx.node_count}")
+    t0 = time.perf_counter()
+    save_index(idx, ckpt, compress=False)
+    log(f"checkpoint save: {time.perf_counter()-t0:.1f}s")
+
+
+def search_phase(n: int, ckpt: str) -> None:
     import jax.numpy as jnp
 
-    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu import IndexConfig
     from redis_hnsw_tpu.models.flat import FlatIndex
+    from redis_hnsw_tpu.utils.checkpoint import load_index
 
-    dim, k, m, efcon = 128, 10, 16, 200
-    n_queries = 1024
-    rng = np.random.default_rng(0)
-    log(f"devices: {jax.devices()}; n={n}")
-    data = rng.standard_normal((n, dim)).astype(np.float32)
-    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
-    names = [f"n{i}" for i in range(n)]
-
-    idx = HNSWIndex(
-        "m1", IndexConfig(dim=dim, m=m, ef_construction=efcon, seed=7)
-    )
     t0 = time.perf_counter()
-    done = [0]
+    idx = load_index(ckpt)
+    load_s = time.perf_counter() - t0
+    assert idx.node_count == n, idx.node_count
+    data = dataset(n)
+    rng = np.random.default_rng(1)
+    queries = rng.standard_normal((1024, DIM)).astype(np.float32)
 
-    from redis_hnsw_tpu.ops import construct as C
-
-    orig = C._insert_wave
-
-    def progress_wave(index, wn, wd, ef):
-        orig(index, wn, wd, ef)
-        done[0] += len(wn)
-        if done[0] % 65536 < len(wn):
-            el = time.perf_counter() - t0
-            log(
-                f"  built {done[0]}/{n} in {el:.0f}s "
-                f"({done[0]/el:.0f} adds/s)"
-            )
-
-    C._insert_wave = progress_wave
-    idx.add_batch(names, data, batch_size=2048)
-    build_s = time.perf_counter() - t0
-    log(f"build: {n} in {build_s:.0f}s ({n/build_s:.0f} adds/s)")
-
-    # exact ground truth on a query subset via the flat MXU scan
-    oracle = FlatIndex("o", IndexConfig(dim=dim))
-    oracle.add_batch(names, data)
+    oracle = FlatIndex("o", IndexConfig(dim=DIM))
+    oracle.add_batch([f"n{i}" for i in range(n)], data)
     t0 = time.perf_counter()
-    truth = oracle.search_batch(queries[:256], k)
-    log(f"oracle scan 256q: {time.perf_counter()-t0:.1f}s")
+    truth = oracle.search_batch(queries[:256], K)
+    oracle_s = time.perf_counter() - t0
     truth_sets = [{r.name for r in t} for t in truth]
 
     qd = jnp.asarray(queries)
-    results = {"n": n, "build_s": round(build_s, 1)}
+    results = {"n": n, "restore_s": round(load_s, 1),
+               "oracle_scan_256q_s": round(oracle_s, 1)}
     for ef, ex, it in ((256, 16, 24), (512, 16, 40)):
-        res = idx.search_batch(qd[:256], k, ef_search=ef, expand=ex, iters=it)
+        res = idx.search_batch(qd[:256], K, ef_search=ef, expand=ex, iters=it)
         rec = sum(
             len({r.name for r in rr} & truth_sets[b])
             for b, rr in enumerate(res)
-        ) / (k * len(res))
+        ) / (K * len(res))
         t0 = time.perf_counter()
         for _ in range(3):
-            idx.search_batch(qd, k, ef_search=ef, expand=ex, iters=it)
+            idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it)
         dt = (time.perf_counter() - t0) / 3
-        log(
-            f"ef={ef} ex={ex} it={it}: recall@{k}={rec:.4f} "
-            f"qps={n_queries/dt:.0f}"
-        )
+        log(f"ef={ef}: recall@{K}={rec:.4f} qps={1024/dt:.0f}")
         results[f"ef{ef}"] = {
-            "recall": round(rec, 4), "qps": round(n_queries / dt, 1)
+            "recall": round(rec, 4), "qps": round(1024 / dt, 1)
         }
 
     t0 = time.perf_counter()
     for q in queries[:50]:
-        idx.search_knn(q, k)
-    base_qps = 50 / (time.perf_counter() - t0)
-    log(f"native sequential baseline: {base_qps:.0f} qps")
-    results["baseline_qps"] = round(base_qps, 1)
-
-    t0 = time.perf_counter()
-    from redis_hnsw_tpu.utils.checkpoint import load_index, save_index
-
-    save_index(idx, "/tmp/m1.npz")
-    results["checkpoint_save_s"] = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    back = load_index("/tmp/m1.npz")
-    results["checkpoint_load_s"] = round(time.perf_counter() - t0, 1)
-    assert back.node_count == n
+        idx.search_knn(q, K)
+    results["baseline_qps"] = round(50 / (time.perf_counter() - t0), 1)
     log(json.dumps(results))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
+    mode = sys.argv[1]
+    if mode == "build":
+        build_stage(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif mode == "search":
+        search_phase(int(sys.argv[2]), sys.argv[3])
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")

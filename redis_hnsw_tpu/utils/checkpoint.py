@@ -27,8 +27,11 @@ from ..errors import HNSWError
 FORMAT_VERSION = 1
 
 
-def save_index(index, path: str) -> None:
-    """Serialize a host HNSWIndex to ``path`` (npz, atomic rename)."""
+def save_index(index, path: str, compress: bool = True) -> None:
+    """Serialize a host HNSWIndex to ``path`` (npz, atomic rename).
+
+    ``compress=False`` trades file size for speed (large indexes,
+    staged builds)."""
     h = index._names.high_water
     n_layers = index.max_layer + 1
 
@@ -69,8 +72,9 @@ def save_index(index, path: str) -> None:
         "enterpoint": int(index.enterpoint),
     }
     tmp = path + ".tmp"
+    writer = np.savez_compressed if compress else np.savez
     with open(tmp, "wb") as f:
-        np.savez_compressed(
+        writer(
             f,
             meta=np.frombuffer(
                 json.dumps(meta).encode("utf-8"), dtype=np.uint8
