@@ -11,7 +11,6 @@ HNSW index.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax

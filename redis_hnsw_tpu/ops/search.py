@@ -34,8 +34,6 @@ inside the loop loses ~1e-3 to cancellation, fine for ordering).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -30,7 +30,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import IndexConfig
-from ..errors import NodeNotFound
 from ..models.hnsw import HNSWIndex, SearchResult
 from ..ops.search import search_pipeline
 from .mesh import DATA_AXIS, make_mesh
