@@ -171,7 +171,11 @@ class HNSW:
 
     def add_batch(self, index: str, names, data, batch_size: int = 1024):
         with self._lock:
-            self.index(index).add_batch(names, data)
+            idx = self.index(index)
+            if isinstance(idx, FlatIndex):
+                idx.add_batch(names, data)
+            else:
+                idx.add_batch(names, data, batch_size=batch_size)
 
     def search_batch(
         self,
