@@ -102,6 +102,7 @@ def search_phase(n: int, ckpt: str) -> None:
             len({r.name for r in rr} & truth_sets[b])
             for b, rr in enumerate(res)
         ) / (K * len(res))
+        idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it)  # warm B
         t0 = time.perf_counter()
         for _ in range(3):
             idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it)
