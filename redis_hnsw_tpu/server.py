@@ -1,0 +1,265 @@
+"""RESP (Redis protocol) server shim: drop-in wire compatibility.
+
+The reference is consumed through redis-cli / any Redis client
+(Readme.md:33, cmd.sh). This module serves the same seven ``HNSW.*``
+commands over RESP2 on a TCP socket, backed by the in-process framework,
+so the reference's clients and scripts work unchanged:
+
+    redis-cli -p 6399 HNSW.NEW test1 DIM 128 M 5
+    redis-cli -p 6399 HNSW.NODE.ADD test1 node1 DATA 128 1 1 ... 1
+    redis-cli -p 6399 HNSW.SEARCH test1 K 5 QUERY 128 2 2 ... 2
+
+Command grammar matches the reference's declarative schemas
+(src/lib.rs:37-129): positional args then kwargs; DATA/QUERY are a
+dimensionality followed by that many values. Reply shapes mirror the
+reference's encoders byte-for-byte in structure:
+  HNSW.NEW / HNSW.NODE.ADD -> +OK          (lib.rs:170, :367)
+  HNSW.DEL / HNSW.NODE.DEL -> :1           (lib.rs:226, :406)
+  HNSW.GET      -> flat [field, value, ...] (types.rs:122-155)
+  HNSW.NODE.GET -> [data, [...], neighbors, [[...], ...]] (types.rs:322-352)
+  HNSW.SEARCH   -> [count, [similarity, s, name, n], ...] (lib.rs:484-495)
+
+Commands execute serially (one worker), like Redis's event loop -- which
+is exactly the reference's concurrency model.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+
+import numpy as np
+
+from .api import HNSW
+from .errors import HNSWError
+
+CRLF = b"\r\n"
+
+
+# -- RESP encoding -----------------------------------------------------------
+
+def _enc(obj) -> bytes:
+    """Encode a python object as RESP2 (module-reply conventions)."""
+    if isinstance(obj, SimpleString):
+        return b"+" + str(obj).encode() + CRLF
+    if isinstance(obj, Error):
+        return b"-" + str(obj).encode() + CRLF
+    if isinstance(obj, bool):
+        return b":" + (b"1" if obj else b"0") + CRLF
+    if isinstance(obj, (int, np.integer)):
+        return b":" + str(int(obj)).encode() + CRLF
+    if isinstance(obj, (float, np.floating)):
+        # RedisModule_ReplyWithDouble -> bulk string
+        s = repr(float(obj)).encode()
+        return b"$" + str(len(s)).encode() + CRLF + s + CRLF
+    if obj is None:
+        return b"$-1" + CRLF
+    if isinstance(obj, (bytes, str)):
+        b = obj if isinstance(obj, bytes) else obj.encode()
+        return b"$" + str(len(b)).encode() + CRLF + b + CRLF
+    if isinstance(obj, (list, tuple)):
+        out = b"*" + str(len(obj)).encode() + CRLF
+        return out + b"".join(_enc(x) for x in obj)
+    raise TypeError(f"cannot encode {type(obj)!r}")
+
+
+class SimpleString(str):
+    pass
+
+
+class Error(str):
+    pass
+
+
+OK = SimpleString("OK")
+
+
+# -- RESP decoding -----------------------------------------------------------
+
+class _Reader:
+    def __init__(self, sock: socket.socket) -> None:
+        self._f = sock.makefile("rb")
+
+    def _line(self) -> bytes | None:
+        line = self._f.readline()
+        if not line:
+            return None
+        return line.rstrip(b"\r\n")
+
+    def read_command(self) -> list[str] | None:
+        """One client command: a RESP array of bulk strings, or an
+        inline command line (redis also accepts those)."""
+        line = self._line()
+        if line is None:
+            return None
+        if not line:
+            return []
+        if line[:1] == b"*":
+            n = int(line[1:])
+            parts = []
+            for _ in range(n):
+                hdr = self._line()
+                if hdr is None or hdr[:1] != b"$":
+                    return None
+                ln = int(hdr[1:])
+                data = self._f.read(ln + 2)[:ln]
+                parts.append(data.decode())
+            return parts
+        return line.decode().split()
+
+
+# -- command layer ------------------------------------------------------------
+
+def _kwargs(args: list[str], vec_keys: tuple[str, ...] = ()) -> dict:
+    """Parse the reference's kwarg grammar: KEY value, or KEY count
+    v1..vcount for vector-valued keys (src/lib.rs command! schemas)."""
+    out: dict = {}
+    i = 0
+    while i < len(args):
+        key = args[i].lower()
+        if key in vec_keys:
+            count = int(args[i + 1])
+            vals = [float(x) for x in args[i + 2 : i + 2 + count]]
+            if len(vals) != count:
+                raise HNSWError("data dimensionality mismatch")
+            out[key] = vals
+            i += 2 + count
+        else:
+            if i + 1 >= len(args):
+                raise HNSWError(f"missing value for argument {key}")
+            out[key] = args[i + 1]
+            i += 2
+    return out
+
+
+class Dispatcher:
+    def __init__(self, client: HNSW) -> None:
+        self.client = client
+        self.lock = threading.Lock()  # serialize like Redis's event loop
+
+    def __call__(self, parts: list[str]):
+        if not parts:
+            return Error("ERR empty command")
+        cmd = parts[0].lower()
+        args = parts[1:]
+        with self.lock:
+            try:
+                return self._dispatch(cmd, args)
+            except HNSWError as e:
+                return Error(str(e))
+            except Exception as e:  # malformed args etc.
+                return Error(f"ERR {e}")
+
+    def _dispatch(self, cmd: str, args: list[str]):
+        c = self.client
+        if cmd == "ping":
+            return SimpleString(args[0]) if args else SimpleString("PONG")
+        if cmd in ("command", "hello", "info", "client"):
+            return []  # enough for client handshakes
+        if cmd == "hnsw.new":
+            kw = _kwargs(args[1:])
+            c.create_index(
+                args[0],
+                dim=int(kw["dim"]),
+                m=int(kw.get("m", 5)),
+                ef_construction=int(kw.get("efcon", 200)),
+            )
+            return OK
+        if cmd == "hnsw.get":
+            info = c.get_index(args[0])
+            return [
+                "name", info["name"],
+                "metric", info["metric"],
+                "data_dim", int(info["data_dim"]),
+                "m", int(info["m"]),
+                "ef_construction", int(info["ef_construction"]),
+                "level_mult", float(info["level_mult"]),
+                "node_count", int(info["node_count"]),
+                "max_layer", int(info["max_layer"]),
+                "enterpoint", info["enterpoint"] or "",
+            ]
+        if cmd == "hnsw.del":
+            return c.delete_index(args[0])
+        if cmd == "hnsw.node.add":
+            kw = _kwargs(args[2:], vec_keys=("data",))
+            c.add_node(
+                args[0], args[1],
+                np.asarray(kw["data"], dtype=np.float32),
+            )
+            return OK
+        if cmd == "hnsw.node.get":
+            node = c.get_node(args[0], args[1])
+            return [
+                "data", [float(x) for x in node["data"]],
+                "neighbors",
+                [list(layer) for layer in node["neighbors"]],
+            ]
+        if cmd == "hnsw.node.del":
+            return c.delete_node(args[0], args[1])
+        if cmd == "hnsw.search":
+            kw = _kwargs(args[1:], vec_keys=("query",))
+            k = int(kw.get("k", 5))
+            res = c.search(
+                args[0], np.asarray(kw["query"], dtype=np.float32), k=k
+            )
+            reply: list = [len(res)]
+            for r in res:
+                reply.append(
+                    ["similarity", float(r.sim), "name", r.name]
+                )
+            return reply
+        return Error(f"ERR unknown command '{cmd}'")
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:
+        reader = _Reader(self.request)
+        dispatch = self.server.dispatch  # type: ignore[attr-defined]
+        while True:
+            try:
+                parts = reader.read_command()
+            except (ValueError, ConnectionError):
+                break
+            if parts is None:
+                break
+            if parts and parts[0].lower() == "quit":
+                self.request.sendall(_enc(OK))
+                break
+            try:
+                self.request.sendall(_enc(dispatch(parts)))
+            except (BrokenPipeError, ConnectionError):
+                break
+
+
+class HNSWServer(socketserver.ThreadingTCPServer):
+    """Serve a (possibly shared) HNSW client registry over RESP."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 6399,
+                 client: HNSW | None = None) -> None:
+        self.dispatch = Dispatcher(client or HNSW())
+        super().__init__((host, port), _Handler)
+
+    def serve_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+
+def main() -> None:  # pragma: no cover - manual entry
+    import argparse
+
+    ap = argparse.ArgumentParser(description="RESP server for redis_hnsw_tpu")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=6399)
+    args = ap.parse_args()
+    srv = HNSWServer(args.host, args.port)
+    print(f"serving HNSW.* on {args.host}:{args.port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""RESP wire-protocol server: the reference's cmd.sh flow over a socket.
+
+Exercises the exact client syntax from /root/reference/cmd.sh against the
+shim (redis-cli compatible grammar and reply shapes).
+"""
+
+import socket
+
+import pytest
+
+from redis_hnsw_tpu.server import HNSWServer
+
+
+class RespClient:
+    def __init__(self, port: int) -> None:
+        self.sock = socket.create_connection(("127.0.0.1", port))
+        self.f = self.sock.makefile("rb")
+
+    def cmd(self, *parts: str):
+        out = [f"*{len(parts)}\r\n".encode()]
+        for p in parts:
+            b = str(p).encode()
+            out.append(b"$%d\r\n%s\r\n" % (len(b), b))
+        self.sock.sendall(b"".join(out))
+        return self._read()
+
+    def _read(self):
+        line = self.f.readline().rstrip(b"\r\n")
+        t, body = line[:1], line[1:]
+        if t == b"+":
+            return body.decode()
+        if t == b"-":
+            raise RuntimeError(body.decode())
+        if t == b":":
+            return int(body)
+        if t == b"$":
+            n = int(body)
+            if n < 0:
+                return None
+            data = self.f.read(n + 2)[:n]
+            return data.decode()
+        if t == b"*":
+            return [self._read() for _ in range(int(body))]
+        raise AssertionError(line)
+
+    def close(self):
+        self.sock.close()
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = HNSWServer(port=0)  # ephemeral port
+    srv.serve_background()
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def test_cmd_sh_flow_over_wire(server):
+    c = RespClient(server)
+    assert c.cmd("PING") == "PONG"
+
+    dim = 16
+    assert c.cmd("HNSW.NEW", "test1", "DIM", str(dim), "M", "5") == "OK"
+    for i in range(1, 31):
+        vec = [str(float(i))] * dim
+        assert (
+            c.cmd(
+                "HNSW.NODE.ADD", "test1", f"node{i}",
+                "DATA", str(dim), *vec,
+            )
+            == "OK"
+        )
+
+    info = c.cmd("HNSW.GET", "test1")
+    d = dict(zip(info[::2], info[1::2]))
+    assert d["name"] == "test1"
+    assert int(d["node_count"]) == 30
+    assert int(d["m"]) == 5
+
+    node = c.cmd("HNSW.NODE.GET", "test1", "node1")
+    nd = dict(zip(node[::2], node[1::2]))
+    assert len(nd["data"]) == dim
+    assert float(nd["data"][0]) == 1.0
+    assert isinstance(nd["neighbors"], list)
+
+    res = c.cmd(
+        "HNSW.SEARCH", "test1", "K", "3",
+        "QUERY", str(dim), *["2.0"] * dim,
+    )
+    assert res[0] == 3  # count
+    first = dict(zip(res[1][::2], res[1][1::2]))
+    assert first["name"] == "node2"
+    assert float(first["similarity"]) == 0.0
+
+    # error parity
+    with pytest.raises(RuntimeError, match="already exists"):
+        c.cmd("HNSW.NEW", "test1", "DIM", str(dim))
+    with pytest.raises(RuntimeError, match="does not exist"):
+        c.cmd("HNSW.NODE.GET", "test1", "nope")
+
+    for i in range(1, 31):
+        assert c.cmd("HNSW.NODE.DEL", "test1", f"node{i}") == 1
+    assert c.cmd("HNSW.DEL", "test1") == 1
+    with pytest.raises(RuntimeError, match="does not exist"):
+        c.cmd("HNSW.GET", "test1")
+    assert c.cmd("QUIT") == "OK"
+    c.close()
