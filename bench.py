@@ -41,7 +41,7 @@ def main():
 
     n, dim, k = 10_000, 128, 10
     m, efcon = 16, 200
-    n_queries = 1024
+    n_queries = 2048
     expand = 16
     rng = np.random.default_rng(0)
     data = rng.standard_normal((n, dim)).astype(np.float32)
@@ -76,7 +76,9 @@ def main():
     # operating point: smallest work hitting recall >= 0.95 on the full
     # batch (the reference hardwires ef = efcon and has no such knobs)
     chosen = None
-    for ef, iters in ((256, 20), (256, 24), (320, 24), (400, 28), (512, 36)):
+    for ef, iters in (
+        (256, 16), (256, 20), (256, 24), (320, 24), (400, 28), (512, 36),
+    ):
         res = idx.search_batch(
             q_dev, k, ef_search=ef, expand=expand, iters=iters
         )
