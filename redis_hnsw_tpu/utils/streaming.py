@@ -62,6 +62,7 @@ def run_mixed(
     expand: int = 1,
     iters: int | None = None,
     validate_every: int = 0,
+    capacity_hint: int | None = None,
 ) -> MixedStats:
     """Interleave insert waves and query batches 50/50 until ``data`` is
     exhausted; queries cycle through ``queries``. Each query batch runs
@@ -74,6 +75,15 @@ def run_mixed(
     """
     data = np.atleast_2d(np.asarray(data, dtype=index._vectors.dtype))
     n_total = data.shape[0]
+    # presize device tables for the whole stream: without this, every
+    # power-of-two growth of the snapshot recompiles the engines
+    # mid-stream and shows up as multi-second latency spikes
+    index._capacity_hint = max(
+        int(getattr(index, "_capacity_hint", 0)),
+        capacity_hint
+        if capacity_hint is not None
+        else index._names.high_water + n_total,
+    )
     q_pool = np.atleast_2d(np.asarray(queries, dtype=data.dtype))
     insert_ms: list[float] = []
     query_ms: list[float] = []
