@@ -117,7 +117,8 @@ class HNSW:
             self.index(index).add_node(node, data)
 
     def get_node(self, index: str, node: str) -> dict:
-        return self.index(index).get_node(node)
+        with self._lock:
+            return self.index(index).get_node(node)
 
     def delete_node(self, index: str, node: str) -> int:
         with self._lock:
@@ -133,11 +134,17 @@ class HNSW:
         k: int = DEFAULT_K,
         ef_search: int | None = None,
     ) -> list[SearchResult]:
-        """HNSW.SEARCH -- single query, reference-parity semantics."""
-        idx = self.index(index)
-        if isinstance(idx, FlatIndex):
-            return idx.search_knn(query, k)
-        return idx.search_knn(query, k, ef_search=ef_search)
+        """HNSW.SEARCH -- single query, reference-parity semantics.
+
+        Reads take the same lock as writes: the reference executes all
+        commands serialized under Redis's event loop, and the host graph
+        backends assume no concurrent mutation during a read.
+        """
+        with self._lock:
+            idx = self.index(index)
+            if isinstance(idx, FlatIndex):
+                return idx.search_knn(query, k)
+            return idx.search_knn(query, k, ef_search=ef_search)
 
     # -- persistence (checkpoint/restore; reference: RDB callbacks) ------------
 
@@ -189,12 +196,13 @@ class HNSW:
         """Batched device search. ``expand``/``iters`` tune the traversal
         (candidates expanded per step / step cap); defaults are
         reference-parity."""
-        idx = self.index(index)
-        if isinstance(idx, FlatIndex):
-            return idx.search_batch(queries, k)
-        return idx.search_batch(
-            queries, k, ef_search=ef_search, expand=expand, iters=iters
-        )
+        with self._lock:
+            idx = self.index(index)
+            if isinstance(idx, FlatIndex):
+                return idx.search_batch(queries, k)
+            return idx.search_batch(
+                queries, k, ef_search=ef_search, expand=expand, iters=iters
+            )
 
 
 # Module-level default client, mirroring the reference's process-global

@@ -133,6 +133,11 @@ def _select_top_m(index, cand_ids, cand_sims, m, exclude):
             continue
         if not index._is_alloc(cid):
             continue  # freed row in the snapshot epoch gap
+        # note: a row freed and REUSED since the wave-start snapshot
+        # passes this check with a sim computed against its old vector;
+        # the link is still valid (live node) and later shrinks rescore
+        # it exactly -- the reference never reuses rows so has no
+        # analogous case
         seen.add(cid)
         out.append((float(s), cid))
         if len(out) == m:

@@ -353,7 +353,11 @@ def search_batch(
     from ..models.hnsw import SearchResult
 
     cfg = index.config
-    if isinstance(queries, jax.Array) and queries.ndim == 2:
+    if (
+        isinstance(queries, jax.Array)
+        and queries.ndim == 2
+        and queries.dtype == index._vectors.dtype
+    ):
         qs = queries  # device-resident: no host round-trip
     else:
         qs = np.atleast_2d(
