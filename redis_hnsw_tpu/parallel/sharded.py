@@ -281,3 +281,73 @@ class ShardedHNSW:
                 )
             out.append(res)
         return out
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, directory: str, compress: bool = True) -> None:
+        """Checkpoint the sharded index: one npz per shard plus a
+        manifest (the distributed analog of the single-index checkpoint,
+        utils/checkpoint.py)."""
+        import json
+        import os
+
+        from ..utils.checkpoint import save_index
+
+        os.makedirs(directory, exist_ok=True)
+        for s, shard in enumerate(self.shards):
+            save_index(
+                shard,
+                os.path.join(directory, f"shard{s}.npz"),
+                compress=compress,
+            )
+        manifest = {
+            "format_version": 1,
+            "name": self.name,
+            "n_shards": self.n_shards,
+            "config": {
+                "dim": self.config.dim,
+                "m": self.config.m,
+                "ef_construction": self.config.ef_construction,
+                "metric": self.config.metric,
+                "capacity": self.config.capacity,
+                "seed": self.config.seed,
+            },
+        }
+        tmp = os.path.join(directory, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(directory, "manifest.json"))
+
+    @classmethod
+    def restore(cls, directory: str, mesh=None) -> "ShardedHNSW":
+        """Restore a sharded index saved by :meth:`save`. The mesh may
+        differ in device order but must have the same size (shard
+        placement is by position)."""
+        import json
+        import os
+
+        from ..errors import HNSWError
+        from ..utils.checkpoint import load_index
+
+        with open(os.path.join(directory, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest.get("format_version") != 1:
+            raise HNSWError(
+                "cannot load sharded checkpoint format version "
+                f"{manifest.get('format_version')} (supported: 1)"
+            )
+        cfg = IndexConfig(**manifest["config"])
+        out = cls(
+            manifest["name"], cfg,
+            n_shards=manifest["n_shards"], mesh=mesh,
+        )
+        if out.n_shards != manifest["n_shards"]:
+            raise HNSWError(
+                f"checkpoint has {manifest['n_shards']} shards but the "
+                f"mesh provides {out.n_shards} devices"
+            )
+        out.shards = [
+            load_index(os.path.join(directory, f"shard{s}.npz"))
+            for s in range(out.n_shards)
+        ]
+        return out

@@ -29,7 +29,13 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         base = os.environ.get(
             "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
         )
-        path = os.path.join(base, "redis_hnsw_tpu", "jax")
+        # scope by backend: CPU AOT executables record host CPU features
+        # and must not cross-load between differing hosts/flavors
+        backend = (
+            jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS", "default")
+        ).split(",")[0]
+        path = os.path.join(base, "redis_hnsw_tpu", f"jax-{backend}")
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

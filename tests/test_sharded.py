@@ -73,3 +73,24 @@ def test_empty_sharded():
     res = idx.search_batch(np.zeros((2, 8), np.float32), 3)
     assert [r.name for r in res[0]] == ["solo"]
     assert len(res[0]) == 1
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, sharded_built):
+    from redis_hnsw_tpu.parallel.sharded import ShardedHNSW
+
+    sharded, oracle, data, rng = sharded_built
+    queries = data[:4] + 0.01
+    want = sharded.search_batch(queries, k=3)
+    d = str(tmp_path / "ck")
+    sharded.save(d)
+    back = ShardedHNSW.restore(d, mesh=sharded.mesh)
+    assert back.node_count == sharded.node_count
+    got = back.search_batch(queries, k=3)
+    assert [[r.name for r in rr] for rr in got] == [
+        [r.name for r in rr] for rr in want
+    ]
+    # restored index stays mutable
+    import numpy as np
+
+    back.add_node("fresh", np.asarray(data[0]) * 0.5)
+    assert back.node_count == sharded.node_count + 1
