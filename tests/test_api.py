@@ -147,3 +147,26 @@ def test_high_dim_gist_style(rng):
         len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
     )
     assert hits / (k * len(queries)) >= 0.9
+
+
+def test_autotune_meets_target(rng):
+    """tune() finds knobs meeting the recall target via the in-process
+    exact oracle, and the knobs plug into search_batch."""
+    import numpy as np
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.utils.autotune import tune
+
+    n, dim, k = 1000, 16, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        "a", IndexConfig(dim=dim, m=8, ef_construction=64, seed=2)
+    )
+    idx.add_batch([f"n{i}" for i in range(n)], data, batch_size=512)
+    queries = rng.standard_normal((64, dim)).astype(np.float32)
+    knobs = tune(idx, queries, k=k, target_recall=0.9)
+    assert knobs["recall"] >= 0.9
+    res = idx.search_batch(
+        queries, k, ef_search=knobs["ef_search"],
+        expand=knobs["expand"], iters=knobs["iters"],
+    )
+    assert len(res) == 64 and all(len(r) == k for r in res)
