@@ -54,7 +54,7 @@ def main():
     )
     log(f"native host core: {idx._native is not None}")
     t0 = time.perf_counter()
-    idx.add_batch(names, data, batch_size=1024)
+    idx.add_batch(names, data, batch_size=2048)
     build_s = time.perf_counter() - t0
     log(f"build: {n} nodes in {build_s:.1f}s ({n / build_s:.0f} adds/s)")
 

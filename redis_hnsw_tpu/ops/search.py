@@ -11,12 +11,11 @@ snapshot together:
   row, score the [B, deg] tile, move lanes that improved, mask lanes that
   converged.
 * **Layer-0 beam** (reference ef-wide search_level) becomes a fixed-shape
-  frontier loop: each lane keeps a top-ef beam (ids, sims, expanded flags)
-  and a visited bitmap; per step the best unexpanded candidate of every
-  lane is expanded at once -- one [B, deg0] gather + one MXU-form distance
-  tile + one top-k merge. A lane is done when its best unexpanded candidate
-  scores below its worst beam entry (the reference's early-exit,
-  core.rs:630-637).
+  frontier loop: each lane keeps a top-ef beam (ids, sims, expanded
+  flags); per step the top-``expand`` unexpanded candidates of every lane
+  are expanded at once -- one [B, expand*deg0] neighbor gather + one
+  distance tile + a sort-based merge (no visited state and no scatters;
+  see ``beam_search`` for the equivalence argument and measurements).
 
 Equivalences to the reference worth noting:
 * accept-if ``sim > worst or |W| < ef`` (core.rs:657) == top-ef merge with
