@@ -6,9 +6,16 @@ backend-agnostic).
     python examples/smoke.py
 """
 
+import os
+import sys
+
 import numpy as np
 
-import redis_hnsw_tpu as h
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import redis_hnsw_tpu as h  # noqa: E402
 
 
 def main() -> None:
