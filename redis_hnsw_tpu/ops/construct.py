@@ -228,9 +228,10 @@ def _insert_wave(index, names, data, ef: int) -> None:
         levels_d = np.concatenate(
             [levels, np.zeros(w_pad - W, levels.dtype)]
         )
+    qs_dev = jnp.asarray(qs_d)
     up_ids, up_sims, l0_ids, l0_sims, cross = construct_scores(
         snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
-        snap.ep, snap.max_layer, jnp.asarray(qs_d), jnp.asarray(levels_d),
+        snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
         ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
     )
     up_ids = np.asarray(up_ids)
@@ -246,6 +247,10 @@ def _insert_wave(index, names, data, ef: int) -> None:
             rows[i] = index._alloc_row(
                 names[i], qs[i], level=int(levels[i])
             )
+        # the wave's vectors are already device-resident (the construct
+        # queries); let the snapshot delta scatter them from HBM instead
+        # of re-uploading (ops/snapshot.py::_delta_snapshot)
+        index._pending_wave_vecs = (rows.copy(), qs_dev[:W])
         n_up_used = int(min(l_max, int(levels.max(initial=0))))
         index._native.apply_wave(
             rows, levels,

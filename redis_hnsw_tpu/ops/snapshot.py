@@ -172,6 +172,7 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
     index.drain_dirty()
     index._dirty_vec.clear()
     index._freed_slots_pending = []
+    index._pending_wave_vecs = None
 
     vecs = np.zeros((n_pad, index._vectors.shape[1]), index._vectors.dtype)
     vecs[:n_rows] = index._vectors[:n_rows]
@@ -230,7 +231,29 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
 
     vecs = prev.vecs
     sq = prev.sqnorms
-    if vec_new:
+    pending = getattr(index, "_pending_wave_vecs", None)
+    index._pending_wave_vecs = None
+    if (
+        pending is not None
+        and vec_new == set(int(r) for r in pending[0])
+    ):
+        # the wave's vectors already sit in HBM (construct queries):
+        # scatter device-to-device, no host re-upload
+        rows, qdev = pending
+        w = len(rows)
+        rows = _pad_rows(rows.astype(np.int64))
+        # padded index slots repeat rows[0], so padded data slots must
+        # repeat the first wave vector
+        sel = np.zeros(len(rows), np.int32)
+        sel[:w] = np.arange(w)
+        qdev = qdev[jnp.asarray(sel)]
+        vecs = vecs.at[rows].set(qdev)
+        # sqnorms host-side (tiny upload) so they are bit-identical to a
+        # full rebuild's einsum -- the byte savings live in the vectors
+        sq = sq.at[rows].set(
+            jnp.asarray(_sqnorms_np(index, index._vectors[rows]))
+        )
+    elif vec_new:
         vrows = _pad_rows(np.fromiter(vec_new, np.int64, len(vec_new)))
         vdata = index._vectors[vrows]
         vecs = vecs.at[vrows].set(jnp.asarray(vdata))
