@@ -169,3 +169,41 @@ def test_snapshot_delta_matches_full(rng):
             trimmed, pad_ok = norm(a, b)
             assert pad_ok, "delta snapshot has non-padding data in tail"
             np.testing.assert_array_equal(trimmed, np.asarray(b))
+
+
+def test_restore_then_continue_bulk_build(tmp_path, rng):
+    """Staged builds: checkpoint mid-build, restore, keep bulk-building
+    (benchmarks/million.py's loop), ending at full recall health."""
+    import numpy as np
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.models.flat import FlatIndex
+    from redis_hnsw_tpu.utils.checkpoint import load_index, save_index
+    from tests.test_core import graph_invariants
+
+    n, dim, k = 800, 16, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex(
+        "st", IndexConfig(dim=dim, m=6, ef_construction=48, seed=9)
+    )
+    idx.add_batch(names[: n // 2], data[: n // 2], batch_size=128)
+    p = str(tmp_path / "stage.npz")
+    save_index(idx, p, compress=False)
+
+    back = load_index(p)
+    assert back.node_count == n // 2
+    back.add_batch(names[n // 2 :], data[n // 2 :], batch_size=128)
+    assert back.node_count == n
+    graph_invariants(back)
+
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    queries = rng.standard_normal((48, dim)).astype(np.float32)
+    truth = [
+        {r.name for r in t} for t in oracle.search_batch(queries, k)
+    ]
+    res = back.search_batch(queries, k, ef_search=64, expand=4)
+    hits = sum(
+        len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
+    )
+    assert hits / (k * len(queries)) >= 0.9
