@@ -21,7 +21,9 @@ from .errors import (
 )
 from .models.flat import FlatIndex
 from .models.hnsw import HNSWIndex, SearchResult
+from .utils.autotune import tune
 from .utils.cache import enable_compilation_cache
+from .utils.streaming import run_mixed
 
 # Persistent XLA compilation cache: the jitted engines compile once per
 # machine instead of once per process (opt out: REDIS_HNSW_TPU_NO_CACHE=1).
@@ -44,5 +46,8 @@ __all__ = [
     "NodeNotFound",
     "NodeBusy",
     "CapacityError",
+    "tune",
+    "run_mixed",
+    "enable_compilation_cache",
     "__version__",
 ]

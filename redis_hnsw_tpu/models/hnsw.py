@@ -117,6 +117,12 @@ class HNSWIndex:
         self._epoch = 0        # bumped on every mutation
         self._snapshot = None  # lazily-built device snapshot (ops/snapshot)
         self._snapshot_epoch = -1
+        # Users presize via IndexConfig.capacity: device tables pad to it
+        # up front so engine shapes stay stable for the expected size
+        # (bulk builds and the streaming harness also raise this hint).
+        self._capacity_hint = (
+            int(config.capacity) if config.capacity > 1024 else 0
+        )
         # Incremental-snapshot bookkeeping: rows whose adjacency changed
         # (python backend only -- the native core tracks its own, drained
         # via NativeGraph.drain_dirty), rows with new vectors, and a
