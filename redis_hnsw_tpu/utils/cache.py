@@ -30,11 +30,16 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
             "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
         )
         # scope by backend: CPU AOT executables record host CPU features
-        # and must not cross-load between differing hosts/flavors
+        # and their loader warns of SIGILL risk even on the same machine
+        # (XLA pseudo-features) -- default-on only for accelerator
+        # backends, where the minutes-long engine compiles live; CPU
+        # users can opt in with an explicit path.
         backend = (
             jax.config.jax_platforms
             or os.environ.get("JAX_PLATFORMS", "default")
         ).split(",")[0]
+        if backend == "cpu":
+            return None
         path = os.path.join(base, "redis_hnsw_tpu", f"jax-{backend}")
     try:
         os.makedirs(path, exist_ok=True)
