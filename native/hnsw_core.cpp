@@ -55,8 +55,8 @@ struct Core {
     std::vector<int32_t> level;
 
     // epoch-stamped visited marks for search_level
-    std::vector<int32_t> stamp;
-    int32_t epoch = 0;
+    std::vector<uint64_t> stamp;
+    uint64_t epoch = 0;  // u64: never wraps in practice (i32 overflowed after ~2^31 searches)
 
     // dirty-row tracking for incremental device snapshots: any row whose
     // adjacency (or existence) changed since the last drain

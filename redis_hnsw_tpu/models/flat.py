@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import IndexConfig
-from ..errors import DimensionMismatch, NodeExists, NodeNotFound
+from ..errors import (
+    DimensionMismatch,
+    HNSWError,
+    NodeExists,
+    NodeNotFound,
+)
 from ..ops import distance as D
 from ..utils.names import NameTable
 from .hnsw import SearchResult
@@ -34,6 +39,7 @@ def _scan_topk(vecs, sqn, valid, queries, *, k: int, metric: str):
     sims, ids = jax.lax.top_k(scores, k)
     if metric == "euclidean":
         sims = D.exact_neg_sq_l2(queries, vecs, ids, sims != -jnp.inf)
+        ids, sims = D.resort_desc(ids, sims)
     return ids, sims
 
 
@@ -53,6 +59,7 @@ def _scan_topk_pallas(vecs, sqn, valid, queries, *, k: int, metric: str):
         sims = D.exact_neg_sq_l2(
             queries, vecs, jnp.maximum(ids, 0), sims != -jnp.inf
         )
+        ids, sims = D.resort_desc(ids, sims)
     return ids, sims
 
 
@@ -87,6 +94,8 @@ class FlatIndex:
         return arr
 
     def add_node(self, name: str, data) -> None:
+        if not name:
+            raise HNSWError("node name must be non-empty")
         if name in self._names:
             raise NodeExists(name)
         q = self._coerce(data)

@@ -344,6 +344,10 @@ class HNSWIndex:
     # -- public API: add (core.rs:383-412, :489-599) ---------------------------
 
     def add_node(self, name: str, data) -> None:
+        if not name:
+            # "" is the checkpoint format's free-row sentinel; an
+            # empty-named live node would corrupt restore (ADVICE r1)
+            raise HNSWError("node name must be non-empty")
         q = self._coerce(data)
         if self.node_count == 0:
             # First-node fast path (core.rs:393-405).

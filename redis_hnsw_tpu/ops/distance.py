@@ -13,7 +13,7 @@ Two tiers:
 * Device (jnp) kernels -- matmul-form scoring ``-(|q|^2 + |x|^2 - 2 q.x)``
   that maps whole query-batch x frontier tiles onto the TPU MXU; these are
   the building blocks of the batched search/construction engines. A Pallas
-  fused variant lives in ops/pallas_l2.py.
+  fused variant lives in ops/pallas_scan.py.
 
 Hamming: the reference declares Hamming "forthcoming" (Readme.md:8) but
 never implements it; here it is first-class over bit-packed uint32 vectors
@@ -130,6 +130,18 @@ def exact_neg_sq_l2(
     d = vecs[ids] - q[:, None, :]
     sims = -jnp.sum(d * d, axis=-1)
     return jnp.where(mask, sims, NEG_INF)
+
+
+def resort_desc(ids: jnp.ndarray, sims: jnp.ndarray):
+    """Re-sort [B, K] results descending by (sim, -id) after rescoring.
+
+    Exact-form rescoring can reorder near-ties relative to the matmul-form
+    beam ordering (~1e-3 relative); the reference's reply is strictly
+    descending by similarity, ties broken by insertion-heap order -- we pin
+    (-sim, id), matching the engine's beam tie rule.
+    """
+    neg, ids, sims = jax.lax.sort((-sims, ids, sims), num_keys=2)
+    return ids, sims
 
 
 # -- Hamming (packed uint32) -------------------------------------------------

@@ -294,6 +294,9 @@ def search_pipeline(
         k_sims = D.exact_neg_sq_l2(
             queries, vecs, jnp.maximum(k_ids, 0), valid
         )
+        # exact rescoring can reorder near-ties vs the matmul-form beam;
+        # the reply contract is descending by (sim, -id)
+        k_ids, k_sims = D.resort_desc(k_ids, k_sims)
     else:
         k_sims = jnp.where(valid, k_raw, NEG_INF)
     return k_ids, k_sims

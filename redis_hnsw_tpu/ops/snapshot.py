@@ -262,6 +262,15 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
     adj0 = prev.adj0
     adj_up = prev.adj_up
     upper_of = prev.upper_of
+    # freed upper slots: wipe their rows at every layer BEFORE scattering
+    # dirty rows -- a slot freed by delete and reallocated by a later
+    # insert belongs to a dirty row, whose fresh adjacency must survive
+    # the wipe (wiping after the scatter erased it; ADVICE r1 high)
+    freed = index._freed_slots_pending
+    if freed:
+        index._freed_slots_pending = []
+        fr = _pad_rows(np.asarray(freed, np.int32))
+        adj_up = adj_up.at[:, fr].set(-1)
     if dirty.size:
         deg0 = prev.adj0.shape[1]
         deg_up = prev.adj_up.shape[2]
@@ -284,14 +293,6 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
                 adj_up = adj_up.at[lc - 1, up_slots].set(
                     jnp.asarray(_row_adj(index, up_rows, lc, deg_up))
                 )
-    # freed upper slots: wipe their rows at every layer so stale
-    # adjacency can never be traversed (their upper_of is already -1)
-    freed = index._freed_slots_pending
-    if freed:
-        index._freed_slots_pending = []
-        fr = _pad_rows(np.asarray(freed, np.int32))
-        adj_up = adj_up.at[:, fr].set(-1)
-
     return Snapshot(
         vecs=vecs,
         sqnorms=sq,

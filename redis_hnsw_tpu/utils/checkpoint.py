@@ -117,11 +117,15 @@ def load_index(path: str):
     index._levels[:h] = levels
 
     # Rebuild name table preserving row ids (free rows -> free list).
+    # Liveness comes from levels[row] >= 0 (delete stamps -1), never from
+    # name truthiness: a checkpoint from a version that allowed ""-named
+    # nodes must not push a live row onto the free list (ADVICE r1).
     nt = index._names
     for row in range(h):
+        live = int(levels[row]) >= 0
         name = str(names[row])
-        nt._name_of.append(name if name else None)
-        if name:
+        nt._name_of.append(name if live else None)
+        if live:
             nt._id_of[name] = row
         else:
             nt._free.append(row)

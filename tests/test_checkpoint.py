@@ -171,6 +171,84 @@ def test_snapshot_delta_matches_full(rng):
             np.testing.assert_array_equal(trimmed, np.asarray(b))
 
 
+def test_delta_refresh_after_upper_slot_reuse():
+    """Delete upper-level nodes, then insert new nodes that reuse their
+    freed upper slots, all within one delta window: the new node's
+    upper-layer adjacency must survive the freed-slot wipe (ADVICE r1
+    high: the wipe ran after the dirty scatter and erased it).
+
+    A churn phase first grows the repaired-degree columns so the later
+    refresh stays on the delta path (shape growth would force a full
+    rebuild and mask the bug)."""
+    import numpy as np
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.ops import snapshot as S
+
+    for backend in ("py", "native"):
+        try:
+            idx = HNSWIndex(
+                "reuse",
+                IndexConfig(
+                    dim=8, m=4, ef_construction=24, seed=0, backend=backend
+                ),
+            )
+        except Exception:
+            continue
+        idx._capacity_hint = 512
+        data = (
+            np.random.default_rng(0)
+            .standard_normal((400, 8))
+            .astype(np.float32)
+        )
+        idx.add_batch([f"n{i}" for i in range(200)], data[:200])
+        # churn: a few deletes + inserts grow the sticky padded dims
+        for r in list(idx._upper_slot.keys())[:4]:
+            idx.delete_node(idx._names.name(r))
+        for i in range(200, 260):
+            idx.add_node(f"n{i}", data[i])
+        idx.device_snapshot()  # prev, with post-repair shapes
+
+        # targeted: free upper slots, insert until some are reused
+        for r in list(idx._upper_slot.keys())[:3]:
+            idx.delete_node(idx._names.name(r))
+        freed = set(idx._freed_slots_pending)
+        assert freed, "deletes freed no upper slots; tune the seed"
+        reused = []
+        for i in range(260, 340):
+            idx.add_node(f"n{i}", data[i])
+            row = idx._names.get(f"n{i}")
+            if idx._upper_slot.get(row) in freed:
+                reused.append((row, idx._upper_slot[row]))
+        assert reused, "no freed upper slot was reused; tune the seed"
+
+        deltas = []
+        orig = S._delta_snapshot
+        S._delta_snapshot = lambda *a: deltas.append(1) or orig(*a)
+        try:
+            snap = idx.device_snapshot()
+        finally:
+            S._delta_snapshot = orig
+        assert deltas, "refresh took the full-rebuild path, not the delta"
+        adj_up = np.asarray(snap.adj_up)
+        nonempty = 0
+        for row, slot in reused:
+            if idx._native is not None:
+                exported = idx._native.export_layer(
+                    1, np.array([row], np.int32), 1, adj_up.shape[2]
+                )
+                host_nbrs = [int(x) for x in exported[0] if x >= 0]
+            else:
+                nl = idx._neighbors[row]
+                host_nbrs = list(nl[1]) if nl and len(nl) > 1 else []
+            nonempty += bool(host_nbrs)
+            dev_nbrs = [int(x) for x in adj_up[0, slot] if x >= 0]
+            assert sorted(dev_nbrs) == sorted(host_nbrs), (
+                f"backend={backend} row={row} slot={slot}: "
+                f"device {dev_nbrs} != host {host_nbrs}"
+            )
+        assert nonempty, "all reused rows had empty adjacency (vacuous)"
+
+
 def test_restore_then_continue_bulk_build(tmp_path, rng):
     """Staged builds: checkpoint mid-build, restore, keep bulk-building
     (benchmarks/million.py's loop), ending at full recall health."""
