@@ -55,8 +55,10 @@ class HNSW:
         ef_construction: int = 200,
         metric: str = "euclidean",
         capacity: int = 1024,
+        fixed_capacity: bool = False,
         seed: int | None = None,
         kind: str = "hnsw",
+        backend: str = "auto",
     ):
         """HNSW.NEW. Returns the index handle (reference returns "OK")."""
         with self._lock:
@@ -68,7 +70,9 @@ class HNSW:
                 ef_construction=ef_construction,
                 metric=metric,
                 capacity=capacity,
+                fixed_capacity=fixed_capacity,
                 seed=seed,
+                backend=backend,
             )
             if kind == "hnsw":
                 idx = HNSWIndex(name, cfg)

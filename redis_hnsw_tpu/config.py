@@ -37,6 +37,9 @@ class IndexConfig:
         implemented here as an XOR+popcount kernel over packed uint32).
     capacity: initial row capacity of the device-resident arrays; grows
         geometrically on demand.
+    fixed_capacity: refuse to grow past ``capacity`` (CapacityError)
+        instead of reallocating -- pins HBM footprint and guarantees the
+        jitted engines never recompile from table growth.
     """
 
     dim: int
@@ -44,6 +47,7 @@ class IndexConfig:
     ef_construction: int = 200
     metric: str = "euclidean"
     capacity: int = 1024
+    fixed_capacity: bool = False
     seed: int | None = None
     # Host graph engine: "native" (C++ core, native/hnsw_core.cpp),
     # "py" (pure-Python, identical semantics), or "auto" (native when the

@@ -58,7 +58,17 @@ class NodeNotFound(HNSWError):
 
 
 class NodeBusy(HNSWError):
-    """Reference: the busy-guard at src/lib.rs:385-391."""
+    """Reference: the busy-guard at src/lib.rs:385-391.
+
+    The reference refuses to delete a node whose ``Arc`` strong count
+    exceeds 1, i.e. another command execution holds a live reference
+    concurrently. This rebuild keeps the class for API compatibility
+    (migrating code may catch it), but never raises it: mutations are
+    serialized per index (api.py registry lock, server.py command lock)
+    and readers operate on immutable device snapshots, so a node can
+    never be "being accessed" while a delete runs -- the condition is
+    structurally impossible rather than guarded against.
+    """
 
     def __init__(self, name: str) -> None:
         super().__init__(
@@ -68,4 +78,7 @@ class NodeBusy(HNSWError):
 
 
 class CapacityError(HNSWError):
-    """Raised when an index cannot grow (fixed-capacity mode)."""
+    """Index cannot grow: ``IndexConfig.fixed_capacity`` pins the row
+    capacity (HBM footprint / compiled shapes) and an insert needs a row
+    beyond it. No reference equivalent (the pointer graph grows
+    unboundedly); this is a TPU deployment knob."""

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..config import IndexConfig
 from ..errors import (
+    CapacityError,
     DimensionMismatch,
     HNSWError,
     NodeExists,
@@ -101,6 +102,12 @@ class FlatIndex:
         q = self._coerce(data)
         row = self._names.alloc(name)
         if row >= self._vectors.shape[0]:
+            if self.config.fixed_capacity:
+                self._names.free(name)
+                raise CapacityError(
+                    f"index at fixed capacity {self.config.capacity} "
+                    f"(need {row + 1} rows)"
+                )
             new_cap = max(self._vectors.shape[0] * 2, row + 1)
             vecs = np.zeros((new_cap, self._vectors.shape[1]), q.dtype)
             vecs[: self._vectors.shape[0]] = self._vectors

@@ -48,6 +48,7 @@ import numpy as np
 
 from ..config import IndexConfig
 from ..errors import (
+    CapacityError,
     DimensionMismatch,
     HNSWError,
     NodeExists,
@@ -157,6 +158,11 @@ class HNSWIndex:
         cap = self.capacity
         if need <= cap:
             return
+        if self.config.fixed_capacity:
+            raise CapacityError(
+                f"index at fixed capacity {self.config.capacity} "
+                f"(need {need} rows)"
+            )
         new_cap = cap
         while new_cap < need:
             new_cap *= 2
@@ -367,7 +373,11 @@ class HNSWIndex:
 
     def _alloc_row(self, name: str, q: np.ndarray, level: int) -> int:
         row = self._names.alloc(name)
-        self._grow(row + 1)
+        try:
+            self._grow(row + 1)
+        except CapacityError:
+            self._names.free(name)  # leave the name table consistent
+            raise
         self._vectors[row] = q
         self._levels[row] = level
         if self._native is not None:

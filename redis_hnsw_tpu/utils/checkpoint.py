@@ -65,6 +65,7 @@ def save_index(index, path: str, compress: bool = True) -> None:
             "ef_construction": index.config.ef_construction,
             "metric": index.config.metric,
             "capacity": index.config.capacity,
+            "fixed_capacity": index.config.fixed_capacity,
             "seed": index.config.seed,
         },
         "node_count": index.node_count,

@@ -273,3 +273,37 @@ def test_bulk_vs_sequential_equivalence_small(rng):
     res = idx.search_knn(data[7], 1)
     assert res[0].name == "n7"
     assert res[0].sim == 0.0
+
+
+def test_fixed_capacity_refuses_growth(rng):
+    """fixed_capacity pins the row tables: inserting past capacity raises
+    CapacityError and leaves the index consistent (delete frees a row
+    that can then be refilled)."""
+    from redis_hnsw_tpu.errors import CapacityError
+
+    data = rng.standard_normal((20, 8)).astype(np.float32)
+    idx = HNSWIndex(
+        "cap",
+        IndexConfig(
+            dim=8, m=4, ef_construction=16, seed=0,
+            capacity=16, fixed_capacity=True,
+        ),
+    )
+    for i in range(16):
+        idx.add_node(f"n{i}", data[i])
+    with pytest.raises(CapacityError):
+        idx.add_node("overflow", data[16])
+    assert "overflow" not in idx
+    assert idx.node_count == 16
+    # freeing a row makes room again
+    idx.delete_node("n3")
+    idx.add_node("refill", data[17])
+    assert idx.search_knn(data[17], 1)[0].name == "refill"
+
+
+def test_empty_node_name_rejected():
+    from redis_hnsw_tpu.errors import HNSWError
+
+    idx = HNSWIndex("e", IndexConfig(dim=8, m=4, seed=0))
+    with pytest.raises(HNSWError):
+        idx.add_node("", np.zeros(8, np.float32))
