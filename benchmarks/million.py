@@ -119,11 +119,38 @@ def search_phase(n: int, ckpt: str) -> None:
     log(json.dumps(results))
 
 
+def profile_build(n: int) -> None:
+    """Phase breakdown of a bulk build: snapshot-delta upload vs device
+    pass vs result fetch vs host graph surgery (VERDICT r1 weak#4)."""
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.ops import construct
+    from redis_hnsw_tpu.utils.profiling import PhaseTimer
+
+    data = dataset(n)
+    idx = HNSWIndex(
+        "prof", IndexConfig(dim=DIM, m=M, ef_construction=EFCON, seed=7)
+    )
+    idx._capacity_hint = n
+    # warm wave (compile) outside the timer
+    idx.add_batch([f"n{i}" for i in range(2048)], data[:2048],
+                  batch_size=2048)
+    construct.BUILD_TIMER = timer = PhaseTimer()
+    t0 = time.perf_counter()
+    idx.add_batch([f"n{i}" for i in range(2048, n)], data[2048:n],
+                  batch_size=2048)
+    dt = time.perf_counter() - t0
+    construct.BUILD_TIMER = None
+    log(f"warm build: {n-2048} adds in {dt:.1f}s ({(n-2048)/dt:.0f} adds/s)")
+    log(json.dumps(timer.summary(), indent=1))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "build":
         build_stage(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     elif mode == "search":
         search_phase(int(sys.argv[2]), sys.argv[3])
+    elif mode == "profile":
+        profile_build(int(sys.argv[2]))
     else:
         raise SystemExit(f"unknown mode {mode!r}")

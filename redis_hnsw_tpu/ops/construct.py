@@ -31,6 +31,7 @@ build within noise.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
@@ -46,11 +47,13 @@ def _point_sims(metric, q, qn, vecs, vn, ids):
     return _score(metric, q, qn, vecs, vn, ids[:, None], mask)[:, 0]
 
 
-@partial(jax.jit, static_argnames=("ef", "metric", "expand"))
+@partial(
+    jax.jit, static_argnames=("ef", "metric", "expand", "fetch_c")
+)
 def construct_scores(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer,
     queries, levels,
-    *, ef: int, metric: str, expand: int = 1,
+    *, ef: int, metric: str, expand: int = 1, fetch_c: int | None = None,
 ):
     """One device pass scoring a whole insert wave against the snapshot.
 
@@ -63,11 +66,17 @@ def construct_scores(
     (see ops/snapshot.py presizing).
 
     Returns:
-      up_ids, up_sims: [L_pad, W, ef] -- candidates at layer lc live at
+      up_ids, up_sims: [L_pad, W, C] -- candidates at layer lc live at
         index lc-1, valid only for lanes with levels >= lc and lc <=
         max_layer;
-      l0_ids, l0_sims: [W, ef] -- layer-0 candidates, all lanes;
+      l0_ids, l0_sims: [W, C] -- layer-0 candidates, all lanes;
       cross: [W, W] -- intra-wave similarity matrix (matmul form).
+
+    ``C = min(ef, fetch_c)``: the surgery step links only the top-m of
+    each sorted candidate list, so fetching the full ef-wide beam wastes
+    device->host bytes -- callers pass a small fetch_c (see _insert_wave).
+    The beam itself still runs at full ef width (search quality is
+    unchanged); only the returned slice narrows.
     """
     qn = _query_sqnorms(metric, queries)
     W = queries.shape[0]
@@ -112,11 +121,42 @@ def construct_scores(
         iters=(ef + expand - 1) // expand + BUILD_ITER_SLACK,
     )
 
+    c = min(ef, fetch_c) if fetch_c is not None else ef
+    up_ids = up_ids[..., :c]
+    up_sims = up_sims[..., :c]
+    l0_ids = l0_ids[:, :c]
+    l0_sims = l0_sims[:, :c]
+
     if metric == "hamming":
         cross = D.pairwise_hamming(queries, queries)
     else:
-        cross = D.pairwise_neg_sq_l2(queries, queries)
-    return up_ids, up_sims, l0_ids, l0_sims, cross
+        # euclidean cross sims are computed on the HOST (one small f32
+        # gemm) -- fetching the [W, W] matrix dominated device->host
+        # bytes on slow links (benchmarks/million.py profile mode)
+        cross = None
+    # pack everything into ONE int32 buffer (sims bitcast) so the host
+    # fetch is a single transfer -- separate np.asarray calls each paid a
+    # full link round-trip (measured ~150ms/call through the dev tunnel)
+    flat = jnp.concatenate([
+        up_ids.ravel(),
+        jax.lax.bitcast_convert_type(up_sims, jnp.int32).ravel(),
+        l0_ids.ravel(),
+        jax.lax.bitcast_convert_type(l0_sims, jnp.int32).ravel(),
+    ])
+    return flat, cross
+
+
+def unpack_scores(flat: np.ndarray, l_pad: int, w_pad: int, c: int):
+    """Host-side inverse of construct_scores' packed return."""
+    n_up = l_pad * w_pad * c
+    n_l0 = w_pad * c
+    up_ids = flat[:n_up].reshape(l_pad, w_pad, c)
+    up_sims = flat[n_up : 2 * n_up].view(np.float32).reshape(
+        l_pad, w_pad, c
+    )
+    l0_ids = flat[2 * n_up : 2 * n_up + n_l0].reshape(w_pad, c)
+    l0_sims = flat[2 * n_up + n_l0 :].view(np.float32).reshape(w_pad, c)
+    return up_ids, up_sims, l0_ids, l0_sims
 
 
 def _select_top_m(index, cand_ids, cand_sims, m, exclude):
@@ -162,6 +202,11 @@ def _shrink_over_cap(index, e_row, lc, m_cap):
 BUILD_EXPAND = 16   # candidates expanded per beam step during bulk build
 BUILD_ITER_SLACK = 8  # extra beam steps beyond ceil(ef/expand)
 
+# Per-phase wall-clock accumulator for bulk builds (None = off). Set to a
+# utils.profiling.PhaseTimer to split waves into snapshot-refresh /
+# device-pass / fetch / host-surgery; benchmarks/million.py reports it.
+BUILD_TIMER = None
+
 
 def add_batch(index, names, data, batch_size: int = 1024) -> None:
     """Bulk insert via device-scored waves. Entry for HNSWIndex.add_batch."""
@@ -187,17 +232,60 @@ def add_batch(index, names, data, batch_size: int = 1024) -> None:
     cfg = index.config
     ef = cfg.ef_construction
     lo = start
+    # note: prefetching the next wave's query upload behind this wave's
+    # device pass / fetch / surgery was tried and measured SLOWER on the
+    # dev tunnel (953 vs 1122 adds/s at 30k) -- the link is effectively
+    # half-duplex, so the overlapped upload delays the result fetch.
     while lo < len(names):
         # cap the wave so its visited maps fit the device budget
         from .search import max_lanes_for
 
-        cap = max_lanes_for(index.device_snapshot().n_pad)
+        with _phase("snapshot_refresh"):
+            cap = max_lanes_for(index.device_snapshot().n_pad)
         hi = min(lo + min(batch_size, cap), len(names))
         _insert_wave(index, names[lo:hi], data[lo:hi], ef)
         lo = hi
 
 
-def _insert_wave(index, names, data, ef: int) -> None:
+def _pad_lanes(qs: np.ndarray) -> np.ndarray:
+    """Pad wave lanes to the next power of two (zero vectors)."""
+    w = qs.shape[0]
+    w_pad = 8
+    while w_pad < w:
+        w_pad *= 2
+    if w_pad == w:
+        return qs
+    return np.concatenate(
+        [qs, np.zeros((w_pad - w, qs.shape[1]), qs.dtype)]
+    )
+
+
+def _host_cross(qs: np.ndarray) -> np.ndarray:
+    """[W, W] matmul-form negative squared L2 on the host.
+
+    torch's sgemm is ~50x numpy's on this class of box (single core,
+    generic BLAS in numpy); fall back to numpy where torch is missing.
+    """
+    try:
+        import torch
+
+        dots = (torch.from_numpy(qs) @ torch.from_numpy(qs).T).numpy()
+    except ImportError:  # pragma: no cover
+        dots = qs @ qs.T
+    qq = np.einsum("wd,wd->w", qs, qs)
+    return (2.0 * dots - qq[:, None] - qq[None, :]).astype(np.float32)
+
+
+def _phase(name: str):
+    """Timing context for one bulk-build phase (no-op unless BUILD_TIMER)."""
+    if BUILD_TIMER is None:
+        return contextlib.nullcontext()
+    return BUILD_TIMER.phase(name)
+
+
+def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
+    """Insert one wave; returns the prefetched next-wave device queries
+    (if a ``prefetch`` callable was given) so add_batch can reuse them."""
     cfg = index.config
     W = len(names)
     # 1. sample levels (core.rs:601-605) and validate
@@ -219,52 +307,74 @@ def _insert_wave(index, names, data, ef: int) -> None:
     w_pad = 8
     while w_pad < W:
         w_pad *= 2
-    qs_d = qs
     levels_d = levels
     if w_pad != W:
-        qs_d = np.concatenate(
-            [qs, np.zeros((w_pad - W, qs.shape[1]), qs.dtype)]
-        )
         levels_d = np.concatenate(
             [levels, np.zeros(w_pad - W, levels.dtype)]
         )
-    qs_dev = jnp.asarray(qs_d)
-    up_ids, up_sims, l0_ids, l0_sims, cross = construct_scores(
-        snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
-        snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
-        ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
-    )
-    up_ids = np.asarray(up_ids)
-    up_sims = np.asarray(up_sims)
-    l0_ids = np.asarray(l0_ids)
-    l0_sims = np.asarray(l0_sims)
-    cross = np.asarray(cross)
+    # only the top-m of each sorted candidate list is ever linked
+    # (plus slack for rows freed since the snapshot / intra-lane dups):
+    # fetch a narrow slice, not the full ef-wide beam
+    fetch_c = min(ef, max(4 * cfg.m, cfg.m_max_0 + 16, 32))
+    n_up_used = int(min(l_max, int(levels.max(initial=0))))
+    with _phase("device_pass"):
+        if qs_dev is None:
+            qs_dev = jnp.asarray(_pad_lanes(qs))
+        flat, cross = construct_scores(
+            snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
+            snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
+            ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
+            fetch_c=fetch_c,
+        )
+    if cross is None:
+        # euclidean intra-wave sims: small host gemm (matmul form, f32)
+        # beats shipping [W, W] f32 over the link, and overlaps the
+        # in-flight device pass; both backends consume this same array,
+        # so py/native builds stay identical
+        with _phase("host_cross"):
+            cross = _host_cross(qs)
+    with _phase("fetch_results"):
+        # one D2H transfer of the packed buffer, then host-side slicing
+        up_ids, up_sims, l0_ids, l0_sims = unpack_scores(
+            np.asarray(flat),
+            l_pad=int(snap.adj_up.shape[0]),
+            w_pad=w_pad,
+            c=fetch_c,
+        )
+        up_ids = np.ascontiguousarray(up_ids[:n_up_used, :W])
+        up_sims = np.ascontiguousarray(up_sims[:n_up_used, :W])
+        l0_ids = np.ascontiguousarray(l0_ids[:W])
+        l0_sims = np.ascontiguousarray(l0_sims[:W])
+        if isinstance(cross, jnp.ndarray):
+            cross = np.asarray(cross[:W, :W])
+    nxt = prefetch() if prefetch is not None else None
 
     # 3. host surgery, in wave order (core.rs:523-599 per insert)
     if index._native is not None:
-        rows = np.empty(W, np.int32)
-        for i in range(W):
-            rows[i] = index._alloc_row(
-                names[i], qs[i], level=int(levels[i])
+        with _phase("host_surgery"):
+            rows = np.empty(W, np.int32)
+            for i in range(W):
+                rows[i] = index._alloc_row(
+                    names[i], qs[i], level=int(levels[i])
+                )
+            # the wave's vectors are already device-resident (the
+            # construct queries); let the snapshot delta scatter them
+            # from HBM instead of re-uploading
+            # (ops/snapshot.py::_delta_snapshot)
+            index._pending_wave_vecs = (rows.copy(), qs_dev[:W])
+            index._native.apply_wave(
+                rows, levels,
+                np.ascontiguousarray(up_ids),
+                np.ascontiguousarray(up_sims),
+                np.ascontiguousarray(l0_ids),
+                np.ascontiguousarray(l0_sims),
+                np.ascontiguousarray(cross),
+                l_max,
             )
-        # the wave's vectors are already device-resident (the construct
-        # queries); let the snapshot delta scatter them from HBM instead
-        # of re-uploading (ops/snapshot.py::_delta_snapshot)
-        index._pending_wave_vecs = (rows.copy(), qs_dev[:W])
-        n_up_used = int(min(l_max, int(levels.max(initial=0))))
-        index._native.apply_wave(
-            rows, levels,
-            np.ascontiguousarray(up_ids[:n_up_used, :W]),
-            np.ascontiguousarray(up_sims[:n_up_used, :W]),
-            np.ascontiguousarray(l0_ids[:W]),
-            np.ascontiguousarray(l0_sims[:W]),
-            np.ascontiguousarray(cross[:W, :W]),
-            l_max,
-        )
-        for i in range(W):
-            index._finish_insert(int(rows[i]), int(levels[i]))
-        index._bump()
-        return
+            for i in range(W):
+                index._finish_insert(int(rows[i]), int(levels[i]))
+            index._bump()
+        return nxt
 
     rows = np.empty(W, np.int64)
     m = cfg.m
@@ -305,3 +415,4 @@ def _insert_wave(index, names, data, ef: int) -> None:
 
         index._finish_insert(row, l)
     index._bump()
+    return nxt

@@ -32,7 +32,9 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -223,84 +225,159 @@ def _pad_rows(rows: np.ndarray) -> np.ndarray:
     return np.concatenate([rows, np.full(p - n, rows[0], rows.dtype)])
 
 
+@partial(jax.jit, static_argnames=("wave_vecs",))
+def _apply_delta(
+    vecs, sq, adj0, adj_up, upper_of,           # prev tables
+    vrows, vec_src, vec_sel, sq_data,           # vector updates
+    arows, adj0_data, upof_vals,                # layer-0 + slot map
+    wipe_flat,                                  # freed slots x all layers
+    up_flat, up_data,                           # upper adjacency rows
+    ep, max_layer,
+    *, wave_vecs: bool,
+):
+    """One fused device program applying a whole dirty-row delta.
+
+    The unfused version issued ~5 + max_layer separate eager scatters per
+    refresh; on a high-latency link each dispatch round-trip dominated the
+    actual bytes (measured 1.7s/refresh for ~1.3MB of adjacency). One
+    program, one dispatch.
+
+    Ordering invariant: the freed-slot wipe runs BEFORE the upper-row
+    scatter (ADVICE r1 high -- a freed slot reallocated to a dirty row
+    must keep the fresh adjacency).
+    """
+    if wave_vecs:
+        vec_data = vec_src[vec_sel]   # device-resident wave vectors
+    else:
+        vec_data = vec_src            # host-uploaded rows
+    vecs = vecs.at[vrows].set(vec_data)
+    sq = sq.at[vrows].set(sq_data)
+    adj0 = adj0.at[arows].set(adj0_data)
+    upper_of = upper_of.at[arows].set(upof_vals)
+    shape_up = adj_up.shape
+    adj_up_f = adj_up.reshape(-1, shape_up[2])
+    adj_up_f = adj_up_f.at[wipe_flat].set(-1)
+    adj_up_f = adj_up_f.at[up_flat].set(up_data)
+    return vecs, sq, adj0, adj_up_f.reshape(shape_up), upper_of, ep, max_layer
+
+
 def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
-    """Scatter dirty rows into the previous device arrays."""
+    """Assemble one fused scatter applying all dirty rows to the
+    previous device arrays (vectors, sqnorms, layer-0 adjacency, upper
+    adjacency, slot map, freed-slot wipes) in a single device call."""
     dirty = np.unique(index.drain_dirty())
     vec_new = index._dirty_vec
     index._dirty_vec = set()
+    deg0 = prev.adj0.shape[1]
+    deg_up = prev.adj_up.shape[2]
+    u_pad = prev.adj_up.shape[1]
 
-    vecs = prev.vecs
-    sq = prev.sqnorms
+    # -- vector updates ------------------------------------------------
     pending = getattr(index, "_pending_wave_vecs", None)
     index._pending_wave_vecs = None
-    if (
-        pending is not None
-        and vec_new == set(int(r) for r in pending[0])
-    ):
+    dim = prev.vecs.shape[1]
+    vdt = prev.vecs.dtype
+    if pending is not None and vec_new == set(int(r) for r in pending[0]):
         # the wave's vectors already sit in HBM (construct queries):
-        # scatter device-to-device, no host re-upload
+        # gather+scatter device-to-device inside the fused program
         rows, qdev = pending
         w = len(rows)
-        rows = _pad_rows(rows.astype(np.int64))
-        # padded index slots repeat rows[0], so padded data slots must
-        # repeat the first wave vector
-        sel = np.zeros(len(rows), np.int32)
-        sel[:w] = np.arange(w)
-        qdev = qdev[jnp.asarray(sel)]
-        vecs = vecs.at[rows].set(qdev)
-        # sqnorms host-side (tiny upload) so they are bit-identical to a
-        # full rebuild's einsum -- the byte savings live in the vectors
-        sq = sq.at[rows].set(
-            jnp.asarray(_sqnorms_np(index, index._vectors[rows]))
-        )
+        vrows = _pad_rows(rows.astype(np.int64))
+        # padded index slots repeat vrows[0] = rows[0], so padded data
+        # slots must repeat wave lane 0
+        vec_sel = np.zeros(len(vrows), np.int32)
+        vec_sel[:w] = np.arange(w)
+        vec_src = qdev
+        wave_vecs = True
     elif vec_new:
         vrows = _pad_rows(np.fromiter(vec_new, np.int64, len(vec_new)))
-        vdata = index._vectors[vrows]
-        vecs = vecs.at[vrows].set(jnp.asarray(vdata))
-        sq = sq.at[vrows].set(jnp.asarray(_sqnorms_np(index, vdata)))
+        vec_src = index._vectors[vrows]
+        vec_sel = np.zeros(len(vrows), np.int32)  # unused
+        wave_vecs = False
+    else:
+        vrows = np.zeros(0, np.int64)
+        vec_src = np.zeros((0, dim), vdt)
+        vec_sel = np.zeros(0, np.int32)
+        wave_vecs = False
+    # sqnorms host-side (tiny upload) so they are bit-identical to a
+    # full rebuild's einsum -- the byte savings live in the vectors
+    sq_data = _sqnorms_np(index, index._vectors[vrows])
 
-    adj0 = prev.adj0
-    adj_up = prev.adj_up
-    upper_of = prev.upper_of
-    # freed upper slots: wipe their rows at every layer BEFORE scattering
-    # dirty rows -- a slot freed by delete and reallocated by a later
-    # insert belongs to a dirty row, whose fresh adjacency must survive
-    # the wipe (wiping after the scatter erased it; ADVICE r1 high)
-    freed = index._freed_slots_pending
-    if freed:
-        index._freed_slots_pending = []
-        fr = _pad_rows(np.asarray(freed, np.int32))
-        adj_up = adj_up.at[:, fr].set(-1)
+    # -- layer-0 adjacency + slot map over dirty rows --------------------
     if dirty.size:
-        deg0 = prev.adj0.shape[1]
-        deg_up = prev.adj_up.shape[2]
-        dirty_p = _pad_rows(dirty)
-        adj0 = adj0.at[dirty_p].set(
-            jnp.asarray(_row_adj(index, dirty_p, 0, deg0))
+        arows = _pad_rows(dirty)
+        adj0_data = _row_adj(index, arows, 0, deg0)
+        upof_vals = np.array(
+            [index._upper_slot.get(int(r), -1) for r in arows], np.int32
         )
-        # upper_of for dirty rows: slot or -1 (covers frees + allocs)
-        slots = np.array(
-            [index._upper_slot.get(int(r), -1) for r in dirty_p], np.int32
+    else:
+        arows = np.zeros(0, np.int32)
+        adj0_data = np.zeros((0, deg0), np.int32)
+        upof_vals = np.zeros(0, np.int32)
+
+    # -- freed upper slots: wipe rows at EVERY layer ---------------------
+    freed = index._freed_slots_pending
+    index._freed_slots_pending = []
+    n_layers_tot = prev.adj_up.shape[0]
+    if freed:
+        fr = np.asarray(freed, np.int64)
+        wipe_flat = _pad_rows(
+            (
+                np.arange(n_layers_tot, dtype=np.int64)[:, None] * u_pad
+                + fr[None, :]
+            ).ravel()
         )
-        upper_of = upper_of.at[dirty_p].set(jnp.asarray(slots))
-        has_up = slots >= 0
-        if has_up.any():
-            up_rows = _pad_rows(dirty_p[has_up].astype(np.int32))
-            up_slots = np.array(
-                [index._upper_slot[int(r)] for r in up_rows], np.int32
-            )
-            for lc in range(1, int(index.max_layer) + 1):
-                adj_up = adj_up.at[lc - 1, up_slots].set(
-                    jnp.asarray(_row_adj(index, up_rows, lc, deg_up))
-                )
+    else:
+        wipe_flat = np.zeros(0, np.int64)
+
+    # -- upper adjacency rows (flat (layer, slot) space) ------------------
+    has_up = upof_vals >= 0 if dirty.size else np.zeros(0, bool)
+    if dirty.size and has_up.any():
+        up_rows = arows[has_up].astype(np.int32)
+        up_slots = upof_vals[has_up].astype(np.int64)
+        n_l = int(index.max_layer)
+        flat = (
+            np.arange(n_l, dtype=np.int64)[:, None] * u_pad
+            + up_slots[None, :]
+        ).ravel()
+        blocks = [
+            _row_adj(index, up_rows, lc, deg_up)
+            for lc in range(1, n_l + 1)
+        ]
+        data = (
+            np.concatenate(blocks, axis=0)
+            if blocks
+            else np.zeros((0, deg_up), np.int32)
+        )
+        up_flat = _pad_rows(flat)
+        if len(up_flat) != len(flat):
+            pad = np.repeat(data[:1], len(up_flat) - len(flat), axis=0)
+            data = np.concatenate([data, pad], axis=0)
+        up_data = data
+    else:
+        up_flat = np.zeros(0, np.int64)
+        up_data = np.zeros((0, deg_up), np.int32)
+
+    out = _apply_delta(
+        prev.vecs, prev.sqnorms, prev.adj0, prev.adj_up, prev.upper_of,
+        jnp.asarray(vrows), vec_src, jnp.asarray(vec_sel),
+        jnp.asarray(sq_data),
+        jnp.asarray(arows), jnp.asarray(adj0_data), jnp.asarray(upof_vals),
+        jnp.asarray(wipe_flat),
+        jnp.asarray(up_flat), jnp.asarray(up_data),
+        jnp.asarray(max(index.enterpoint, 0), jnp.int32),
+        jnp.asarray(index.max_layer, jnp.int32),
+        wave_vecs=wave_vecs,
+    )
+    vecs, sq, adj0, adj_up, upper_of, ep, max_layer = out
     return Snapshot(
         vecs=vecs,
         sqnorms=sq,
         adj0=adj0,
         adj_up=adj_up,
         upper_of=upper_of,
-        ep=jnp.asarray(max(index.enterpoint, 0), jnp.int32),
-        max_layer=jnp.asarray(index.max_layer, jnp.int32),
+        ep=ep,
+        max_layer=max_layer,
         metric=prev.metric,
         n_pad=prev.n_pad,
     )
