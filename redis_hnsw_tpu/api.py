@@ -59,8 +59,14 @@ class HNSW:
         seed: int | None = None,
         kind: str = "hnsw",
         backend: str = "auto",
+        n_shards: int | None = None,
     ):
-        """HNSW.NEW. Returns the index handle (reference returns "OK")."""
+        """HNSW.NEW. Returns the index handle (reference returns "OK").
+
+        ``kind="sharded"`` partitions the corpus over the device mesh
+        (``n_shards`` defaults to every visible device) -- the multi-chip
+        scale-out axis the reference lacks; same command surface.
+        """
         with self._lock:
             if name in self._indices:
                 raise IndexExists(name)
@@ -78,6 +84,10 @@ class HNSW:
                 idx = HNSWIndex(name, cfg)
             elif kind == "flat":
                 idx = FlatIndex(name, cfg)
+            elif kind == "sharded":
+                from .parallel.sharded import ShardedHNSW
+
+                idx = ShardedHNSW(name, cfg, n_shards=n_shards)
             else:
                 raise ValueError(f"unknown index kind: {kind!r}")
             self._indices[name] = idx
@@ -93,14 +103,14 @@ class HNSW:
     def get_index(self, name: str) -> dict:
         """HNSW.GET -- index metadata reply (src/types.rs:122-155)."""
         idx = self.index(name)
-        if isinstance(idx, HNSWIndex):
-            return idx.info()
-        return {
-            "name": idx.name,
-            "metric": idx.config.metric.capitalize(),
-            "data_dim": idx.config.dim,
-            "node_count": idx.node_count,
-        }
+        if isinstance(idx, FlatIndex):
+            return {
+                "name": idx.name,
+                "metric": idx.config.metric.capitalize(),
+                "data_dim": idx.config.dim,
+                "node_count": idx.node_count,
+            }
+        return idx.info()  # HNSWIndex and ShardedHNSW
 
     def delete_index(self, name: str) -> int:
         """HNSW.DEL -- drops the index and all nodes; returns 1."""
@@ -154,22 +164,34 @@ class HNSW:
 
     def save_index(self, index: str, path: str) -> None:
         """Checkpoint an index to disk (reference: RDB save callbacks,
-        src/types.rs:157-284)."""
-        from .models.hnsw import HNSWIndex
+        src/types.rs:157-284). HNSW indexes save to one npz file; sharded
+        indexes save to a directory (one npz per shard + manifest)."""
+        from .parallel.sharded import ShardedHNSW
         from .utils.checkpoint import save_index as _save
 
         idx = self.index(index)
-        if not isinstance(idx, HNSWIndex):
-            raise HNSWError("only hnsw indexes support checkpointing")
         with self._lock:
-            _save(idx, path)
+            if isinstance(idx, ShardedHNSW):
+                idx.save(path)
+            elif isinstance(idx, HNSWIndex):
+                _save(idx, path)
+            else:
+                raise HNSWError("only hnsw indexes support checkpointing")
 
     def restore_index(self, path: str, name: str | None = None):
         """Restore an index from a checkpoint and register it (reference:
-        RDB load + make_index rehydration, src/lib.rs:229-315)."""
+        RDB load + make_index rehydration, src/lib.rs:229-315). A
+        directory containing ``manifest.json`` restores as sharded."""
+        import os
+
         from .utils.checkpoint import load_index as _load
 
-        idx = _load(path)
+        if os.path.isdir(path):
+            from .parallel.sharded import ShardedHNSW
+
+            idx = ShardedHNSW.restore(path)
+        else:
+            idx = _load(path)
         if name is not None:
             idx.name = name
         with self._lock:

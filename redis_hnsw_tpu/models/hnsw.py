@@ -131,6 +131,9 @@ class HNSWIndex:
         # updates never reshuffle the adj_up table.
         self._dirty_adj: set[int] = set()
         self._dirty_vec: set[int] = set()
+        # Periodic write-through durability (see enable_autosave).
+        self._autosave: tuple[str, int, bool] | None = None
+        self._autosave_pending = 0
         self._upper_slot: dict[int, int] = {}
         self._upper_free: list[int] = []
         self._freed_slots_pending: list[int] = []
@@ -609,10 +612,44 @@ class HNSWIndex:
     def __len__(self) -> int:
         return self.node_count
 
+    # -- durability -----------------------------------------------------------
+
+    def enable_autosave(
+        self, path: str, every_ops: int = 8192, compress: bool = False
+    ) -> None:
+        """Bounded-loss write-through persistence.
+
+        The reference persists every dirtied node on every mutation
+        through its Redis write-through plumbing (src/lib.rs:446-460,
+        update_fn at src/hnsw/core.rs:580-584), so a crash loses nothing.
+        Here one *atomic* full checkpoint (utils/checkpoint.py, tmp +
+        rename) lands after every ``every_ops`` mutations -- per-op host
+        I/O would serialize the batched build, so the loss bound is a
+        knob instead of zero. ``every_ops=1`` recovers reference-strength
+        durability for sequential workloads.
+        """
+        self._autosave = (str(path), max(1, int(every_ops)), bool(compress))
+        self._autosave_pending = 0
+
+    def disable_autosave(self) -> None:
+        self._autosave = None
+
+    def _maybe_autosave(self, ops: int) -> None:
+        if self._autosave is None:
+            return
+        self._autosave_pending += ops
+        path, every, compress = self._autosave
+        if self._autosave_pending >= every:
+            from ..utils.checkpoint import save_index
+
+            save_index(self, path, compress=compress)
+            self._autosave_pending = 0
+
     # -- device snapshot plumbing -------------------------------------------
 
-    def _bump(self) -> None:
+    def _bump(self, ops: int = 1) -> None:
         self._epoch += 1
+        self._maybe_autosave(ops)
 
     def drain_dirty(self) -> np.ndarray:
         """Rows whose adjacency changed since the last snapshot (clears)."""

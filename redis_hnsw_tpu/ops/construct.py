@@ -373,7 +373,7 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
             )
             for i in range(W):
                 index._finish_insert(int(rows[i]), int(levels[i]))
-            index._bump()
+            index._bump(W)
         return nxt
 
     rows = np.empty(W, np.int64)
@@ -414,5 +414,5 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
                 _shrink_over_cap(index, e_row, lc, m_cap)
 
         index._finish_insert(row, l)
-    index._bump()
+    index._bump(W)
     return nxt

@@ -230,6 +230,22 @@ class ShardedHNSW:
 
     # -- search -----------------------------------------------------------------
 
+    def search_knn(
+        self, data, k: int, ef_search: int | None = None
+    ) -> list[SearchResult]:
+        """Single-query host search across all shards (scatter-gather).
+
+        Each shard runs the reference-exact ``search_knn``
+        (models/hnsw.py); the per-shard top-k merge sorts by
+        (-sim, name) -- shard-local row ids are meaningless globally, so
+        the name is the deterministic tiebreak."""
+        per_shard = [
+            s.search_knn(data, k, ef_search=ef_search) for s in self.shards
+        ]
+        merged = [r for rs in per_shard for r in rs]
+        merged.sort(key=lambda r: (-r.sim, r.name))
+        return merged[:k]
+
     def search_batch(
         self, queries, k: int, ef_search: int | None = None,
         expand: int = 1, iters: int | None = None,

@@ -21,6 +21,10 @@ reference's encoders byte-for-byte in structure:
 
 Commands execute serially (one worker), like Redis's event loop -- which
 is exactly the reference's concurrency model.
+
+Extensions beyond the reference's seven commands: HNSW.SAVE / HNSW.RESTORE
+give wire-level durability (the reference leans on Redis RDB snapshots,
+src/types.rs:157-284, which a standalone server does not have).
 """
 
 from __future__ import annotations
@@ -197,6 +201,20 @@ class Dispatcher:
             ]
         if cmd == "hnsw.node.del":
             return c.delete_node(args[0], args[1])
+        if cmd == "hnsw.save":
+            # Wire-level durability: the reference gets persistence for
+            # free from Redis RDB snapshots of its keyspace
+            # (src/types.rs:157-284); standalone serving needs an explicit
+            # command pair. HNSW.SAVE <index> PATH <path> -> +OK
+            kw = _kwargs(args[1:])
+            c.save_index(args[0], kw["path"])
+            return OK
+        if cmd == "hnsw.restore":
+            # HNSW.RESTORE <index> PATH <path> -> +OK; registers the
+            # checkpoint under <index> (restart story for RESP clients).
+            kw = _kwargs(args[1:])
+            c.restore_index(kw["path"], name=args[0])
+            return OK
         if cmd == "hnsw.search":
             kw = _kwargs(args[1:], vec_keys=("query",))
             k = int(kw.get("k", 5))

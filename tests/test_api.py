@@ -122,6 +122,50 @@ def test_batched_api():
     assert [r[0].name for r in res] == names[:4]
 
 
+def test_sharded_index_kind(tmp_path, rng):
+    """kind="sharded" participates in the full client surface: node ops,
+    single + batched search, save/restore (VERDICT r1 item 9)."""
+    client = HNSW()
+    idx = client.create_index(
+        "s", dim=16, m=8, ef_construction=48, seed=3,
+        kind="sharded", n_shards=4,
+    )
+    assert idx.n_shards == 4
+    n = 300
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    client.add_batch("s", names, data)
+
+    info = client.get_index("s")
+    assert info["node_count"] == n and info["n_shards"] == 4
+
+    # single-query scatter-gather (host parity per shard)
+    res = client.search("s", data[7], k=3)
+    assert res[0].name == "n7" and abs(res[0].sim) < 1e-5
+    sims = [r.sim for r in res]
+    assert sims == sorted(sims, reverse=True)
+
+    # batched device path through the client
+    bres = client.search_batch("s", data[:4], k=1)
+    assert [r[0].name for r in bres] == names[:4]
+
+    # node ops route to the owning shard
+    node = client.get_node("s", "n5")
+    np.testing.assert_array_equal(node["data"], data[5])
+    client.delete_node("s", "n5")
+    assert client.get_index("s")["node_count"] == n - 1
+    client.add_node("s", "n5", data[5])
+
+    # save -> restore under a fresh client (directory checkpoint)
+    d = str(tmp_path / "shck")
+    client.save_index("s", d)
+    other = HNSW()
+    back = other.restore_index(d, name="s2")
+    assert back.node_count == n
+    res2 = other.search("s2", data[7], k=3)
+    assert [r.name for r in res2] == [r.name for r in res]
+
+
 def test_high_dim_gist_style(rng):
     """960-d vectors (GIST regime, BASELINE config 3): distance-bound
     shapes must work through build and batched search."""

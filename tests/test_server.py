@@ -105,3 +105,45 @@ def test_cmd_sh_flow_over_wire(server):
         c.cmd("HNSW.GET", "test1")
     assert c.cmd("QUIT") == "OK"
     c.close()
+
+
+def test_save_restore_over_wire(server, tmp_path):
+    """Wire-level durability (VERDICT r1 item 10): SAVE over the wire,
+    "restart" (a fresh server with an empty registry), RESTORE, search.
+    The reference leans on Redis RDB for this (src/types.rs:157-284)."""
+    c = RespClient(server)
+    dim = 8
+    assert c.cmd("HNSW.NEW", "dur", "DIM", str(dim), "M", "5") == "OK"
+    for i in range(1, 21):
+        vec = [str(float(i))] * dim
+        assert (
+            c.cmd("HNSW.NODE.ADD", "dur", f"node{i}", "DATA", str(dim), *vec)
+            == "OK"
+        )
+    path = str(tmp_path / "dur.npz")
+    assert c.cmd("HNSW.SAVE", "dur", "PATH", path) == "OK"
+    c.close()
+
+    # restart: a brand-new server process state
+    srv2 = HNSWServer(port=0)
+    srv2.serve_background()
+    try:
+        c2 = RespClient(srv2.server_address[1])
+        with pytest.raises(RuntimeError, match="does not exist"):
+            c2.cmd("HNSW.GET", "dur")
+        assert c2.cmd("HNSW.RESTORE", "dur", "PATH", path) == "OK"
+        info = dict(
+            (lambda it: zip(it[::2], it[1::2]))(c2.cmd("HNSW.GET", "dur"))
+        )
+        assert int(info["node_count"]) == 20
+        res = c2.cmd(
+            "HNSW.SEARCH", "dur", "K", "3", "QUERY", str(dim),
+            *["2.0"] * dim,
+        )
+        assert res[0] == 3
+        first = dict(zip(res[1][::2], res[1][1::2]))
+        assert first["name"] == "node2"
+        assert float(first["similarity"]) == 0.0
+        c2.close()
+    finally:
+        srv2.shutdown()
