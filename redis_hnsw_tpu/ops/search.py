@@ -232,9 +232,16 @@ def beam_search(
         nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
 
         # Merge beam U frontier: one stable variadic sort of the full
-        # window, equal-adjacent dedup, then a second sort pushes the
-        # dups out and the slice truncates to ef. Ties keep incumbents
-        # (lower concat index), matching the reference's strict > test.
+        # window on the COMPOUND key (-sim, id), equal-adjacent dedup,
+        # then a second sort pushes the dups out and the slice truncates
+        # to ef. The id must be a sort key, not just an operand: with
+        # sim-only keys, two copies of node X can straddle a
+        # sim-tied node Y and both survive the adjacent-equal dedup --
+        # vanishingly rare for f32 euclidean sims, pervasive for integer
+        # hamming sims (measured recall@10 0.54 from duplicated replies).
+        # Equal (sim, id) copies stay in concat order (stable sort), so
+        # the incumbent -- and its expanded flag -- survives the dedup;
+        # distinct-id ties now break by id, the documented reply order.
         all_key = jnp.concatenate([-beam_sims, -nsims], axis=1)
         all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
         all_exp = jnp.concatenate(
@@ -242,7 +249,7 @@ def beam_search(
         )
         k1, i1, e1 = jax.lax.sort(
             (all_key, all_ids, all_exp), dimension=1, is_stable=True,
-            num_keys=1,
+            num_keys=2,
         )
         dup = jnp.concatenate(
             [

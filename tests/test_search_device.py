@@ -113,3 +113,30 @@ def test_device_search_after_deletes(built):
         assert r, "search returned nothing after deletes"
         for item in r:
             assert item.name in surviving
+
+
+def test_device_hamming_no_duplicates_and_recall():
+    """Integer hamming sims collide constantly; the beam's dedup must key
+    the merge sort on (-sim, id), not sim alone, or duplicated replies
+    crater recall (regression: 0.54 observed from sim-only keys)."""
+    rng = np.random.default_rng(3)
+    n, words, k = 400, 8, 10
+    data = rng.integers(0, 2**32, (n, words), dtype=np.uint32)
+    queries = rng.integers(0, 2**32, (48, words), dtype=np.uint32)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex(
+        "hd",
+        IndexConfig(dim=256, m=8, ef_construction=48,
+                    metric="hamming", seed=7),
+    )
+    idx.add_batch(names, data, batch_size=256)
+    oracle = FlatIndex("o", IndexConfig(dim=256, metric="hamming"))
+    oracle.add_batch(names, data)
+    truth = [{r.name for r in t} for t in oracle.search_batch(queries, k)]
+    res = idx.search_batch(queries, k, ef_search=64, expand=16, iters=12)
+    hits = 0
+    for b, rr in enumerate(res):
+        got = [r.name for r in rr]
+        assert len(got) == len(set(got)), f"duplicate reply: {got}"
+        hits += len(set(got) & truth[b])
+    assert hits / (k * len(queries)) >= 0.95
