@@ -52,7 +52,7 @@ def _point_sims(metric, q, qn, vecs, vn, ids):
 )
 def construct_scores(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer,
-    queries, levels,
+    queries, levels, nbrvec=None, nbrsqn=None,
     *, ef: int, metric: str, expand: int = 1, fetch_c: int | None = None,
 ):
     """One device pass scoring a whole insert wave against the snapshot.
@@ -119,6 +119,7 @@ def construct_scores(
         metric, queries, qn, vecs, sqn, adj0, ids, sims, ef,
         expand=expand,
         iters=(ef + expand - 1) // expand + BUILD_ITER_SLACK,
+        nbrvec=nbrvec, nbrsqn=nbrsqn,
     )
 
     c = min(ef, fetch_c) if fetch_c is not None else ef
@@ -323,6 +324,7 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
         flat, cross = construct_scores(
             snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
             snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
+            snap.nbrvec, snap.nbrsqn,
             ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
             fetch_c=fetch_c,
         )

@@ -115,6 +115,53 @@ def frontier_neg_sq_l2(
     return jnp.where(mask, sims, NEG_INF)
 
 
+def block_neg_sq_l2(
+    q: jnp.ndarray,          # [B, D]
+    q_sqnorm: jnp.ndarray,   # [B]
+    nbrvec: jnp.ndarray,     # [N, F, D] neighbor-vector blocks (f32/bf16)
+    nbrsqn: jnp.ndarray,     # [N, F] f32 neighbor sqnorms
+    cand: jnp.ndarray,       # [B, E] parent row ids (in-range)
+    mask: jnp.ndarray,       # [B, E*F] bool over the flattened frontier
+) -> jnp.ndarray:            # [B, E*F]
+    """Matmul-form frontier scoring via *blocked* neighbor gathers.
+
+    TPU gathers cost ~13ns per ROW regardless of row bytes, locality or
+    dtype (measured on a v5e at N=512k; see ops/search.py). Gathering
+    each candidate's neighbors one row at a time ([B, E*F] rows) is
+    therefore issue-bound. The snapshot instead materializes every
+    node's neighbor vectors contiguously (``nbrvec[x] = vecs[adj0[x]]``,
+    ops/snapshot.py) so the frontier needs only [B, E] *block* gathers --
+    F times fewer issues for the same useful bytes. Measured 2.7x faster
+    per beam step at the bench operating point.
+    """
+    B, E = cand.shape
+    F = nbrvec.shape[1]
+    blocks = nbrvec[cand]                # [B, E, F, D]
+    fn = nbrsqn[cand].reshape(B, E * F)
+    dots = jnp.einsum(
+        "bd,befd->bef", q, blocks.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, E * F)
+    sims = 2.0 * dots - q_sqnorm[:, None] - fn
+    return jnp.where(mask, sims, NEG_INF)
+
+
+def block_hamming(
+    q: jnp.ndarray,          # [B, W] uint32
+    nbrvec: jnp.ndarray,     # [N, F, W] uint32 neighbor blocks
+    cand: jnp.ndarray,       # [B, E]
+    mask: jnp.ndarray,       # [B, E*F]
+) -> jnp.ndarray:
+    B, E = cand.shape
+    F = nbrvec.shape[1]
+    blocks = nbrvec[cand]                                  # [B, E, F, W]
+    xo = jnp.bitwise_xor(q[:, None, None, :], blocks)
+    sims = -jnp.sum(
+        jax.lax.population_count(xo), axis=-1
+    ).astype(jnp.float32).reshape(B, E * F)
+    return jnp.where(mask, sims, NEG_INF)
+
+
 def exact_neg_sq_l2(
     q: jnp.ndarray,        # [B, D]
     vecs: jnp.ndarray,     # [N, D]

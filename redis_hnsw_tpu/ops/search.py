@@ -128,6 +128,7 @@ def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
 def beam_search(
     metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int,
     row_map=None, active=None, expand: int = 1, iters: int | None = None,
+    nbrvec=None, nbrsqn=None,
 ):
     """Run the ef-wide beam for every lane; returns sorted (ids, sims).
 
@@ -228,8 +229,20 @@ def beam_search(
         nbrs = jnp.where((crow >= 0)[:, :, None], nbrs, -1)
         nbrs = nbrs.reshape(B, E * F)
         fresh = nbrs >= 0
-        nb_safe = jnp.maximum(nbrs, 0)
-        nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
+        if nbrvec is not None:
+            # Blocked frontier scoring: [B, E] contiguous block gathers
+            # instead of [B, E*F] row gathers (per-row issue cost
+            # dominates TPU gathers -- ops/distance.py block_neg_sq_l2).
+            csafe = jnp.maximum(crow, 0)
+            if metric == "hamming":
+                nsims = D.block_hamming(q, nbrvec, csafe, fresh)
+            else:
+                nsims = D.block_neg_sq_l2(
+                    q, qn, nbrvec, nbrsqn, csafe, fresh
+                )
+        else:
+            nb_safe = jnp.maximum(nbrs, 0)
+            nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
 
         # Merge beam U frontier: one stable variadic sort of the full
         # window on the COMPOUND key (-sim, id), equal-adjacent dedup,
@@ -283,7 +296,7 @@ def beam_search(
 def search_pipeline(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer, queries,
     *, ef: int, k: int, metric: str, expand: int = 1,
-    iters: int | None = None,
+    iters: int | None = None, nbrvec=None, nbrsqn=None,
 ):
     qn = _query_sqnorms(metric, queries)
     ep_ids, ep_sims = greedy_descent(
@@ -291,7 +304,7 @@ def search_pipeline(
     )
     beam_ids, beam_sims = beam_search(
         metric, queries, qn, vecs, sqn, adj0, ep_ids, ep_sims, ef,
-        expand=expand, iters=iters,
+        expand=expand, iters=iters, nbrvec=nbrvec, nbrsqn=nbrsqn,
     )
     k_eff = min(k, ef)
     k_ids = beam_ids[:, :k_eff]
@@ -349,6 +362,7 @@ def _run_search(snap, qs, ef: int, k: int, expand: int, iters=None):
     ids, sims = search_batch_jit(
         *snap.arrays, qd, ef=ef, k=int(k), metric=snap.metric,
         expand=expand, iters=iters,
+        nbrvec=snap.nbrvec, nbrsqn=snap.nbrsqn,
     )
     return np.asarray(ids[:n_q]), np.asarray(sims[:n_q])
 

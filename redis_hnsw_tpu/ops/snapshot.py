@@ -66,6 +66,12 @@ class Snapshot:
     max_layer: jnp.ndarray  # [] int32
     metric: str             # static
     n_pad: int              # static row capacity
+    # Blocked-gather acceleration (may be None when over HBM budget):
+    # nbrvec[x] = vecs[adj0[x]] stored contiguously, so the beam gathers
+    # [B, E] blocks instead of [B, E*F] rows (gathers are per-row
+    # issue-bound on TPU -- see ops/distance.py block_neg_sq_l2).
+    nbrvec: jnp.ndarray | None = None   # [N_pad, deg0, D] f32/bf16/uint32
+    nbrsqn: jnp.ndarray | None = None   # [N_pad, deg0] f32 (euclidean)
 
     @property
     def arrays(self):
@@ -136,6 +142,37 @@ def _row_adj(index, rows, lc, deg):
     return out
 
 
+def _nbrvec_dtype(metric, vec_dtype, n_pad, deg0, width):
+    """Element type for the neighbor-vector blocks, or None when even the
+    compressed table exceeds the HBM budget (row-gather fallback).
+
+    Budget default 9GiB: a 1M x 128d index at deg0=32 fits in bf16
+    (8GiB) beside the 0.5GiB vector table on a 16GiB v5e. Override via
+    REDIS_HNSW_TPU_NBRVEC_BYTES.
+    """
+    import os
+
+    budget = int(
+        os.environ.get("REDIS_HNSW_TPU_NBRVEC_BYTES", 9 * 2**30)
+    )
+    full = n_pad * deg0 * width * 4
+    if metric == "hamming":
+        return vec_dtype if full <= budget else None
+    if full <= budget:
+        return jnp.float32
+    if full // 2 <= budget:
+        return jnp.bfloat16  # beam routing only; final sims rescored f32
+    return None
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _build_nbrvec(vecs, sq, adj0, *, dtype):
+    """Materialize the blocked neighbor-vector table on device (no host
+    bytes: one [N*deg0]-row gather from the already-uploaded tables)."""
+    safe = jnp.maximum(adj0, 0)
+    return vecs[safe].astype(dtype), sq[safe]
+
+
 def _sqnorms_np(index, vec_rows):
     if index.config.metric == "hamming":
         return np.zeros(len(vec_rows), np.float32)
@@ -161,12 +198,18 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
         u_pad = max(u_pad, prev.adj_up.shape[1])
         deg_up = max(deg_up, prev.adj_up.shape[2])
 
+    nv_dtype = _nbrvec_dtype(
+        cfg.metric, index._vectors.dtype, n_pad, deg0,
+        index._vectors.shape[1],
+    )
     if (
         prev is not None
         and prev.metric == cfg.metric
         and prev.n_pad == n_pad
         and prev.adj0.shape[1] == deg0
         and prev.adj_up.shape == (l_up, u_pad, deg_up)
+        and (prev.nbrvec is None) == (nv_dtype is None)
+        and (prev.nbrvec is None or prev.nbrvec.dtype == nv_dtype)
     ):
         return _delta_snapshot(index, prev)
 
@@ -198,16 +241,24 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
     sq = np.zeros(n_pad, np.float32)
     sq[:n_rows] = _sqnorms_np(index, vecs[:n_rows])
 
+    vecs_d = jnp.asarray(vecs)
+    sq_d = jnp.asarray(sq)
+    adj0_d = jnp.asarray(adj0)
+    nbrvec = nbrsqn = None
+    if nv_dtype is not None:
+        nbrvec, nbrsqn = _build_nbrvec(vecs_d, sq_d, adj0_d, dtype=nv_dtype)
     return Snapshot(
-        vecs=jnp.asarray(vecs),
-        sqnorms=jnp.asarray(sq),
-        adj0=jnp.asarray(adj0),
+        vecs=vecs_d,
+        sqnorms=sq_d,
+        adj0=adj0_d,
         adj_up=jnp.asarray(adj_up),
         upper_of=jnp.asarray(upper_of),
         ep=jnp.asarray(max(index.enterpoint, 0), jnp.int32),
         max_layer=jnp.asarray(index.max_layer, jnp.int32),
         metric=cfg.metric,
         n_pad=n_pad,
+        nbrvec=nbrvec,
+        nbrsqn=nbrsqn,
     )
 
 
@@ -225,15 +276,16 @@ def _pad_rows(rows: np.ndarray) -> np.ndarray:
     return np.concatenate([rows, np.full(p - n, rows[0], rows.dtype)])
 
 
-@partial(jax.jit, static_argnames=("wave_vecs",))
+@partial(jax.jit, static_argnames=("wave_vecs", "has_nbrvec"))
 def _apply_delta(
     vecs, sq, adj0, adj_up, upper_of,           # prev tables
+    nbrvec, nbrsqn,                             # blocked tables (or None)
     vrows, vec_src, vec_sel, sq_data,           # vector updates
     arows, adj0_data, upof_vals,                # layer-0 + slot map
     wipe_flat,                                  # freed slots x all layers
     up_flat, up_data,                           # upper adjacency rows
     ep, max_layer,
-    *, wave_vecs: bool,
+    *, wave_vecs: bool, has_nbrvec: bool,
 ):
     """One fused device program applying a whole dirty-row delta.
 
@@ -245,6 +297,14 @@ def _apply_delta(
     Ordering invariant: the freed-slot wipe runs BEFORE the upper-row
     scatter (ADVICE r1 high -- a freed slot reallocated to a dirty row
     must keep the fresh adjacency).
+
+    Blocked neighbor-vector table: refreshed for exactly the dirty
+    adjacency rows, gathering from the *updated* vecs/sq. This covers
+    every stale block: a row's block changes only when its adjacency
+    changes (bidirectional linking dirties both endpoints), and vector
+    rows are immutable while referenced -- a freed row is unlinked from
+    every live adjacency by delete repair (which dirties the referrers)
+    before the slot can be reallocated.
     """
     if wave_vecs:
         vec_data = vec_src[vec_sel]   # device-resident wave vectors
@@ -254,11 +314,19 @@ def _apply_delta(
     sq = sq.at[vrows].set(sq_data)
     adj0 = adj0.at[arows].set(adj0_data)
     upper_of = upper_of.at[arows].set(upof_vals)
+    if has_nbrvec:
+        safe = jnp.maximum(adj0_data, 0)
+        nbrvec = nbrvec.at[arows].set(vecs[safe].astype(nbrvec.dtype))
+        if nbrsqn is not None:
+            nbrsqn = nbrsqn.at[arows].set(sq[safe])
     shape_up = adj_up.shape
     adj_up_f = adj_up.reshape(-1, shape_up[2])
     adj_up_f = adj_up_f.at[wipe_flat].set(-1)
     adj_up_f = adj_up_f.at[up_flat].set(up_data)
-    return vecs, sq, adj0, adj_up_f.reshape(shape_up), upper_of, ep, max_layer
+    return (
+        vecs, sq, adj0, adj_up_f.reshape(shape_up), upper_of, ep,
+        max_layer, nbrvec, nbrsqn,
+    )
 
 
 def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
@@ -360,6 +428,7 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
 
     out = _apply_delta(
         prev.vecs, prev.sqnorms, prev.adj0, prev.adj_up, prev.upper_of,
+        prev.nbrvec, prev.nbrsqn,
         jnp.asarray(vrows), vec_src, jnp.asarray(vec_sel),
         jnp.asarray(sq_data),
         jnp.asarray(arows), jnp.asarray(adj0_data), jnp.asarray(upof_vals),
@@ -368,8 +437,9 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
         jnp.asarray(max(index.enterpoint, 0), jnp.int32),
         jnp.asarray(index.max_layer, jnp.int32),
         wave_vecs=wave_vecs,
+        has_nbrvec=prev.nbrvec is not None,
     )
-    vecs, sq, adj0, adj_up, upper_of, ep, max_layer = out
+    vecs, sq, adj0, adj_up, upper_of, ep, max_layer, nbrvec, nbrsqn = out
     return Snapshot(
         vecs=vecs,
         sqnorms=sq,
@@ -380,4 +450,6 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
         max_layer=max_layer,
         metric=prev.metric,
         n_pad=prev.n_pad,
+        nbrvec=nbrvec,
+        nbrsqn=nbrsqn,
     )
