@@ -119,7 +119,7 @@ def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:
     load_s = time.perf_counter() - t0
     assert idx.node_count == n, idx.node_count
     data = dataset(n, kind)
-    queries = query_set(1024, kind)
+    queries = query_set(2048, kind)
 
     oracle = FlatIndex("o", IndexConfig(dim=DIM))
     oracle.add_batch([f"n{i}" for i in range(n)], data)
@@ -151,7 +151,7 @@ def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:
         for _ in range(3):
             idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it)
         dt = (time.perf_counter() - t0) / 3
-        qps = 1024 / dt
+        qps = 2048 / dt
         log(f"ef={ef} expand={ex} iters={it}: recall@{K}={rec:.4f} "
             f"qps={qps:.0f}")
         frontier.append({"ef": ef, "expand": ex, "iters": it,
@@ -163,21 +163,45 @@ def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:
     results["frontier"] = frontier
     results["operating"] = operating
 
-    # Sequential-native baseline at reference parity (hardwired ef=200),
-    # median of 3 reps (bench.py methodology).
+    # Sequential-native baselines (median of 3 reps, bench.py
+    # methodology), measured two ways:
+    #  * parity: the reference's hardwired ef = efcon = 200
+    #    (core.rs:485) -- with its RECALL, which at million scale falls
+    #    well short of 0.95 (measured 0.883 at 1M clustered): the
+    #    reference cannot reach the north-star recall at all;
+    #  * matched: the same ef the batched engine needed for >= 0.95, so
+    #    the ratio compares equal-quality answers.
+    def host_qps(ef, n_q):
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for q in queries[:n_q]:
+                idx.search_knn(q, K, ef_search=ef)
+            vals.append(n_q / (time.perf_counter() - t0))
+        return statistics.median(vals), vals
+
     for q in queries[:50]:
         idx.search_knn(q, K)
-    vals = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for q in queries[:1000]:
-            idx.search_knn(q, K)
-        vals.append(1000 / (time.perf_counter() - t0))
-    base = statistics.median(vals)
-    results["baseline_qps"] = round(base, 1)
-    results["baseline_reps"] = [round(v, 1) for v in vals]
+    hits = 0
+    for b in range(128):
+        res = idx.search_knn(queries[b], K, ef_search=EFCON)
+        hits += len({r.name for r in res} & truth_sets[b])
+    base, reps = host_qps(EFCON, 500)
+    results["baseline_parity"] = {
+        "ef": EFCON, "qps": round(base, 1),
+        "recall": round(hits / (K * 128), 4),
+        "reps": [round(v, 1) for v in reps],
+    }
     if operating is not None:
-        results["ratio_at_operating"] = round(operating["qps"] / base, 2)
+        base_m, reps_m = host_qps(operating["ef"], 300)
+        results["baseline_matched"] = {
+            "ef": operating["ef"], "qps": round(base_m, 1),
+            "reps": [round(v, 1) for v in reps_m],
+        }
+        results["ratio_vs_parity"] = round(operating["qps"] / base, 2)
+        results["ratio_matched_recall"] = round(
+            operating["qps"] / base_m, 2
+        )
     log(json.dumps(results))
 
 

@@ -152,6 +152,15 @@ def _nbrvec_dtype(metric, vec_dtype, n_pad, deg0, width):
     """
     import os
 
+    forced = os.environ.get("REDIS_HNSW_TPU_NBRVEC_DTYPE")
+    if forced:
+        if forced == "off":
+            return None
+        if metric == "hamming":
+            return vec_dtype
+        return {
+            "f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16,
+        }[forced]
     budget = int(
         os.environ.get("REDIS_HNSW_TPU_NBRVEC_BYTES", 9 * 2**30)
     )
@@ -161,16 +170,24 @@ def _nbrvec_dtype(metric, vec_dtype, n_pad, deg0, width):
     if full <= budget:
         return jnp.float32
     if full // 2 <= budget:
-        return jnp.bfloat16  # beam routing only; final sims rescored f32
+        # f16, not bf16: coarse sims only steer the beam, but within
+        # dense clusters neighbor-sim gaps (~1) are smaller than bf16's
+        # 8-bit-mantissa error on sims of magnitude ~200; f16's 11-bit
+        # mantissa keeps the ordering (measured at 1M clustered).
+        return jnp.float16
     return None
 
 
 @partial(jax.jit, static_argnames=("dtype",))
 def _build_nbrvec(vecs, sq, adj0, *, dtype):
     """Materialize the blocked neighbor-vector table on device (no host
-    bytes: one [N*deg0]-row gather from the already-uploaded tables)."""
+    bytes: one [N*deg0]-row gather from the already-uploaded tables).
+
+    Cast BEFORE gathering: gather-then-cast materializes the full-width
+    table ([1M, 32, 128] f32 = 16GiB transient -> OOM) where
+    cast-then-gather adds only a narrow copy of vecs."""
     safe = jnp.maximum(adj0, 0)
-    return vecs[safe].astype(dtype), sq[safe]
+    return vecs.astype(dtype)[safe], sq[safe]
 
 
 def _sqnorms_np(index, vec_rows):
@@ -276,7 +293,15 @@ def _pad_rows(rows: np.ndarray) -> np.ndarray:
     return np.concatenate([rows, np.full(p - n, rows[0], rows.dtype)])
 
 
-@partial(jax.jit, static_argnames=("wave_vecs", "has_nbrvec"))
+@partial(
+    jax.jit,
+    static_argnames=("wave_vecs", "has_nbrvec"),
+    # Donate every persistent table: the delta's .at[].set outputs then
+    # update in place instead of double-buffering (the nbrvec table alone
+    # is 8GiB at 1M rows -- an undonated copy OOMs the chip). The caller
+    # drops the previous Snapshot right after.
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6),
+)
 def _apply_delta(
     vecs, sq, adj0, adj_up, upper_of,           # prev tables
     nbrvec, nbrsqn,                             # blocked tables (or None)
