@@ -121,6 +121,29 @@ def greedy_descent(metric, q, qn, vecs, vn, adj_up, upper_of, ep, max_layer):
     return jax.lax.fori_loop(0, max_layer, layer_body, (ids, sims))
 
 
+def _use_pallas_gather(batch: int) -> bool:
+    """Trace-time switch for the fused DMA gather+score kernel.
+
+    OPT-IN (REDIS_HNSW_TPU_PALLAS_GATHER=1), TPU backend only. The
+    kernel beats the XLA blocked path 1.3x when benchmarked in
+    isolation (3.04 vs 3.95 ms/op at the 1M shapes -- see
+    ops/pallas_gather.py) but measures a wash end-to-end (4379 vs 4353
+    qps at the 1M operating point): inside the fused search program XLA
+    already overlaps the block gather with the step's sort/merge work,
+    so shaving the op in isolation buys nothing. Kept as a measured
+    result + a base for future step-level fusion (gather+score+merge in
+    one kernel would dodge the overlap argument)."""
+    import os
+
+    from .pallas_gather import TILE_B
+
+    return (
+        os.environ.get("REDIS_HNSW_TPU_PALLAS_GATHER")
+        and jax.default_backend() == "tpu"
+        and batch % TILE_B == 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fixed-shape beam search over one adjacency table (vectorized search_level).
 # ---------------------------------------------------------------------------
@@ -236,6 +259,14 @@ def beam_search(
             csafe = jnp.maximum(crow, 0)
             if metric == "hamming":
                 nsims = D.block_hamming(q, nbrvec, csafe, fresh)
+            elif _use_pallas_gather(B):
+                from .pallas_gather import fused_block_score
+
+                nsims = jnp.where(
+                    fresh,
+                    fused_block_score(q, qn, nbrvec, csafe),
+                    NEG_INF,
+                )
             else:
                 nsims = D.block_neg_sq_l2(
                     q, qn, nbrvec, nbrsqn, csafe, fresh

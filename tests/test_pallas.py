@@ -64,3 +64,26 @@ def test_flat_index_pallas_path(rng):
     b = idx.search_batch(q, k, use_pallas=True)
     for ra, rb in zip(a, b):
         assert [r.name for r in ra] == [r.name for r in rb]
+
+
+def test_fused_block_score_matches_xla(rng):
+    """Fused DMA block-gather+score kernel (ops/pallas_gather.py) vs the
+    XLA blocked path, interpret mode (the TPU path is exercised by
+    bench.py on real hardware)."""
+    from redis_hnsw_tpu.ops.distance import block_neg_sq_l2
+    from redis_hnsw_tpu.ops.pallas_gather import TILE_B, fused_block_score
+
+    B, E, F, dim, N = 2 * TILE_B, 4, 8, 16, 300
+    q = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    qn = jnp.sum(q * q, axis=1)
+    nbrvec = jnp.asarray(
+        rng.standard_normal((N, F, dim)).astype(np.float32)
+    )
+    nbrsqn = jnp.sum(nbrvec.astype(jnp.float32) ** 2, axis=-1)
+    cand = jnp.asarray(rng.integers(0, N, (B, E), dtype=np.int32))
+    mask = jnp.ones((B, E * F), bool)
+    want = block_neg_sq_l2(q, qn, nbrvec, nbrsqn, cand, mask)
+    got = fused_block_score(q, qn, nbrvec, cand, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-3
+    )
