@@ -178,12 +178,12 @@ def beam_search(
     per-element scatter or unfused gather is catastrophic on TPU
     (scatter of [B,E] flags: 1.3ms; take_along_axis on [B,768]: up to
     9ms) while stable variadic sorts are ~20us. So the step does:
-    candidate pick and merge as *multi-operand lax.sort* (no gathers),
-    expanded-flag marking as a broadcast compare (no scatter), and
-    dedup as an equal-adjacent mask over the fully sorted merge window
-    (re-proposed copies carry bit-identical sims, so the stable sort
-    lands them next to their incumbent -- the incumbent sorts first by
-    concat index and survives).
+    candidate pick and merge as two-operand ``lax.sort``s over (sim,
+    packed id|flag) -- no gathers, no scatters -- with dedup as an
+    equal-adjacent mask over the fully sorted merge window (re-proposed
+    copies carry bit-identical sims, so the (-sim, pid) sort lands them
+    next to their incumbent, which sorts first and survives; see the
+    packed-state comment in the function body).
 
     **No visited set.** The reference's per-query HashSet (core.rs:614)
     is redundant: the beam's worst similarity is monotonically
@@ -203,48 +203,54 @@ def beam_search(
         iters = 4 * ((ef + E - 1) // E) + 16
     slots = jnp.arange(ef, dtype=jnp.int32)
 
-    # All initial carries derive from traced inputs (never bare constants)
-    # so their "varying manual axes" match the loop body outputs under
-    # shard_map (see parallel/sharded.py).
+    # Beam state is TWO sort operands: sims [B, ef] f32 and a PACKED
+    # int32 ``pid = id << 1 | unexpanded_bit``. Sort cost scales with
+    # operand count (measured [2048, 1024] merge on the v5e: 3 operands
+    # 3.36ms, 2 operands 2.55ms), and packing the expanded flag into the
+    # id's low bit both drops the third operand and replaces the whole
+    # flag-marking machinery: within a (sim, id) tie class an
+    # expanded-marked copy (low bit 0) sorts FIRST and survives the
+    # adjacent-equal dedup, so marking = injecting E flagged copies into
+    # the merge window. -1 sentinels are fixed points of the encoding
+    # ((-1 << 1) | 1 == -1, and -1 >> 1 == -1 arithmetically).
+    #
+    # All initial carries derive from traced inputs (never bare
+    # constants) so their "varying manual axes" match the loop body
+    # outputs under shard_map (see parallel/sharded.py).
     no_b = ep_ids != ep_ids  # all-False [B], varying with inputs
-    beam_ids = jnp.where(
-        slots[None, :] == 0, ep_ids[:, None], -1
+    if active is None:
+        unexp0 = jnp.ones_like(ep_ids)
+    else:
+        # inactive lanes: entrypoint pre-expanded -> inert for the loop
+        unexp0 = active.astype(jnp.int32)
+    beam_pid = jnp.where(
+        slots[None, :] == 0,
+        (ep_ids[:, None] << 1) | unexp0[:, None],
+        -1,
     ).astype(jnp.int32)
     beam_sims = jnp.where(
         slots[None, :] == 0, ep_sims[:, None], NEG_INF
     )
-    # inactive lanes start fully expanded -> inert for the whole loop
-    if active is None:
-        expanded = jnp.broadcast_to(no_b[:, None], (B, ef))
-    else:
-        expanded = jnp.broadcast_to(~active[:, None], (B, ef))
     step0 = jnp.sum(no_b).astype(jnp.int32)  # traced zero
 
     def cond(c):
-        step, _, beam_sims, expanded = c
-        frontier_open = jnp.any(~expanded & (beam_sims != NEG_INF))
+        step, beam_pid, beam_sims = c
+        frontier_open = jnp.any(
+            ((beam_pid & 1) == 1) & (beam_sims != NEG_INF)
+        )
         return (step < iters) & frontier_open
 
     def body(c):
-        step, beam_ids, beam_sims, expanded = c
+        step, beam_pid, beam_sims = c
         # Top-E unexpanded candidates per lane (c.pop() of core.rs:631),
-        # picked with one variadic sort: key = -sim, +inf when expanded.
-        pick_key = jnp.where(expanded, jnp.inf, -beam_sims)
-        k_sorted, cids_all, cslots_all = jax.lax.sort(
-            (pick_key, beam_ids, jnp.broadcast_to(slots, beam_ids.shape)),
-            dimension=1,
-            is_stable=True,
-            num_keys=1,
+        # picked with one variadic sort: key = -sim, +inf when expanded
+        # (empty slots carry sim=-inf, so their key is +inf already).
+        pick_key = jnp.where((beam_pid & 1) == 1, -beam_sims, jnp.inf)
+        k_sorted, pid_sorted = jax.lax.sort(
+            (pick_key, beam_pid), dimension=1, is_stable=True, num_keys=2
         )
-        picked_sorted = (k_sorted != jnp.inf) & (slots[None, :] < E)
-        cids = jnp.where(picked_sorted[:, :E], cids_all[:, :E], -1)
-        # Mark expanded by sorting the picked flags back to slot order
-        # (cslots is a permutation of 0..ef-1, so one cheap int-key sort
-        # realigns; ~2us vs 350us for a [B, E, ef] broadcast compare).
-        _, picked_back = jax.lax.sort(
-            (cslots_all, picked_sorted), dimension=1, num_keys=1
-        )
-        expanded = expanded | picked_back
+        picked = k_sorted[:, :E] != jnp.inf
+        cids = jnp.where(picked, pid_sorted[:, :E] >> 1, -1)
 
         crow = cids if row_map is None else row_map[jnp.maximum(cids, 0)]
         crow = jnp.where(cids >= 0, crow, -1)
@@ -275,49 +281,51 @@ def beam_search(
             nb_safe = jnp.maximum(nbrs, 0)
             nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
 
-        # Merge beam U frontier: one stable variadic sort of the full
-        # window on the COMPOUND key (-sim, id), equal-adjacent dedup,
-        # then a second sort pushes the dups out and the slice truncates
-        # to ef. The id must be a sort key, not just an operand: with
-        # sim-only keys, two copies of node X can straddle a
-        # sim-tied node Y and both survive the adjacent-equal dedup --
-        # vanishingly rare for f32 euclidean sims, pervasive for integer
-        # hamming sims (measured recall@10 0.54 from duplicated replies).
-        # Equal (sim, id) copies stay in concat order (stable sort), so
-        # the incumbent -- and its expanded flag -- survives the dedup;
-        # distinct-id ties now break by id, the documented reply order.
-        all_key = jnp.concatenate([-beam_sims, -nsims], axis=1)
-        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
-        all_exp = jnp.concatenate(
-            [expanded, jnp.zeros((B, E * F), bool)], axis=1
+        # Merge beam U frontier U expanded-marked copies of the picked
+        # entries: one stable sort on the compound key (-sim, pid),
+        # equal-adjacent dedup on id = pid >> 1, then a second sort
+        # pushes the dups out and the slice truncates to ef. The id must
+        # participate in the key: with sim-only keys two copies of node
+        # X can straddle a sim-tied node Y and both survive the
+        # adjacent-equal dedup -- vanishingly rare for f32 euclidean
+        # sims, pervasive for integer hamming sims (measured recall@10
+        # 0.54 from duplicated replies). A picked entry's flagged copy
+        # (unexp bit 0) sorts first within its (sim, id) class, so the
+        # dedup atomically flips that beam entry to expanded; fresh
+        # re-proposals (bit 1) die against either incumbent form.
+        frontier_pid = (nbrs << 1) | 1          # -1 stays -1
+        copy_pid = jnp.where(picked, cids << 1, -2)  # -2 >> 1 == -1
+        copy_key = jnp.where(picked, k_sorted[:, :E], jnp.inf)
+        all_key = jnp.concatenate([-beam_sims, -nsims, copy_key], axis=1)
+        all_pid = jnp.concatenate(
+            [beam_pid, frontier_pid, copy_pid], axis=1
         )
-        k1, i1, e1 = jax.lax.sort(
-            (all_key, all_ids, all_exp), dimension=1, is_stable=True,
-            num_keys=2,
+        k1, p1 = jax.lax.sort(
+            (all_key, all_pid), dimension=1, is_stable=True, num_keys=2
         )
+        ids1 = p1 >> 1
         dup = jnp.concatenate(
             [
                 jnp.zeros((B, 1), bool),
-                (i1[:, 1:] == i1[:, :-1]) & (i1[:, 1:] >= 0),
+                (ids1[:, 1:] == ids1[:, :-1]) & (ids1[:, 1:] >= 0),
             ],
             axis=1,
         )
         k1 = jnp.where(dup, jnp.inf, k1)
-        i1 = jnp.where(dup, -1, i1)
-        k2, i2, e2 = jax.lax.sort(
-            (k1, i1, e1), dimension=1, is_stable=True, num_keys=1
+        p1 = jnp.where(dup, -1, p1)
+        k2, p2 = jax.lax.sort(
+            (k1, p1), dimension=1, is_stable=True, num_keys=1
         )
         return (
             step + 1,
-            i2[:, :ef],
+            p2[:, :ef],
             -k2[:, :ef],
-            e2[:, :ef],
         )
 
-    _, beam_ids, beam_sims, _ = jax.lax.while_loop(
-        cond, body, (step0, beam_ids, beam_sims, expanded)
+    _, beam_pid, beam_sims = jax.lax.while_loop(
+        cond, body, (step0, beam_pid, beam_sims)
     )
-    return beam_ids, beam_sims
+    return beam_pid >> 1, beam_sims
 
 
 # ---------------------------------------------------------------------------
