@@ -11,12 +11,23 @@ from __future__ import annotations
 
 
 class NameTable:
-    __slots__ = ("_id_of", "_name_of", "_free")
+    __slots__ = ("_id_of", "_name_of", "_free", "_np_cache")
 
     def __init__(self) -> None:
         self._id_of: dict[str, int] = {}
         self._name_of: list[str | None] = []
         self._free: list[int] = []
+        self._np_cache = None  # object ndarray mirror of _name_of
+
+    def names_array(self):
+        """Object-ndarray view of the row -> name map, cached until the
+        next alloc/free. Lets batched reply assembly resolve [B, k] row
+        ids with one fancy-index instead of B*k list lookups."""
+        if self._np_cache is None:
+            import numpy as np
+
+            self._np_cache = np.array(self._name_of, dtype=object)
+        return self._np_cache
 
     def __len__(self) -> int:
         return len(self._id_of)
@@ -40,6 +51,7 @@ class NameTable:
 
     def alloc(self, name: str) -> int:
         assert name not in self._id_of
+        self._np_cache = None
         if self._free:
             node_id = self._free.pop()
             self._name_of[node_id] = name
@@ -50,6 +62,7 @@ class NameTable:
         return node_id
 
     def free(self, name: str) -> int:
+        self._np_cache = None
         node_id = self._id_of.pop(name)
         self._name_of[node_id] = None
         self._free.append(node_id)
