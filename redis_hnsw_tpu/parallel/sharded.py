@@ -44,7 +44,8 @@ def _shard_of(name: str, n_shards: int) -> int:
     static_argnames=("ef", "k", "metric", "mesh", "expand", "iters"),
 )
 def _sharded_search_jit(
-    vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts, queries,
+    vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
+    nbrvec, nbrsqn, queries,
     *, ef: int, k: int, metric: str, mesh, expand: int = 1,
     iters: int | None = None,
 ):
@@ -58,13 +59,16 @@ def _sharded_search_jit(
     n_pad = vecs.shape[1]
 
     def local(
-        vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts, queries
+        vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
+        nbrvec, nbrsqn, queries,
     ):
         # shard_map gives [1, ...] blocks; drop the shard axis.
         ids, sims = search_pipeline(
             vecs[0], sqn[0], adj0[0], adj_up[0], upper_of[0],
             eps[0], max_layers[0], queries,
             ef=ef, k=k, metric=metric, expand=expand, iters=iters,
+            nbrvec=None if nbrvec is None else nbrvec[0],
+            nbrsqn=None if nbrsqn is None else nbrsqn[0],
         )
         nonempty = counts[0] > 0
         s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
@@ -73,15 +77,21 @@ def _sharded_search_jit(
         return gids[None], sims[None]
 
     spec_sharded = P(DATA_AXIS)
+    nv_spec = None if nbrvec is None else spec_sharded
+    nsq_spec = None if nbrsqn is None else spec_sharded
     gids, sims = shard_map(
         local,
         mesh=mesh,
         in_specs=(
             spec_sharded, spec_sharded, spec_sharded, spec_sharded,
-            spec_sharded, spec_sharded, spec_sharded, spec_sharded, P(),
+            spec_sharded, spec_sharded, spec_sharded, spec_sharded,
+            nv_spec, nsq_spec, P(),
         ),
         out_specs=(spec_sharded, spec_sharded),
-    )(vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts, queries)
+    )(
+        vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
+        nbrvec, nbrsqn, queries,
+    )
 
     # [S, B, k] -> [B, S*k]; top-k over all shards (GSPMD inserts the
     # all-gather along the sharded axis here).
@@ -218,11 +228,30 @@ class ShardedHNSW:
             [s.node_count for s in self.shards], np.int32
         )
 
+        # Blocked neighbor-vector tables ride along when every shard has
+        # one of the same dtype (each chip holds only its own slice
+        # under the data sharding, so per-chip HBM cost matches the
+        # single-chip case).
+        nbrvec = nbrsqn = None
+        if all(sn.nbrvec is not None for sn in snaps) and (
+            len({sn.nbrvec.dtype for sn in snaps}) == 1
+        ):
+            nbrvec = jnp.stack([
+                padded(sn.nbrvec, (n_pad, deg0, sn.nbrvec.shape[2]), 0)
+                for sn in snaps
+            ])
+            if snaps[0].nbrsqn is not None:
+                nbrsqn = jnp.stack([
+                    padded(sn.nbrsqn, (n_pad, deg0), 0) for sn in snaps
+                ])
+
         sh = NamedSharding(self.mesh, P(DATA_AXIS))
         put = lambda x, s: jax.device_put(jnp.asarray(x), s)
         self._stacked = (
             put(vecs, sh), put(sqn, sh), put(adj0, sh), put(adj_up, sh),
             put(upper_of, sh), put(eps, sh), put(mls, sh), put(counts, sh),
+            None if nbrvec is None else put(nbrvec, sh),
+            None if nbrsqn is None else put(nbrsqn, sh),
         )
         self._stacked_epochs = epochs
         self._stacked_npad = n_pad
