@@ -169,22 +169,32 @@ class FlatIndex:
         )
         ids = np.asarray(ids)
         sims = np.asarray(sims)
+        # Batch replies carry (sim, name) only, like the HNSW batch path
+        # (the reference's search reply shape, src/types.rs:445-457);
+        # names resolve via one object-array fancy-index.
+        names = self._names.names_array()[np.maximum(ids, 0)]
+        neg_inf = float("-inf")
         out = []
-        for b in range(qs.shape[0]):
-            res = []
-            for col in range(ids.shape[1]):
-                if sims[b, col] == float("-inf"):
-                    continue
-                row = int(ids[b, col])
-                res.append(
-                    SearchResult(
-                        sim=float(sims[b, col]),
-                        name=self._names.name(row),
-                        data=self._vectors[row].copy(),
-                    )
-                )
-            out.append(res)
+        for bsim, bnames in zip(sims.tolist(), names.tolist()):
+            out.append(
+                [
+                    SearchResult(s, n)
+                    for s, n in zip(bsim, bnames)
+                    if s != neg_inf
+                ]
+            )
         return out
 
     def search_knn(self, data, k: int) -> list[SearchResult]:
-        return self.search_batch(np.atleast_2d(self._coerce(data)), k)[0]
+        res = self.search_batch(np.atleast_2d(self._coerce(data)), k)[0]
+        # single-query replies carry the vector, like HNSWIndex.search_knn
+        for r in res:
+            r.data = self._vectors[self._names.get(r.name)].copy()
+        return res
+
+    def get_node(self, name: str) -> dict:
+        """HNSW.NODE.GET parity for the flat kind: data + (no) neighbors."""
+        row = self._names.get(name)
+        if row is None:
+            raise NodeNotFound(name)
+        return {"data": self._vectors[row].copy(), "neighbors": []}

@@ -108,6 +108,11 @@ def test_flat_index_kind():
     client.delete_node("f", "e3")
     res = client.search("f", data[3], k=1)
     assert res[0].name != "e3"
+    # single-query replies carry the vector; NODE.GET works on flat
+    np.testing.assert_array_equal(res[0].data, data[int(res[0].name[1:])])
+    node = client.get_node("f", "e5")
+    np.testing.assert_array_equal(node["data"], data[5])
+    assert node["neighbors"] == []
 
 
 def test_batched_api():
