@@ -48,12 +48,14 @@ def _point_sims(metric, q, qn, vecs, vn, ids):
 
 
 @partial(
-    jax.jit, static_argnames=("ef", "metric", "expand", "fetch_c")
+    jax.jit,
+    static_argnames=("ef", "metric", "expand", "fetch_c", "fetch_l"),
 )
 def construct_scores(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer,
     queries, levels, nbrvec=None, nbrsqn=None,
     *, ef: int, metric: str, expand: int = 1, fetch_c: int | None = None,
+    fetch_l: int | None = None,
 ):
     """One device pass scoring a whole insert wave against the snapshot.
 
@@ -123,8 +125,11 @@ def construct_scores(
     )
 
     c = min(ef, fetch_c) if fetch_c is not None else ef
-    up_ids = up_ids[..., :c]
-    up_sims = up_sims[..., :c]
+    # only the first fetch_l upper layers are populated for this wave
+    # (no lane's sampled level reaches higher): don't ship dead bytes
+    l_keep = L_pad if fetch_l is None else min(fetch_l, L_pad)
+    up_ids = up_ids[:l_keep, :, :c]
+    up_sims = up_sims[:l_keep, :, :c]
     l0_ids = l0_ids[:, :c]
     l0_sims = l0_sims[:, :c]
 
@@ -318,6 +323,12 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
     # fetch a narrow slice, not the full ef-wide beam
     fetch_c = min(ef, max(4 * cfg.m, cfg.m_max_0 + 16, 32))
     n_up_used = int(min(l_max, int(levels.max(initial=0))))
+    # upper-layer slice of the packed fetch, bucketed to powers of two
+    # so the (rare) growth of the wave's max level seldom recompiles
+    fetch_l = 1
+    while fetch_l < n_up_used:
+        fetch_l *= 2
+    fetch_l = min(fetch_l, int(snap.adj_up.shape[0]))
     with _phase("device_pass"):
         if qs_dev is None:
             qs_dev = jnp.asarray(_pad_lanes(qs))
@@ -326,7 +337,7 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
             snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
             snap.nbrvec, snap.nbrsqn,
             ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
-            fetch_c=fetch_c,
+            fetch_c=fetch_c, fetch_l=fetch_l,
         )
     if cross is None:
         # euclidean intra-wave sims: small host gemm (matmul form, f32)
@@ -339,7 +350,7 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
         # one D2H transfer of the packed buffer, then host-side slicing
         up_ids, up_sims, l0_ids, l0_sims = unpack_scores(
             np.asarray(flat),
-            l_pad=int(snap.adj_up.shape[0]),
+            l_pad=fetch_l,
             w_pad=w_pad,
             c=fetch_c,
         )
