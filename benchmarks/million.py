@@ -18,8 +18,11 @@ Two corpora (no dataset egress on this box):
   (distances concentrate; public hnswlib numbers on random-128 are
   equally poor, ~0.4 at ef=256). Kept as the adversarial floor.
 
-    python benchmarks/million.py build  N STAGE CKPT [KIND]  # one stage
-    python benchmarks/million.py search N CKPT [KIND]        # measurements
+    python benchmarks/million.py build  N STAGE CKPT [KIND] [DIM]
+    python benchmarks/million.py search N CKPT [KIND] [DIM]
+
+DIM defaults to 128 (config 2); DIM=960 runs the GIST regime (config 3)
+at scale with the same clustered generator.
 """
 
 from __future__ import annotations
@@ -37,6 +40,11 @@ sys.path.insert(
 
 DIM, K, M, EFCON = 128, 10, 16, 200
 N_CENTERS, SIGMA = 4096, 0.8
+
+
+def set_dim(dim: int) -> None:
+    global DIM
+    DIM = dim
 
 
 def log(*a):
@@ -105,28 +113,53 @@ def build_stage(n: int, stage: int, ckpt: str, kind: str = "clustered") -> None:
     log(f"checkpoint save: {time.perf_counter()-t0:.1f}s")
 
 
+def snapshot_truth(idx, queries, k) -> list[set]:
+    """Exact top-k ground truth computed against the index's OWN
+    device-resident vector table (a separate flat-oracle upload costs
+    minutes on the dev tunnel at GIST scale -- the vectors are already
+    in HBM)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from redis_hnsw_tpu.ops.distance import pairwise_neg_sq_l2
+
+    snap = idx.device_snapshot()
+    live = np.zeros(snap.n_pad, bool)
+    h = min(len(idx._levels), snap.n_pad)
+    live[:h] = idx._levels[:h] >= 0
+
+    @jax.jit
+    def scan(vecs, sqn, live, q):
+        scores = pairwise_neg_sq_l2(q, vecs, sqn)
+        scores = jnp.where(live[None, :], scores, -jnp.inf)
+        _, ids = jax.lax.top_k(scores, k)
+        return ids
+
+    ids = np.asarray(
+        scan(snap.vecs, snap.sqnorms, jnp.asarray(live),
+             jnp.asarray(queries))
+    )
+    names = idx._names.names_array()
+    return [{names[r] for r in row} for row in ids]
+
+
 def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:
     import statistics
 
     import jax.numpy as jnp
 
-    from redis_hnsw_tpu import IndexConfig
-    from redis_hnsw_tpu.models.flat import FlatIndex
     from redis_hnsw_tpu.utils.checkpoint import load_index
 
     t0 = time.perf_counter()
     idx = load_index(ckpt)
     load_s = time.perf_counter() - t0
     assert idx.node_count == n, idx.node_count
-    data = dataset(n, kind)
     queries = query_set(2048, kind)
 
-    oracle = FlatIndex("o", IndexConfig(dim=DIM))
-    oracle.add_batch([f"n{i}" for i in range(n)], data)
     t0 = time.perf_counter()
-    truth = oracle.search_batch(queries[:256], K)
+    truth_sets = snapshot_truth(idx, queries[:256], K)
     oracle_s = time.perf_counter() - t0
-    truth_sets = [{r.name for r in t} for t in truth]
 
     qd = jnp.asarray(queries)
     results = {"n": n, "kind": kind, "restore_s": round(load_s, 1),
@@ -233,11 +266,15 @@ def profile_build(n: int) -> None:
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "build":
+        if len(sys.argv) > 6:
+            set_dim(int(sys.argv[6]))
         build_stage(
             int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
             sys.argv[5] if len(sys.argv) > 5 else "clustered",
         )
     elif mode == "search":
+        if len(sys.argv) > 5:
+            set_dim(int(sys.argv[5]))
         search_phase(
             int(sys.argv[2]), sys.argv[3],
             sys.argv[4] if len(sys.argv) > 4 else "clustered",

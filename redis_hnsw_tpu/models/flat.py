@@ -120,8 +120,44 @@ class FlatIndex:
 
     def add_batch(self, names, data) -> None:
         data = np.atleast_2d(np.asarray(data, dtype=self._vectors.dtype))
-        for name, row in zip(names, data):
-            self.add_node(name, row)
+        names = list(names)
+        if len(names) != data.shape[0]:
+            raise ValueError(
+                f"{len(names)} names for {data.shape[0]} data rows"
+            )
+        if data.shape[1] != self._vectors.shape[1]:
+            got = data.shape[1] * (
+                32 if self.config.metric == "hamming" else 1
+            )
+            raise DimensionMismatch(got)
+        for n in names:
+            if not n:
+                raise HNSWError("node name must be non-empty")
+            if n in self._names:
+                raise NodeExists(n)
+        rows = np.fromiter(
+            (self._names.alloc(n) for n in names), np.int64, len(names)
+        )
+        need = int(rows.max(initial=-1)) + 1
+        if need > self._vectors.shape[0]:
+            if self.config.fixed_capacity:
+                for n in names:
+                    self._names.free(n)
+                raise CapacityError(
+                    f"index at fixed capacity {self.config.capacity} "
+                    f"(need {need} rows)"
+                )
+            new_cap = self._vectors.shape[0]
+            while new_cap < need:
+                new_cap *= 2
+            vecs = np.zeros((new_cap, self._vectors.shape[1]), data.dtype)
+            vecs[: self._vectors.shape[0]] = self._vectors
+            valid = np.zeros(new_cap, bool)
+            valid[: self._valid.shape[0]] = self._valid
+            self._vectors, self._valid = vecs, valid
+        self._vectors[rows] = data
+        self._valid[rows] = True
+        self._epoch += 1
 
     def delete_node(self, name: str) -> None:
         if name not in self._names:
