@@ -53,7 +53,7 @@ def _point_sims(metric, q, qn, vecs, vn, ids):
 )
 def construct_scores(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer,
-    queries, levels, nbrvec=None, nbrsqn=None,
+    queries, levels, nbrvec=None, nbrsqn=None, qrows=None,
     *, ef: int, metric: str, expand: int = 1, fetch_c: int | None = None,
     fetch_l: int | None = None,
 ):
@@ -121,7 +121,7 @@ def construct_scores(
         metric, queries, qn, vecs, sqn, adj0, ids, sims, ef,
         expand=expand,
         iters=(ef + expand - 1) // expand + BUILD_ITER_SLACK,
-        nbrvec=nbrvec, nbrsqn=nbrsqn,
+        nbrvec=nbrvec, nbrsqn=nbrsqn, qrows=qrows,
     )
 
     c = min(ef, fetch_c) if fetch_c is not None else ef
@@ -335,7 +335,7 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
         flat, cross = construct_scores(
             snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
             snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
-            snap.nbrvec, snap.nbrsqn,
+            snap.nbrvec, snap.nbrsqn, snap.qrows,
             ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
             fetch_c=fetch_c, fetch_l=fetch_l,
         )

@@ -162,6 +162,58 @@ def block_hamming(
     return jnp.where(mask, sims, NEG_INF)
 
 
+def quantize_query(q: jnp.ndarray):
+    """Per-row symmetric int8 quantization of a query batch."""
+    amax = jnp.max(jnp.abs(q), axis=-1)
+    qs = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    q8 = jnp.clip(
+        jnp.round(q / qs[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q8, qs
+
+
+def frontier_int8_neg_sq_l2(
+    q8: jnp.ndarray,         # [B, D] int8 (quantize_query)
+    q_scale: jnp.ndarray,    # [B] f32
+    q_sqnorm: jnp.ndarray,   # [B] f32 (exact)
+    qrows: jnp.ndarray,      # [N, D+8] int8: x8 | bitcast(scale, sqn)
+    ids: jnp.ndarray,        # [B, F] int32 (in-range)
+    mask: jnp.ndarray,       # [B, F]
+) -> jnp.ndarray:
+    """Quantized frontier scoring for the byte-bound high-D regime.
+
+    At D >= ~512 a [B, E*F] frontier gather moves GBs per beam step and
+    is HBM-bandwidth-bound (measured ~92GB/s at 960d), unlike the
+    issue-bound low-D case that blocked gathers fix -- here the win is
+    4x fewer bytes. Two design constraints, both measured:
+
+    * The row's dequant scale and exact sqnorm are PACKED into the int8
+      row's last 8 bytes (bitcast f32 pair) -- separate [B, F] scalar
+      gathers would re-pay the per-row issue cost (13ns x B*E*F =
+      ~13ms/step), and dequantizing the whole [B, F, D] tile to f32
+      would materialize a 4GB intermediate (measured SLOWER than the
+      f32 path it was meant to beat).
+    * The dot runs int8 x int8 -> int32 on the MXU (query quantized per
+      row); only [B, F]-shaped tensors ever exist in f32.
+
+    sim ~ 2 * qs*s * <q8, x8> - |x|^2 - |q|^2 with |x|^2 exact from the
+    packed bytes; beam ROUTING sees ~1% relative dot error and the
+    final k are rescored in exact f32 form (search_pipeline).
+    """
+    D = q8.shape[1]
+    fv = qrows[ids]                                # [B, F, D+8] int8
+    x8 = fv[..., :D]
+    meta = jax.lax.bitcast_convert_type(
+        fv[..., D:].reshape(*fv.shape[:-1], 2, 4), jnp.float32
+    )                                              # [B, F, 2]
+    s, fn = meta[..., 0], meta[..., 1]
+    dots = jnp.einsum(
+        "bd,bfd->bf", q8, x8, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    sims = 2.0 * dots * (q_scale[:, None] * s) - q_sqnorm[:, None] - fn
+    return jnp.where(mask, sims, NEG_INF)
+
+
 def exact_neg_sq_l2(
     q: jnp.ndarray,        # [B, D]
     vecs: jnp.ndarray,     # [N, D]

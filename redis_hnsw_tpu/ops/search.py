@@ -151,7 +151,7 @@ def _use_pallas_gather(batch: int) -> bool:
 def beam_search(
     metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int,
     row_map=None, active=None, expand: int = 1, iters: int | None = None,
-    nbrvec=None, nbrsqn=None,
+    nbrvec=None, nbrsqn=None, qrows=None,
 ):
     """Run the ef-wide beam for every lane; returns sorted (ids, sims).
 
@@ -202,6 +202,8 @@ def beam_search(
     if iters is None:
         iters = 4 * ((ef + E - 1) // E) + 16
     slots = jnp.arange(ef, dtype=jnp.int32)
+    if qrows is not None:
+        q8, qs8 = D.quantize_query(q)  # once per call, reused every step
 
     # Beam state is TWO sort operands: sims [B, ef] f32 and a PACKED
     # int32 ``pid = id << 1 | unexpanded_bit``. Sort cost scales with
@@ -277,6 +279,13 @@ def beam_search(
                 nsims = D.block_neg_sq_l2(
                     q, qn, nbrvec, nbrsqn, csafe, fresh
                 )
+        elif qrows is not None:
+            # Quantized row gathers for the byte-bound high-D regime
+            # (ops/distance.py frontier_int8_neg_sq_l2): 4x fewer HBM
+            # bytes per frontier; final k rescored exactly downstream.
+            nsims = D.frontier_int8_neg_sq_l2(
+                q8, qs8, qn, qrows, jnp.maximum(nbrs, 0), fresh
+            )
         else:
             nb_safe = jnp.maximum(nbrs, 0)
             nsims = _score(metric, q, qn, vecs, vn, nb_safe, fresh)
@@ -336,7 +345,7 @@ def search_pipeline(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer, queries,
     *, ef: int, k: int, metric: str, expand: int = 1,
     iters: int | None = None, nbrvec=None, nbrsqn=None,
-    pack: bool = False,
+    qrows=None, pack: bool = False,
 ):
     qn = _query_sqnorms(metric, queries)
     ep_ids, ep_sims = greedy_descent(
@@ -345,6 +354,7 @@ def search_pipeline(
     beam_ids, beam_sims = beam_search(
         metric, queries, qn, vecs, sqn, adj0, ep_ids, ep_sims, ef,
         expand=expand, iters=iters, nbrvec=nbrvec, nbrsqn=nbrsqn,
+        qrows=qrows,
     )
     k_eff = min(k, ef)
     k_ids = beam_ids[:, :k_eff]
@@ -410,7 +420,8 @@ def _run_search(snap, qs, ef: int, k: int, expand: int, iters=None):
     packed = search_batch_jit(
         *snap.arrays, qd, ef=ef, k=int(k), metric=snap.metric,
         expand=expand, iters=iters,
-        nbrvec=snap.nbrvec, nbrsqn=snap.nbrsqn, pack=True,
+        nbrvec=snap.nbrvec, nbrsqn=snap.nbrsqn,
+        qrows=snap.qrows, pack=True,
     )
     packed = np.asarray(packed[:n_q])
     k_eff = packed.shape[1] // 2

@@ -72,6 +72,11 @@ class Snapshot:
     # issue-bound on TPU -- see ops/distance.py block_neg_sq_l2).
     nbrvec: jnp.ndarray | None = None   # [N_pad, deg0, D] f32/bf16/uint32
     nbrsqn: jnp.ndarray | None = None   # [N_pad, deg0] f32 (euclidean)
+    # Quantized row table for the byte-bound high-D regime: int8 rows
+    # with the f32 (scale, exact sqnorm) pair bitcast into the last 8
+    # bytes (see ops/distance.py frontier_int8_neg_sq_l2). Built when
+    # euclidean and D >= QUANT_MIN_DIM and nbrvec is absent.
+    qrows: jnp.ndarray | None = None    # [N_pad, D+8] int8
 
     @property
     def arrays(self):
@@ -190,6 +195,45 @@ def _build_nbrvec(vecs, sq, adj0, *, dtype):
     return vecs.astype(dtype)[safe], sq[safe]
 
 
+# High-D euclidean frontiers are HBM-byte-bound (not issue-bound), so
+# above this row width the snapshot carries an int8 row table for beam
+# routing. REDIS_HNSW_TPU_QUANT=0 disables; =1 forces at any width.
+QUANT_MIN_DIM = 512
+
+
+def _use_quant(metric: str, width: int) -> bool:
+    """High-D euclidean picks the int8 row table FIRST: above
+    QUANT_MIN_DIM the frontier is byte-bound, where blocked f32 gathers
+    move the same bytes (no win) and int8 moves 4x fewer (measured
+    1.5x end-to-end at 200k x 960d)."""
+    import os
+
+    flag = os.environ.get("REDIS_HNSW_TPU_QUANT")
+    if flag == "0":
+        return False
+    if metric != "euclidean":
+        return False
+    return flag == "1" or width >= QUANT_MIN_DIM
+
+
+@jax.jit
+def _quantize_rows(vecs, sq):
+    """Per-row symmetric int8 quantization packed as [R, D+8] int8:
+    x8 columns, then the f32 (dequant scale, exact sqnorm) pair bitcast
+    to bytes -- one gather then carries vector + scalars (a separate
+    scalar gather is per-row issue-bound; see ops/distance.py)."""
+    amax = jnp.max(jnp.abs(vecs), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    x8 = jnp.clip(
+        jnp.round(vecs / scale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    meta = jnp.stack([scale, sq.astype(jnp.float32)], axis=-1)  # [R, 2]
+    meta8 = jax.lax.bitcast_convert_type(meta, jnp.int8)        # [R, 2, 4]
+    return jnp.concatenate(
+        [x8, meta8.reshape(meta8.shape[0], 8)], axis=-1
+    )
+
+
 def _sqnorms_np(index, vec_rows):
     if index.config.metric == "hamming":
         return np.zeros(len(vec_rows), np.float32)
@@ -215,7 +259,8 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
         u_pad = max(u_pad, prev.adj_up.shape[1])
         deg_up = max(deg_up, prev.adj_up.shape[2])
 
-    nv_dtype = _nbrvec_dtype(
+    use_q = _use_quant(cfg.metric, index._vectors.shape[1])
+    nv_dtype = None if use_q else _nbrvec_dtype(
         cfg.metric, index._vectors.dtype, n_pad, deg0,
         index._vectors.shape[1],
     )
@@ -227,6 +272,7 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
         and prev.adj_up.shape == (l_up, u_pad, deg_up)
         and (prev.nbrvec is None) == (nv_dtype is None)
         and (prev.nbrvec is None or prev.nbrvec.dtype == nv_dtype)
+        and (prev.qrows is not None) == use_q
     ):
         return _delta_snapshot(index, prev)
 
@@ -264,6 +310,9 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
     nbrvec = nbrsqn = None
     if nv_dtype is not None:
         nbrvec, nbrsqn = _build_nbrvec(vecs_d, sq_d, adj0_d, dtype=nv_dtype)
+    qrows = None
+    if use_q:
+        qrows = _quantize_rows(vecs_d, sq_d)
     return Snapshot(
         vecs=vecs_d,
         sqnorms=sq_d,
@@ -276,6 +325,7 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
         n_pad=n_pad,
         nbrvec=nbrvec,
         nbrsqn=nbrsqn,
+        qrows=qrows,
     )
 
 
@@ -295,22 +345,23 @@ def _pad_rows(rows: np.ndarray) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("wave_vecs", "has_nbrvec"),
+    static_argnames=("wave_vecs", "has_nbrvec", "has_quant"),
     # Donate every persistent table: the delta's .at[].set outputs then
     # update in place instead of double-buffering (the nbrvec table alone
     # is 8GiB at 1M rows -- an undonated copy OOMs the chip). The caller
     # drops the previous Snapshot right after.
-    donate_argnums=(0, 1, 2, 3, 4, 5, 6),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
 )
 def _apply_delta(
     vecs, sq, adj0, adj_up, upper_of,           # prev tables
     nbrvec, nbrsqn,                             # blocked tables (or None)
+    qrows,                                      # quantized rows (or None)
     vrows, vec_src, vec_sel, sq_data,           # vector updates
     arows, adj0_data, upof_vals,                # layer-0 + slot map
     wipe_flat,                                  # freed slots x all layers
     up_flat, up_data,                           # upper adjacency rows
     ep, max_layer,
-    *, wave_vecs: bool, has_nbrvec: bool,
+    *, wave_vecs: bool, has_nbrvec: bool, has_quant: bool,
 ):
     """One fused device program applying a whole dirty-row delta.
 
@@ -339,6 +390,8 @@ def _apply_delta(
     sq = sq.at[vrows].set(sq_data)
     adj0 = adj0.at[arows].set(adj0_data)
     upper_of = upper_of.at[arows].set(upof_vals)
+    if has_quant:
+        qrows = qrows.at[vrows].set(_quantize_rows(vec_data, sq_data))
     if has_nbrvec:
         safe = jnp.maximum(adj0_data, 0)
         nbrvec = nbrvec.at[arows].set(vecs[safe].astype(nbrvec.dtype))
@@ -350,7 +403,7 @@ def _apply_delta(
     adj_up_f = adj_up_f.at[up_flat].set(up_data)
     return (
         vecs, sq, adj0, adj_up_f.reshape(shape_up), upper_of, ep,
-        max_layer, nbrvec, nbrsqn,
+        max_layer, nbrvec, nbrsqn, qrows,
     )
 
 
@@ -453,7 +506,7 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
 
     out = _apply_delta(
         prev.vecs, prev.sqnorms, prev.adj0, prev.adj_up, prev.upper_of,
-        prev.nbrvec, prev.nbrsqn,
+        prev.nbrvec, prev.nbrsqn, prev.qrows,
         jnp.asarray(vrows), vec_src, jnp.asarray(vec_sel),
         jnp.asarray(sq_data),
         jnp.asarray(arows), jnp.asarray(adj0_data), jnp.asarray(upof_vals),
@@ -463,8 +516,10 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
         jnp.asarray(index.max_layer, jnp.int32),
         wave_vecs=wave_vecs,
         has_nbrvec=prev.nbrvec is not None,
+        has_quant=prev.qrows is not None,
     )
-    vecs, sq, adj0, adj_up, upper_of, ep, max_layer, nbrvec, nbrsqn = out
+    (vecs, sq, adj0, adj_up, upper_of, ep, max_layer, nbrvec, nbrsqn,
+     qrows) = out
     return Snapshot(
         vecs=vecs,
         sqnorms=sq,
@@ -477,4 +532,5 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
         n_pad=prev.n_pad,
         nbrvec=nbrvec,
         nbrsqn=nbrsqn,
+        qrows=qrows,
     )

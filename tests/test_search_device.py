@@ -140,3 +140,36 @@ def test_device_hamming_no_duplicates_and_recall():
         assert len(got) == len(set(got)), f"duplicate reply: {got}"
         hits += len(set(got) & truth[b])
     assert hits / (k * len(queries)) >= 0.95
+
+
+def test_quantized_high_dim_path(monkeypatch, built=None):
+    """int8 coarse scoring (byte-bound high-D regime) forced on via
+    REDIS_HNSW_TPU_QUANT=1: recall stays high and reported sims remain
+    exact-form (rescored), matching the f32 path's results."""
+    monkeypatch.setenv("REDIS_HNSW_TPU_QUANT", "1")
+    rng = np.random.default_rng(9)
+    n, dim, k = 600, 48, 10
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((32, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex(
+        "q8", IndexConfig(dim=dim, m=8, ef_construction=48, seed=5)
+    )
+    idx.add_batch(names, data, batch_size=256)
+    snap = idx.device_snapshot()
+    assert snap.qrows is not None and snap.nbrvec is None
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    truth = oracle.search_batch(queries, k)
+    res = idx.search_batch(queries, k, ef_search=64, expand=8, iters=12)
+    hits = 0
+    for b in range(len(queries)):
+        hits += len(
+            {r.name for r in res[b]} & {r.name for r in truth[b]}
+        )
+        for r in res[b]:
+            # reported sims are exact f32 (rescored), not quantized
+            row = oracle._names.get(r.name)
+            exact = -float(np.sum((queries[b] - data[row]) ** 2))
+            assert abs(r.sim - exact) < 1e-3 * (1 + abs(exact))
+    assert hits / (k * len(queries)) >= 0.93
