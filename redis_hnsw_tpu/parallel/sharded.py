@@ -327,6 +327,27 @@ class ShardedHNSW:
             out.append(res)
         return out
 
+    def enable_autosave(
+        self, directory: str, every_ops: int = 8192,
+        compress: bool = False,
+    ) -> None:
+        """Per-shard bounded-loss autosave into ``directory`` (one npz
+        per shard, same layout as :meth:`save`; restore with
+        :meth:`restore` after writing a manifest via :meth:`save`, or
+        load shards individually)."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        for s, shard in enumerate(self.shards):
+            shard.enable_autosave(
+                os.path.join(directory, f"shard{s}.npz"),
+                every_ops=every_ops, compress=compress,
+            )
+
+    def disable_autosave(self) -> None:
+        for shard in self.shards:
+            shard.disable_autosave()
+
     # -- persistence --------------------------------------------------------
 
     def save(self, directory: str, compress: bool = True) -> None:

@@ -273,8 +273,15 @@ def main() -> None:  # pragma: no cover - manual entry
     ap = argparse.ArgumentParser(description="RESP server for redis_hnsw_tpu")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=6399)
+    ap.add_argument(
+        "--restore", nargs="*", default=(), metavar="PATH",
+        help="checkpoints to register at startup (npz or sharded dir)",
+    )
     args = ap.parse_args()
     srv = HNSWServer(args.host, args.port)
+    for path in args.restore:
+        idx = srv.dispatch.client.restore_index(path)
+        print(f"restored index {idx.name!r} from {path}")
     print(f"serving HNSW.* on {args.host}:{args.port}")
     srv.serve_forever()
 

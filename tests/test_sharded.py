@@ -94,3 +94,61 @@ def test_sharded_checkpoint_roundtrip(tmp_path, sharded_built):
 
     back.add_node("fresh", np.asarray(data[0]) * 0.5)
     assert back.node_count == sharded.node_count + 1
+
+
+def test_sharded_hamming():
+    """Hamming metric across the mesh: per-shard blocked XOR+popcount
+    beams + the all-gather merge."""
+    rng = np.random.default_rng(5)
+    n, words, k = 400, 8, 5
+    data = rng.integers(0, 2**32, (n, words), dtype=np.uint32)
+    names = [f"h{i}" for i in range(n)]
+    mesh = make_mesh(8)
+    idx = ShardedHNSW(
+        "shh",
+        IndexConfig(dim=256, m=8, ef_construction=48,
+                    metric="hamming", seed=2),
+        mesh=mesh,
+    )
+    idx.add_batch(names, data, batch_size=128)
+    oracle = FlatIndex("o", IndexConfig(dim=256, metric="hamming"))
+    oracle.add_batch(names, data)
+    queries = rng.integers(0, 2**32, (16, words), dtype=np.uint32)
+    got = idx.search_batch(queries, k, ef_search=64, expand=8, iters=12)
+    want = oracle.search_batch(queries, k)
+    hits = sum(
+        len({r.name for r in got[b]} & {r.name for r in want[b]})
+        for b in range(len(queries))
+    )
+    assert hits / (k * len(queries)) >= 0.9
+    for rr in got:
+        names_list = [r.name for r in rr]
+        assert len(names_list) == len(set(names_list))
+
+
+def test_sharded_autosave(tmp_path):
+    """Per-shard autosave: a crash loses at most every_ops mutations
+    per shard; shards restore individually."""
+    from redis_hnsw_tpu.utils.checkpoint import load_index
+
+    rng = np.random.default_rng(6)
+    n, dim = 300, 12
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"a{i}" for i in range(n)]
+    mesh = make_mesh(8)
+    idx = ShardedHNSW(
+        "sa", IndexConfig(dim=dim, m=6, ef_construction=32, seed=4),
+        mesh=mesh,
+    )
+    d = str(tmp_path / "auto")
+    idx.enable_autosave(d, every_ops=8)
+    idx.add_batch(names, data, batch_size=64)
+    import os
+
+    total = 0
+    for s in range(idx.n_shards):
+        p = os.path.join(d, f"shard{s}.npz")
+        assert os.path.exists(p)
+        total += load_index(p).node_count
+    # every shard saved within every_ops of its final size
+    assert total >= n - 8 * idx.n_shards
