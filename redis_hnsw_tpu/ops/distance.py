@@ -214,6 +214,37 @@ def frontier_int8_neg_sq_l2(
     return jnp.where(mask, sims, NEG_INF)
 
 
+def block_int8_neg_sq_l2(
+    q8: jnp.ndarray,         # [B, D] int8 (quantize_query)
+    q_scale: jnp.ndarray,    # [B] f32
+    q_sqnorm: jnp.ndarray,   # [B] f32 (exact)
+    nbrvec8: jnp.ndarray,    # [N, F, D+8] int8 packed neighbor blocks
+    cand: jnp.ndarray,       # [B, E] parent row ids (in-range)
+    mask: jnp.ndarray,       # [B, E*F]
+) -> jnp.ndarray:
+    """Blocked + quantized frontier scoring: the low-D tier when the
+    f32 nbrvec table is over budget. Combines both measured wins --
+    [B, E] block gathers (issue-bound fix) of int8 rows (3.5x fewer
+    bytes than f32, and 4.5GB instead of 8GB f16 at 1M x 128d), with
+    the (scale, exact sqnorm) pair packed per neighbor row. Dots run
+    int8 x int8 -> int32 on the MXU; final k rescored exactly."""
+    B, E = cand.shape
+    F = nbrvec8.shape[1]
+    D = q8.shape[1]
+    blocks = nbrvec8[cand]                      # [B, E, F, D+8] int8
+    x8 = blocks[..., :D]
+    meta = jax.lax.bitcast_convert_type(
+        blocks[..., D:].reshape(*blocks.shape[:-1], 2, 4), jnp.float32
+    )                                           # [B, E, F, 2]
+    s = meta[..., 0].reshape(B, E * F)
+    fn = meta[..., 1].reshape(B, E * F)
+    dots = jnp.einsum(
+        "bd,befd->bef", q8, x8, preferred_element_type=jnp.int32
+    ).astype(jnp.float32).reshape(B, E * F)
+    sims = 2.0 * dots * (q_scale[:, None] * s) - q_sqnorm[:, None] - fn
+    return jnp.where(mask, sims, NEG_INF)
+
+
 def exact_neg_sq_l2(
     q: jnp.ndarray,        # [B, D]
     vecs: jnp.ndarray,     # [N, D]

@@ -202,7 +202,8 @@ def beam_search(
     if iters is None:
         iters = 4 * ((ef + E - 1) // E) + 16
     slots = jnp.arange(ef, dtype=jnp.int32)
-    if qrows is not None:
+    quant_blocks = nbrvec is not None and nbrvec.dtype == jnp.int8
+    if qrows is not None or quant_blocks:
         q8, qs8 = D.quantize_query(q)  # once per call, reused every step
 
     # Beam state is TWO sort operands: sims [B, ef] f32 and a PACKED
@@ -267,6 +268,10 @@ def beam_search(
             csafe = jnp.maximum(crow, 0)
             if metric == "hamming":
                 nsims = D.block_hamming(q, nbrvec, csafe, fresh)
+            elif quant_blocks:
+                nsims = D.block_int8_neg_sq_l2(
+                    q8, qs8, qn, nbrvec, csafe, fresh
+                )
             elif _use_pallas_gather(B):
                 from .pallas_gather import fused_block_score
 

@@ -173,3 +173,40 @@ def test_quantized_high_dim_path(monkeypatch, built=None):
             exact = -float(np.sum((queries[b] - data[row]) ** 2))
             assert abs(r.sim - exact) < 1e-3 * (1 + abs(exact))
     assert hits / (k * len(queries)) >= 0.93
+
+
+def test_int8_blocked_tier(monkeypatch):
+    """Forced int8 nbrvec blocks (the over-budget low-D tier): recall
+    matches the f32 blocked path within noise, reported sims exact."""
+    monkeypatch.setenv("REDIS_HNSW_TPU_NBRVEC_DTYPE", "i8")
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 800, 24, 10
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((32, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex(
+        "i8b", IndexConfig(dim=dim, m=8, ef_construction=48, seed=5)
+    )
+    idx.add_batch(names, data, batch_size=256)
+    snap = idx.device_snapshot()
+    assert snap.nbrvec is not None and snap.nbrvec.dtype == jnp.int8
+    assert snap.nbrvec.shape[-1] == dim + 8 and snap.nbrsqn is None
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    truth = oracle.search_batch(queries, k)
+    res = idx.search_batch(queries, k, ef_search=64, expand=8, iters=12)
+    hits = 0
+    for b in range(len(queries)):
+        hits += len({r.name for r in res[b]} & {r.name for r in truth[b]})
+        for r in res[b]:
+            row = oracle._names.get(r.name)
+            exact = -float(np.sum((queries[b] - data[row]) ** 2))
+            assert abs(r.sim - exact) < 1e-3 * (1 + abs(exact))
+    assert hits / (k * len(queries)) >= 0.93
+    # mutations keep the packed blocks fresh through the delta path
+    idx.delete_node("n5")
+    idx.add_node("n5b", data[5] * 0.5)
+    res = idx.search_batch(data[5][None] * 0.5, 1)
+    assert res[0][0].name == "n5b"
