@@ -6,8 +6,8 @@ measured in-process: the native C++ sequential engine
 (native/hnsw_core.cpp) is an algorithmically faithful stand-in for the
 reference's single-core Rust loop (same graph, same ef, same expansion
 order, compiler-vectorized distance kernel ~ the reference's AVX2,
-src/hnsw/metrics.rs:48-77). The baseline is the MEDIAN of several reps
-of >=1000 sequential queries with a warmup rep discarded (the r1 number
+src/hnsw/metrics.rs:48-77). The baseline is the MEDIAN of 5 reps of
+>=1000 sequential queries with a warmup rep discarded (the r1 number
 was a single 300-query rep taken right after heavy device work and
 swung 5.5x between runs); the per-rep spread is reported on stderr.
 
@@ -54,7 +54,7 @@ def _recall_fn(truth, k):
     return recall
 
 
-def _baseline_qps(idx, queries, n_q: int = 1000, reps: int = 3) -> float:
+def _baseline_qps(idx, queries, n_q: int = 1000, reps: int = 5) -> float:
     """Median sequential-native qps over ``reps`` timed reps (plus one
     discarded warmup rep), single query at a time at parity ef."""
     k = 10
@@ -217,7 +217,7 @@ def main():
                     f"batched qps/chip at recall@10={rec:.3f} "
                     f"(10k x 128d, M=16, efcon=200, ef={ef}, "
                     f"expand=16, iters={iters}; build {build_s:.0f}s; "
-                    f"baseline=median-of-3x1000 native single-core "
+                    f"baseline=median-of-5x1000 native single-core "
                     f"search_knn)"
                 ),
                 "value": round(qps, 1),
