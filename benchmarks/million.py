@@ -133,15 +133,19 @@ def snapshot_truth(idx, queries, k) -> list[set]:
     def scan(vecs, sqn, live, q):
         scores = pairwise_neg_sq_l2(q, vecs, sqn)
         scores = jnp.where(live[None, :], scores, -jnp.inf)
-        _, ids = jax.lax.top_k(scores, k)
-        return ids
+        sims, ids = jax.lax.top_k(scores, k)
+        return sims, ids
 
-    ids = np.asarray(
-        scan(snap.vecs, snap.sqnorms, jnp.asarray(live),
-             jnp.asarray(queries))
-    )
+    sims, ids = scan(snap.vecs, snap.sqnorms, jnp.asarray(live),
+                     jnp.asarray(queries))
+    sims, ids = np.asarray(sims), np.asarray(ids)
+    # -inf slots are padded/dead rows whose ids may exceed the name
+    # table's high water -- drop them before name resolution.
     names = idx._names.names_array()
-    return [{names[r] for r in row} for row in ids]
+    return [
+        {names[r] for r, s in zip(row, srow) if not np.isneginf(s)}
+        for row, srow in zip(ids, sims)
+    ]
 
 
 def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:

@@ -130,11 +130,13 @@ class FlatIndex:
                 32 if self.config.metric == "hamming" else 1
             )
             raise DimensionMismatch(got)
+        seen: set[str] = set()
         for n in names:
             if not n:
                 raise HNSWError("node name must be non-empty")
-            if n in self._names:
+            if n in self._names or n in seen:
                 raise NodeExists(n)
+            seen.add(n)
         rows = np.fromiter(
             (self._names.alloc(n) for n in names), np.int64, len(names)
         )
@@ -207,8 +209,12 @@ class FlatIndex:
         sims = np.asarray(sims)
         # Batch replies carry (sim, name) only, like the HNSW batch path
         # (the reference's search reply shape, src/types.rs:445-457);
-        # names resolve via one object-array fancy-index.
-        names = self._names.names_array()[np.maximum(ids, 0)]
+        # names resolve via one object-array fancy-index. Slots scored
+        # -inf are 128-padding / deleted rows whose ids may exceed the
+        # name table's high water -- zero them before the fancy-index
+        # (they are dropped below anyway).
+        ids_safe = np.where(np.isneginf(sims), 0, np.maximum(ids, 0))
+        names = self._names.names_array()[ids_safe]
         neg_inf = float("-inf")
         out = []
         for bsim, bnames in zip(sims.tolist(), names.tolist()):

@@ -663,7 +663,10 @@ class HNSWIndex:
         """Dense device-resident snapshot for the batched engines.
 
         Cached per mutation epoch; refreshed incrementally (dirty-row
-        scatter) when shapes allow -- see ops/snapshot.py.
+        scatter) when shapes allow -- see ops/snapshot.py. The refresh
+        donates the previous snapshot's buffers, so callers must NOT
+        hold a returned Snapshot across a later mutation -- re-fetch it
+        here each time (free when the epoch is unchanged).
         """
         if self._snapshot is None or self._snapshot_epoch != self._epoch:
             from ..ops.snapshot import build_snapshot

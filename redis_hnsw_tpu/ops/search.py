@@ -138,7 +138,7 @@ def _use_pallas_gather(batch: int) -> bool:
     from .pallas_gather import TILE_B
 
     return (
-        os.environ.get("REDIS_HNSW_TPU_PALLAS_GATHER")
+        os.environ.get("REDIS_HNSW_TPU_PALLAS_GATHER") == "1"
         and jax.default_backend() == "tpu"
         and batch % TILE_B == 0
     )

@@ -55,7 +55,15 @@ def _round_pow2(x: int, lo: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class Snapshot:
-    """Immutable device view of one index epoch."""
+    """Immutable device view of one index epoch.
+
+    Lifetime contract: the incremental refresh (``_apply_delta``)
+    DONATES the previous snapshot's buffers into the update program, so
+    a Snapshot obtained from ``device_snapshot()`` is invalidated (its
+    arrays raise "array has been deleted") by the next mutation +
+    snapshot of the same index. Do not cache a Snapshot across writes;
+    re-fetch via ``device_snapshot()`` each time (it is epoch-cached and
+    free when nothing changed)."""
 
     vecs: jnp.ndarray       # [N_pad, D] f32 (or uint32 packed for hamming)
     sqnorms: jnp.ndarray    # [N_pad] f32 (zeros for hamming)

@@ -307,3 +307,35 @@ def test_empty_node_name_rejected():
     idx = HNSWIndex("e", IndexConfig(dim=8, m=4, seed=0))
     with pytest.raises(HNSWError):
         idx.add_node("", np.zeros(8, np.float32))
+
+
+def test_flat_k_exceeds_node_count(rng):
+    """Regression (ADVICE r2 high): top_k over the 128-padded device
+    table returns padded row ids >= the name table's high water whenever
+    k > node_count; the name fancy-index must not see them."""
+    dim = 8
+    data = rng.standard_normal((5, dim)).astype(np.float32)
+    idx = FlatIndex("f", IndexConfig(dim=dim))
+    names = [f"n{i}" for i in range(5)]
+    idx.add_batch(names, data)
+    res = idx.search_batch(data[:2], k=10)
+    for row in res:
+        assert len(row) == 5  # only live rows survive
+        assert {r.name for r in row} == set(names)
+    # same via the single-query path (carries vectors)
+    one = idx.search_knn(data[0], 10)
+    assert len(one) == 5 and one[0].name == "n0"
+
+
+def test_flat_duplicate_names_within_batch(rng):
+    """Regression (ADVICE r2): duplicates inside one batch must raise
+    NodeExists cleanly, not a mid-allocation assert with phantom rows."""
+    dim = 8
+    data = rng.standard_normal((3, dim)).astype(np.float32)
+    idx = FlatIndex("f", IndexConfig(dim=dim))
+    with pytest.raises(NodeExists):
+        idx.add_batch(["a", "b", "a"], data)
+    assert idx.node_count == 0
+    # the failed batch must leave no phantom allocations behind
+    idx.add_batch(["a", "b", "c"], data)
+    assert idx.node_count == 3
