@@ -107,17 +107,27 @@ def _bench_one(
         queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
     names = [f"n{i}" for i in range(n)]
 
-    idx = HNSWIndex(
-        name,
-        IndexConfig(
-            dim=dim, m=m, ef_construction=efcon, metric=metric, seed=7
-        ),
+    cfg_kw = dict(
+        dim=dim, m=m, ef_construction=efcon, metric=metric, seed=7
     )
+    # Warm pass: compile every engine shape first (the shared compile
+    # server is noisy, 30s-5min per program on a cold cache; BENCH_r02
+    # recorded 818.9s for a build that is ~55s steady-state). The timed
+    # pass then measures the steady build the persistent cache delivers
+    # to every later process. Both wall-clocks are reported.
+    t0 = time.perf_counter()
+    warm = HNSWIndex("warm-" + name, IndexConfig(**cfg_kw))
+    warm.add_batch(names, data, batch_size=2048)
+    build_warm_s = time.perf_counter() - t0
+    del warm
+
+    idx = HNSWIndex(name, IndexConfig(**cfg_kw))
     t0 = time.perf_counter()
     idx.add_batch(names, data, batch_size=2048)
     build_s = time.perf_counter() - t0
     log(f"[{name}] build: {n} nodes in {build_s:.1f}s "
-        f"({n / build_s:.0f} adds/s)")
+        f"({n / build_s:.0f} adds/s; first pass incl. compile "
+        f"{build_warm_s:.1f}s)")
 
     oracle = FlatIndex("o" + name, IndexConfig(dim=dim, metric=metric))
     oracle.add_batch(names, data)
@@ -153,10 +163,69 @@ def _bench_one(
         f"recall@{k}={full_recall:.4f} {qps:.0f} qps "
         f"({dt * 1e3:.1f} ms / {n_queries} queries)"
     )
+    hbm_gbps, pct_peak = _roofline(
+        idx, n_queries, expand=expand, iters=iters, dt=dt
+    )
+    log(f"[{name}] beam gather traffic: {hbm_gbps:.0f} GB/s achieved "
+        f"({pct_peak:.0f}% of HBM peak; analytic, full-iters bound)")
 
     base_qps = _baseline_qps(idx, queries, n_q=base_n)
     log(f"[{name}] ratio vs sequential baseline: {qps / base_qps:.2f}x")
-    return qps, full_recall, ef, iters, build_s, base_qps
+    return {
+        "qps": qps, "recall": full_recall, "ef": ef, "iters": iters,
+        "build_s": build_s, "build_warm_s": build_warm_s,
+        "base_qps": base_qps, "hbm_gbps": hbm_gbps, "pct_peak": pct_peak,
+    }
+
+
+def _hbm_peak_gbps() -> float:
+    """HBM peak bandwidth of the attached chip (GB/s)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819.0
+    if "v5p" in kind or "v5" in kind:
+        return 2765.0
+    if "v4" in kind:
+        return 1228.0
+    if "v6" in kind or "trillium" in kind:
+        return 1640.0
+    return 819.0  # conservative default
+
+
+def _roofline(idx, n_queries: int, *, expand: int, iters: int, dt: float):
+    """Achieved HBM GB/s for the beam step's frontier gathers.
+
+    Analytic per-step gather bytes at the chosen operating point (the
+    beam's dominant HBM traffic -- PLAN.md: the step is gather-bound),
+    assuming all ``iters`` steps run (the while_loop may exit earlier,
+    so this is an upper bound on bytes; sort traffic is excluded, so it
+    is simultaneously a lower bound on total traffic -- treat as the
+    order-of-magnitude roofline position, not an exact counter).
+    """
+    from redis_hnsw_tpu.ops.search import MAX_LANES
+
+    snap = idx.device_snapshot()
+    B = min(n_queries, MAX_LANES)
+    n_calls = (n_queries + B - 1) // B
+    F = int(snap.adj0.shape[1])
+    if snap.nbrvec is not None:
+        step_bytes = (
+            B * expand * int(snap.nbrvec.shape[1])
+            * int(snap.nbrvec.shape[2]) * snap.nbrvec.dtype.itemsize
+        )
+    elif snap.qrows is not None:
+        step_bytes = B * expand * F * int(snap.qrows.shape[1])
+    else:
+        step_bytes = (
+            B * expand * F * int(snap.vecs.shape[1])
+            * snap.vecs.dtype.itemsize
+        )
+    total = step_bytes * iters * n_calls
+    gbps = total / dt / 1e9
+    peak = _hbm_peak_gbps()
+    return gbps, 100.0 * gbps / peak
 
 
 def config1():
@@ -190,16 +259,20 @@ def main():
 
     if only in (3, 5):
         fn = config3 if only == 3 else config5
-        qps, rec, ef, iters, build_s, base = fn()
+        r = fn()
         print(json.dumps({
-            "metric": f"config-{only} qps/chip at recall@10={rec:.3f}",
-            "value": round(qps, 1),
+            "metric": f"config-{only} qps/chip at recall@10={r['recall']:.3f}",
+            "value": round(r["qps"], 1),
             "unit": "qps/chip",
-            "vs_baseline": round(qps / base, 2),
+            "vs_baseline": round(r["qps"] / r["base_qps"], 2),
+            "hbm_gbps": round(r["hbm_gbps"], 1),
+            "pct_peak": round(r["pct_peak"], 1),
+            "build_s": round(r["build_s"], 1),
+            "build_warm_s": round(r["build_warm_s"], 1),
         }))
         return
 
-    qps, rec, ef, iters, build_s, base = config1()
+    r = config1()
 
     # side measurements for the record (stderr only, cheap): BASELINE
     # configs 3 and 5
@@ -214,15 +287,20 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"batched qps/chip at recall@10={rec:.3f} "
-                    f"(10k x 128d, M=16, efcon=200, ef={ef}, "
-                    f"expand=16, iters={iters}; build {build_s:.0f}s; "
-                    f"baseline=median-of-5x1000 native single-core "
-                    f"search_knn)"
+                    f"batched qps/chip at recall@10={r['recall']:.3f} "
+                    f"(10k x 128d, M=16, efcon=200, ef={r['ef']}, "
+                    f"expand=16, iters={r['iters']}; steady build "
+                    f"{r['build_s']:.0f}s, first-compile pass "
+                    f"{r['build_warm_s']:.0f}s; baseline=median-of-5x1000 "
+                    f"native single-core search_knn)"
                 ),
-                "value": round(qps, 1),
+                "value": round(r["qps"], 1),
                 "unit": "qps/chip",
-                "vs_baseline": round(qps / base, 2),
+                "vs_baseline": round(r["qps"] / r["base_qps"], 2),
+                "hbm_gbps": round(r["hbm_gbps"], 1),
+                "pct_peak": round(r["pct_peak"], 1),
+                "build_s": round(r["build_s"], 1),
+                "build_warm_s": round(r["build_warm_s"], 1),
             }
         )
     )
