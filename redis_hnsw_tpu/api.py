@@ -41,9 +41,22 @@ class HNSW:
     def __init__(self) -> None:
         self._indices: dict[str, HNSWIndex | FlatIndex] = {}
         # The reference serializes all commands under Redis's event loop and
-        # errors on lock contention (src/lib.rs:349, :474). Here a plain
-        # lock around registry + mutation keeps the single-controller model.
+        # errors on lock contention (src/lib.rs:349, :474). Here the
+        # registry lock guards the name->index map only, and every index
+        # carries its OWN lock serializing its mutations and device
+        # searches -- operations on *different* indexes run concurrently
+        # (the reference's per-index Arc<RwLock>, src/lib.rs:32-35, allows
+        # the same; a single global lock would be stricter than either).
         self._lock = threading.RLock()
+        self._index_locks: dict[str, threading.RLock] = {}
+
+    def _entry(self, name: str):
+        """Resolve (index, its lock) under the registry lock."""
+        with self._lock:
+            idx = self._indices.get(name)
+            if idx is None:
+                raise IndexNotFound(name)
+            return idx, self._index_locks[name]
 
     # -- index lifecycle ------------------------------------------------------
 
@@ -91,6 +104,7 @@ class HNSW:
             else:
                 raise ValueError(f"unknown index kind: {kind!r}")
             self._indices[name] = idx
+            self._index_locks[name] = threading.RLock()
             return idx
 
     def index(self, name: str):
@@ -118,6 +132,7 @@ class HNSW:
             if name not in self._indices:
                 raise IndexNotFound(name)
             del self._indices[name]
+            del self._index_locks[name]
             return 1
 
     def list_indices(self) -> list[str]:
@@ -127,16 +142,19 @@ class HNSW:
     # -- node ops -------------------------------------------------------------
 
     def add_node(self, index: str, node: str, data) -> None:
-        with self._lock:
-            self.index(index).add_node(node, data)
+        idx, lk = self._entry(index)
+        with lk:
+            idx.add_node(node, data)
 
     def get_node(self, index: str, node: str) -> dict:
-        with self._lock:
-            return self.index(index).get_node(node)
+        idx, lk = self._entry(index)
+        with lk:
+            return idx.get_node(node)
 
     def delete_node(self, index: str, node: str) -> int:
-        with self._lock:
-            self.index(index).delete_node(node)
+        idx, lk = self._entry(index)
+        with lk:
+            idx.delete_node(node)
             return 1
 
     # -- search ---------------------------------------------------------------
@@ -150,12 +168,12 @@ class HNSW:
     ) -> list[SearchResult]:
         """HNSW.SEARCH -- single query, reference-parity semantics.
 
-        Reads take the same lock as writes: the reference executes all
-        commands serialized under Redis's event loop, and the host graph
-        backends assume no concurrent mutation during a read.
+        Reads take the index's own lock (not the registry lock): the
+        host graph backends assume no concurrent mutation during a read,
+        but searches on *different* indexes proceed concurrently.
         """
-        with self._lock:
-            idx = self.index(index)
+        idx, lk = self._entry(index)
+        with lk:
             if isinstance(idx, FlatIndex):
                 return idx.search_knn(query, k)
             return idx.search_knn(query, k, ef_search=ef_search)
@@ -169,8 +187,8 @@ class HNSW:
         from .parallel.sharded import ShardedHNSW
         from .utils.checkpoint import save_index as _save
 
-        idx = self.index(index)
-        with self._lock:
+        idx, lk = self._entry(index)
+        with lk:
             if isinstance(idx, ShardedHNSW):
                 idx.save(path)
             elif isinstance(idx, HNSWIndex):
@@ -198,13 +216,14 @@ class HNSW:
             if idx.name in self._indices:
                 raise IndexExists(idx.name)
             self._indices[idx.name] = idx
+            self._index_locks[idx.name] = threading.RLock()
         return idx
 
     # -- batched TPU extensions -------------------------------------------------
 
     def add_batch(self, index: str, names, data, batch_size: int = 1024):
-        with self._lock:
-            idx = self.index(index)
+        idx, lk = self._entry(index)
+        with lk:
             if isinstance(idx, FlatIndex):
                 idx.add_batch(names, data)
             else:
@@ -222,8 +241,8 @@ class HNSW:
         """Batched device search. ``expand``/``iters`` tune the traversal
         (candidates expanded per step / step cap); defaults are
         reference-parity."""
-        with self._lock:
-            idx = self.index(index)
+        idx, lk = self._entry(index)
+        with lk:
             if isinstance(idx, FlatIndex):
                 return idx.search_batch(queries, k)
             return idx.search_batch(

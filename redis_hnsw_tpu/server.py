@@ -117,14 +117,21 @@ class _Reader:
 
 def _kwargs(args: list[str], vec_keys: tuple[str, ...] = ()) -> dict:
     """Parse the reference's kwarg grammar: KEY value, or KEY count
-    v1..vcount for vector-valued keys (src/lib.rs command! schemas)."""
+    v1..vcount for vector-valued keys (src/lib.rs command! schemas).
+    Vector values stay raw strings -- conversion is metric-dependent
+    (f32 for euclidean, packed uint32 words for hamming), see _vec."""
     out: dict = {}
     i = 0
     while i < len(args):
         key = args[i].lower()
         if key in vec_keys:
-            count = int(args[i + 1])
-            vals = [float(x) for x in args[i + 2 : i + 2 + count]]
+            try:
+                count = int(args[i + 1])
+            except (IndexError, ValueError):
+                raise HNSWError(
+                    f"missing or invalid count for argument {key}"
+                ) from None
+            vals = args[i + 2 : i + 2 + count]
             if len(vals) != count:
                 raise HNSWError("data dimensionality mismatch")
             out[key] = vals
@@ -135,6 +142,21 @@ def _kwargs(args: list[str], vec_keys: tuple[str, ...] = ()) -> dict:
             out[key] = args[i + 1]
             i += 2
     return out
+
+
+def _vec(vals: list[str], metric: str) -> np.ndarray:
+    """Convert raw wire values per the index's metric. Euclidean: f32
+    (reference grammar, f64 cast to f32 at src/lib.rs:345-346).
+    Hamming: uint32-packed words, so a 256-bit index takes
+    ``DATA 8 w1..w8`` (decimal or 0x-prefixed)."""
+    try:
+        if metric == "hamming":
+            return np.asarray(
+                [int(v, 0) & 0xFFFFFFFF for v in vals], dtype=np.uint32
+            )
+        return np.asarray([float(v) for v in vals], dtype=np.float32)
+    except ValueError as e:
+        raise HNSWError(f"invalid vector value: {e}") from None
 
 
 class Dispatcher:
@@ -162,12 +184,22 @@ class Dispatcher:
         if cmd in ("command", "hello", "info", "client"):
             return []  # enough for client handshakes
         if cmd == "hnsw.new":
+            if not args:
+                raise HNSWError("missing index name")
             kw = _kwargs(args[1:])
+            if "dim" not in kw:
+                raise HNSWError("missing required argument data_dim")
+            # METRIC/CAPACITY/KIND extend the reference's grammar
+            # (src/lib.rs:37-56: only DIM/M/EFCON exist upstream; hamming
+            # is declared-but-missing there, Readme.md:8).
             c.create_index(
                 args[0],
                 dim=int(kw["dim"]),
                 m=int(kw.get("m", 5)),
                 ef_construction=int(kw.get("efcon", 200)),
+                metric=kw.get("metric", "euclidean").lower(),
+                capacity=int(kw.get("capacity", 1024)),
+                kind=kw.get("kind", "hnsw").lower(),
             )
             return OK
         if cmd == "hnsw.get":
@@ -186,16 +218,25 @@ class Dispatcher:
         if cmd == "hnsw.del":
             return c.delete_index(args[0])
         if cmd == "hnsw.node.add":
+            if len(args) < 2:
+                raise HNSWError("missing index or node name")
             kw = _kwargs(args[2:], vec_keys=("data",))
-            c.add_node(
-                args[0], args[1],
-                np.asarray(kw["data"], dtype=np.float32),
-            )
+            if "data" not in kw:
+                raise HNSWError("missing required argument data")
+            metric = c.index(args[0]).config.metric
+            c.add_node(args[0], args[1], _vec(kw["data"], metric))
             return OK
         if cmd == "hnsw.node.get":
+            if len(args) < 2:
+                raise HNSWError("missing index or node name")
             node = c.get_node(args[0], args[1])
+            data = node["data"]
+            if np.issubdtype(np.asarray(data).dtype, np.integer):
+                vals = [int(x) for x in data]  # hamming packed words
+            else:
+                vals = [float(x) for x in data]
             return [
-                "data", [float(x) for x in node["data"]],
+                "data", vals,
                 "neighbors",
                 [list(layer) for layer in node["neighbors"]],
             ]
@@ -216,11 +257,14 @@ class Dispatcher:
             c.restore_index(kw["path"], name=args[0])
             return OK
         if cmd == "hnsw.search":
+            if not args:
+                raise HNSWError("missing index name")
             kw = _kwargs(args[1:], vec_keys=("query",))
+            if "query" not in kw:
+                raise HNSWError("missing required argument query")
             k = int(kw.get("k", 5))
-            res = c.search(
-                args[0], np.asarray(kw["query"], dtype=np.float32), k=k
-            )
+            metric = c.index(args[0]).config.metric
+            res = c.search(args[0], _vec(kw["query"], metric), k=k)
             reply: list = [len(res)]
             for r in res:
                 reply.append(

