@@ -53,6 +53,17 @@ def log(*a):
 
 def dataset(n: int, kind: str = "clustered") -> np.ndarray:
     rng = np.random.default_rng(0)
+    if kind.startswith(("fvecs:", "bvecs:")):
+        # real artifact: kind = fvecs:<base>:<query> (utils/datasets.py)
+        from redis_hnsw_tpu.utils.datasets import load_pair
+
+        base, _ = load_pair(kind, count=n)
+        if base.shape[0] < n:
+            raise SystemExit(
+                f"{kind}: only {base.shape[0]} rows, need {n}"
+            )
+        set_dim(base.shape[1])
+        return base[:n]
     if kind == "random":
         return rng.standard_normal((n, DIM)).astype(np.float32)
     if kind != "clustered":
@@ -65,9 +76,15 @@ def dataset(n: int, kind: str = "clustered") -> np.ndarray:
 
 
 def query_set(n_q: int, kind: str = "clustered") -> np.ndarray:
-    """Held-out queries: same mixture, fresh noise (clustered), or fresh
-    iid gaussians (random)."""
+    """Held-out queries: same mixture, fresh noise (clustered), fresh
+    iid gaussians (random), or the artifact's query file (fvecs/bvecs)."""
     rng = np.random.default_rng(1)
+    if kind.startswith(("fvecs:", "bvecs:")):
+        from redis_hnsw_tpu.utils.datasets import load_pair
+
+        _, queries = load_pair(kind, count=0)
+        set_dim(queries.shape[1])
+        return queries[:n_q]
     if kind == "random":
         return rng.standard_normal((n_q, DIM)).astype(np.float32)
     # re-derive the SAME centers as dataset() (seed 0), then sample
@@ -148,7 +165,10 @@ def snapshot_truth(idx, queries, k) -> list[set]:
     ]
 
 
-def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:
+def search_phase(
+    n: int, ckpt: str, kind: str = "clustered",
+    full_sweep: bool = False, out: str | None = None,
+) -> None:
     import statistics
 
     import jax.numpy as jnp
@@ -195,7 +215,7 @@ def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:
                          "recall": round(rec, 4), "qps": round(qps, 1)})
         if operating is None and rec >= 0.95:
             operating = frontier[-1]
-            if kind == "clustered":
+            if kind == "clustered" and not full_sweep:
                 break  # north-star point found; stop paying sweep time
     results["frontier"] = frontier
     results["operating"] = operating
@@ -240,6 +260,10 @@ def search_phase(n: int, ckpt: str, kind: str = "clustered") -> None:
             operating["qps"] / base_m, 2
         )
     log(json.dumps(results))
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        log(f"curve written to {out}")
 
 
 def profile_build(n: int) -> None:
@@ -276,12 +300,21 @@ if __name__ == "__main__":
             int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
             sys.argv[5] if len(sys.argv) > 5 else "clustered",
         )
-    elif mode == "search":
+    elif mode in ("search", "sweep"):
+        # sweep = search with the FULL ef ladder (no early break at the
+        # first >=0.95 point) + the curve written to a JSON artifact:
+        #   python benchmarks/million.py sweep N CKPT [KIND] [DIM] [OUT]
+        # KIND may be fvecs:<base>:<query> for real SIFT1M/GIST1M files.
         if len(sys.argv) > 5:
             set_dim(int(sys.argv[5]))
         search_phase(
             int(sys.argv[2]), sys.argv[3],
             sys.argv[4] if len(sys.argv) > 4 else "clustered",
+            full_sweep=(mode == "sweep"),
+            out=(
+                sys.argv[6] if len(sys.argv) > 6
+                else (f"sweep_{sys.argv[2]}.json" if mode == "sweep" else None)
+            ),
         )
     elif mode == "profile":
         profile_build(int(sys.argv[2]))
