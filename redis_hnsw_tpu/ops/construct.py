@@ -289,9 +289,21 @@ def _phase(name: str):
     return BUILD_TIMER.phase(name)
 
 
-def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
-    """Insert one wave; returns the prefetched next-wave device queries
-    (if a ``prefetch`` callable was given) so add_batch can reuse them."""
+class InFlightWave:
+    """A dispatched (but not yet applied) construction wave: the device
+    pass is in flight; ``complete_wave`` fetches and applies it. Lets
+    independent indexes (shards) overlap their device passes with each
+    other's host surgery (parallel/sharded.py)."""
+
+    __slots__ = (
+        "names", "qs", "qs_dev", "levels", "flat", "cross",
+        "w_pad", "fetch_c", "fetch_l", "n_up_used", "l_max",
+    )
+
+
+def dispatch_wave(index, names, data, ef: int, qs_dev=None) -> InFlightWave:
+    """Sample levels and launch the wave's device pass (async). The
+    caller must ``complete_wave`` before the index's next mutation."""
     cfg = index.config
     W = len(names)
     # 1. sample levels (core.rs:601-605) and validate
@@ -346,21 +358,45 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
         # so py/native builds stay identical
         with _phase("host_cross"):
             cross = _host_cross(qs)
+    w = InFlightWave()
+    w.names, w.qs, w.qs_dev, w.levels = names, qs, qs_dev, levels
+    w.flat, w.cross, w.w_pad = flat, cross, w_pad
+    w.fetch_c, w.fetch_l, w.n_up_used, w.l_max = (
+        fetch_c, fetch_l, n_up_used, l_max
+    )
+    return w
+
+
+def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
+    """Insert one wave; returns the prefetched next-wave device queries
+    (if a ``prefetch`` callable was given) so add_batch can reuse them."""
+    wave = dispatch_wave(index, names, data, ef, qs_dev=qs_dev)
+    nxt = prefetch() if prefetch is not None else None
+    complete_wave(index, wave)
+    return nxt
+
+
+def complete_wave(index, wave: InFlightWave) -> None:
+    """Fetch a dispatched wave's device results and apply host surgery."""
+    cfg = index.config
+    names, qs, levels = wave.names, wave.qs, wave.levels
+    cross, l_max = wave.cross, wave.l_max
+    qs_dev = wave.qs_dev
+    W = len(names)
     with _phase("fetch_results"):
         # one D2H transfer of the packed buffer, then host-side slicing
         up_ids, up_sims, l0_ids, l0_sims = unpack_scores(
-            np.asarray(flat),
-            l_pad=fetch_l,
-            w_pad=w_pad,
-            c=fetch_c,
+            np.asarray(wave.flat),
+            l_pad=wave.fetch_l,
+            w_pad=wave.w_pad,
+            c=wave.fetch_c,
         )
-        up_ids = np.ascontiguousarray(up_ids[:n_up_used, :W])
-        up_sims = np.ascontiguousarray(up_sims[:n_up_used, :W])
+        up_ids = np.ascontiguousarray(up_ids[: wave.n_up_used, :W])
+        up_sims = np.ascontiguousarray(up_sims[: wave.n_up_used, :W])
         l0_ids = np.ascontiguousarray(l0_ids[:W])
         l0_sims = np.ascontiguousarray(l0_sims[:W])
         if isinstance(cross, jnp.ndarray):
             cross = np.asarray(cross[:W, :W])
-    nxt = prefetch() if prefetch is not None else None
 
     # 3. host surgery, in wave order (core.rs:523-599 per insert)
     if index._native is not None:
@@ -387,7 +423,7 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
             for i in range(W):
                 index._finish_insert(int(rows[i]), int(levels[i]))
             index._bump(W)
-        return nxt
+        return
 
     rows = np.empty(W, np.int64)
     m = cfg.m
@@ -428,4 +464,3 @@ def _insert_wave(index, names, data, ef: int, qs_dev=None, prefetch=None):
 
         index._finish_insert(row, l)
     index._bump(W)
-    return nxt

@@ -151,15 +151,85 @@ class ShardedHNSW:
     def get_node(self, name: str) -> dict:
         return self._shard(name).get_node(name)
 
-    def add_batch(self, names, data, batch_size: int = 1024) -> None:
+    def add_batch(
+        self, names, data, batch_size: int = 1024,
+        interleave: bool = True,
+    ) -> None:
+        """Bulk insert, hashed to shards, with per-shard construction
+        waves INTERLEAVED: every shard's device pass (ops/construct.py
+        ``dispatch_wave``) is dispatched asynchronously on that shard's
+        mesh device before any result is fetched, so shard s+1's device
+        scoring runs while shard s's host surgery applies -- instead of
+        building shards strictly one after another. Waves within a
+        shard stay sequential (each wave reads the graph the previous
+        one wrote), so the resulting graphs are IDENTICAL to sequential
+        dispatch (tests/test_sharded.py pins this).
+        ``interleave=False`` keeps the plain per-shard loop."""
         data = np.atleast_2d(np.asarray(data))
         buckets: dict[int, tuple[list, list]] = {}
         for i, n in enumerate(names):
             b = buckets.setdefault(_shard_of(n, self.n_shards), ([], []))
             b[0].append(n)
             b[1].append(i)
-        for s, (ns, rows) in buckets.items():
-            self.shards[s].add_batch(ns, data[rows], batch_size=batch_size)
+        if not interleave:
+            for s, (ns, rows) in buckets.items():
+                self.shards[s].add_batch(
+                    ns, data[rows], batch_size=batch_size
+                )
+            return
+
+        from ..ops.construct import complete_wave, dispatch_wave
+        from ..ops.search import max_lanes_for
+
+        devices = list(self.mesh.devices.flat)
+        work: dict[int, tuple[list, np.ndarray, int]] = {}
+        for s, (ns, rows) in sorted(buckets.items()):
+            shard = self.shards[s]
+            d = data[rows]
+            if not len(ns):
+                continue
+            shard._capacity_hint = max(
+                int(getattr(shard, "_capacity_hint", 0)),
+                shard._names.high_water + len(ns),
+            )
+            pos = 0
+            if shard.node_count == 0:
+                shard.add_node(ns[0], d[0])
+                pos = 1
+            if pos < len(ns):
+                work[s] = (ns, d, pos)
+
+        def devctx(s):
+            return jax.default_device(devices[s % len(devices)])
+
+        inflight: dict[int, object] = {}
+
+        def dispatch_next(s) -> bool:
+            ns, d, pos = work[s]
+            if pos >= len(ns):
+                return False
+            shard = self.shards[s]
+            with devctx(s):
+                cap = max_lanes_for(shard.device_snapshot().n_pad)
+                hi = min(pos + min(batch_size, cap), len(ns))
+                inflight[s] = dispatch_wave(
+                    shard, ns[pos:hi], d[pos:hi],
+                    shard.config.ef_construction,
+                )
+            work[s] = (ns, d, hi)
+            return True
+
+        order = sorted(work)
+        for s in order:
+            dispatch_next(s)
+        while inflight:
+            for s in order:
+                if s not in inflight:
+                    continue
+                wave = inflight.pop(s)
+                with devctx(s):
+                    complete_wave(self.shards[s], wave)
+                dispatch_next(s)
 
     @property
     def node_count(self) -> int:
@@ -277,8 +347,13 @@ class ShardedHNSW:
 
     def search_batch(
         self, queries, k: int, ef_search: int | None = None,
-        expand: int = 1, iters: int | None = None,
+        expand: int = 1, iters: int | None = None, engine: str = "graph",
+        reply: str = "objects",
     ) -> list[list[SearchResult]]:
+        # ``engine``/``reply`` accepted for API uniformity; sharded
+        # search always runs the graph engine per shard today (a
+        # per-shard scan under shard_map is a straightforward
+        # extension) and assembles object replies.
         qs = np.atleast_2d(
             np.asarray(queries, dtype=self.shards[0]._vectors.dtype)
         )

@@ -152,3 +152,37 @@ def test_sharded_autosave(tmp_path):
         total += load_index(p).node_count
     # every shard saved within every_ops of its final size
     assert total >= n - 8 * idx.n_shards
+
+
+def test_interleaved_build_identical_graphs(rng):
+    """Interleaved wave dispatch (shard s+1's device pass in flight
+    during shard s's host surgery) must build graphs IDENTICAL to
+    strictly sequential per-shard builds: waves within a shard stay
+    ordered, and shards are independent."""
+    dim, n = 16, 600
+    mesh = make_mesh(8)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+
+    a = ShardedHNSW(
+        "il", IndexConfig(dim=dim, m=6, ef_construction=48, seed=3),
+        mesh=mesh,
+    )
+    a.add_batch(names, data, batch_size=128, interleave=True)
+    b = ShardedHNSW(
+        "sq", IndexConfig(dim=dim, m=6, ef_construction=48, seed=3),
+        mesh=mesh,
+    )
+    b.add_batch(names, data, batch_size=128, interleave=False)
+
+    assert a.node_count == b.node_count == n
+    for name in names:
+        na, nb = a.get_node(name), b.get_node(name)
+        assert [sorted(l) for l in na["neighbors"]] == [
+            sorted(l) for l in nb["neighbors"]
+        ], name
+    # and the merged search agrees
+    q = data[17]
+    ra = [(r.name, round(r.sim, 4)) for r in a.search_knn(q, 5)]
+    rb = [(r.name, round(r.sim, 4)) for r in b.search_knn(q, 5)]
+    assert ra == rb
