@@ -13,7 +13,11 @@ swung 5.5x between runs); the per-rep spread is reported on stderr.
 
 The headline metric is batched device QPS at recall@10 >= 0.95 against
 a brute-force oracle on the config-1 workload (BASELINE.json: random
-128-d, M=16 for the recall target, EFCON=200). BASELINE configs 3
+128-d, M=16 for the recall target, EFCON=200). Both device engines are
+measured: the graph traversal (with its ef/expand/iters operating-point
+sweep) and the ``auto`` engine, which at these index sizes routes to
+the exact MXU scan (ops/scan.py; recall 1.0 by construction) with the
+columnar serving reply -- the headline value. BASELINE configs 3
 (960-d GIST regime) and 5 (256-bit Hamming) are also measured and
 logged to stderr (the driver records it) -- run a single config with
 ``python bench.py --config 3``.
@@ -134,45 +138,74 @@ def _bench_one(
     recall = _recall_fn(oracle.search_batch(queries, k), k)
 
     q_dev = jnp.asarray(queries)  # one upload, reused
+    reps = 5
 
-    # operating point: smallest work hitting recall >= 0.95 on the full
+    # -- graph engine: smallest work hitting recall >= 0.95 on the full
     # batch (the reference hardwires ef = efcon and has no such knobs)
     chosen = None
     for ef, iters in sweep:
         res = idx.search_batch(
-            q_dev, k, ef_search=ef, expand=expand, iters=iters
+            q_dev, k, ef_search=ef, expand=expand, iters=iters,
+            engine="graph",
         )
         r = recall(res)
-        log(f"[{name}] ef={ef} iters={iters} expand={expand}: "
+        log(f"[{name}] graph ef={ef} iters={iters} expand={expand}: "
             f"recall@{k}={r:.4f}")
         if r >= 0.95:
             chosen = (ef, iters, r)
             break
     if chosen is None:
         chosen = (*sweep[-1], r)
-    ef, iters, full_recall = chosen
+    ef, iters, graph_recall = chosen
 
-    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        idx.search_batch(q_dev, k, ef_search=ef, expand=expand, iters=iters)
+        idx.search_batch(
+            q_dev, k, ef_search=ef, expand=expand, iters=iters,
+            engine="graph",
+        )
     dt = (time.perf_counter() - t0) / reps
-    qps = n_queries / dt
+    graph_qps = n_queries / dt
     log(
-        f"[{name}] batched: ef={ef} iters={iters} "
-        f"recall@{k}={full_recall:.4f} {qps:.0f} qps "
+        f"[{name}] graph engine: ef={ef} iters={iters} "
+        f"recall@{k}={graph_recall:.4f} {graph_qps:.0f} qps "
         f"({dt * 1e3:.1f} ms / {n_queries} queries)"
     )
     hbm_gbps, pct_peak = _roofline(
         idx, n_queries, expand=expand, iters=iters, dt=dt
     )
-    log(f"[{name}] beam gather traffic: {hbm_gbps:.0f} GB/s achieved "
-        f"({pct_peak:.0f}% of HBM peak; analytic, full-iters bound)")
+    log(f"[{name}] graph beam gather traffic: {hbm_gbps:.0f} GB/s "
+        f"achieved ({pct_peak:.0f}% of HBM peak; analytic, "
+        f"full-iters bound)")
+
+    # -- auto engine (routes to the exact MXU scan at these sizes,
+    # ops/scan.py) with the columnar serving reply
+    auto_recall = recall(idx.search_batch(q_dev, k))
+    idx.search_batch(q_dev, k, reply="columnar")
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        idx.search_batch(q_dev, k, reply="columnar")
+    dt_auto = (time.perf_counter() - t0) / reps
+    auto_qps = n_queries / dt_auto
+    snap = idx.device_snapshot()
+    table_bytes = (
+        snap.n_pad * snap.vecs.shape[1] * snap.vecs.dtype.itemsize
+    )
+    scan_gbps = table_bytes / dt_auto / 1e9
+    log(
+        f"[{name}] auto engine (exact scan, columnar reply): "
+        f"recall@{k}={auto_recall:.4f} {auto_qps:.0f} qps "
+        f"({dt_auto * 1e3:.1f} ms / {n_queries} queries; table scan "
+        f"{scan_gbps:.0f} GB/s)"
+    )
 
     base_qps = _baseline_qps(idx, queries, n_q=base_n)
-    log(f"[{name}] ratio vs sequential baseline: {qps / base_qps:.2f}x")
+    log(f"[{name}] ratio vs sequential baseline: auto "
+        f"{auto_qps / base_qps:.2f}x, graph {graph_qps / base_qps:.2f}x")
     return {
-        "qps": qps, "recall": full_recall, "ef": ef, "iters": iters,
+        "qps": auto_qps, "recall": auto_recall,
+        "graph_qps": graph_qps, "graph_recall": graph_recall,
+        "ef": ef, "iters": iters,
         "build_s": build_s, "build_warm_s": build_warm_s,
         "base_qps": base_qps, "hbm_gbps": hbm_gbps, "pct_peak": pct_peak,
     }
@@ -265,6 +298,8 @@ def main():
             "value": round(r["qps"], 1),
             "unit": "qps/chip",
             "vs_baseline": round(r["qps"] / r["base_qps"], 2),
+            "graph_qps": round(r["graph_qps"], 1),
+            "graph_recall": round(r["graph_recall"], 4),
             "hbm_gbps": round(r["hbm_gbps"], 1),
             "pct_peak": round(r["pct_peak"], 1),
             "build_s": round(r["build_s"], 1),
@@ -288,15 +323,19 @@ def main():
             {
                 "metric": (
                     f"batched qps/chip at recall@10={r['recall']:.3f} "
-                    f"(10k x 128d, M=16, efcon=200, ef={r['ef']}, "
-                    f"expand=16, iters={r['iters']}; steady build "
-                    f"{r['build_s']:.0f}s, first-compile pass "
-                    f"{r['build_warm_s']:.0f}s; baseline=median-of-5x1000 "
-                    f"native single-core search_knn)"
+                    f"(10k x 128d, M=16, efcon=200; auto engine = exact "
+                    f"MXU scan, columnar reply; graph engine "
+                    f"{r['graph_qps']:.0f} qps at "
+                    f"recall {r['graph_recall']:.3f} ef={r['ef']}; "
+                    f"steady build {r['build_s']:.0f}s, first-compile "
+                    f"pass {r['build_warm_s']:.0f}s; baseline=median-of-"
+                    f"5x1000 native single-core search_knn)"
                 ),
                 "value": round(r["qps"], 1),
                 "unit": "qps/chip",
                 "vs_baseline": round(r["qps"] / r["base_qps"], 2),
+                "graph_qps": round(r["graph_qps"], 1),
+                "graph_recall": round(r["graph_recall"], 4),
                 "hbm_gbps": round(r["hbm_gbps"], 1),
                 "pct_peak": round(r["pct_peak"], 1),
                 "build_s": round(r["build_s"], 1),

@@ -237,16 +237,20 @@ class HNSW:
         ef_search: int | None = None,
         expand: int = 1,
         iters: int | None = None,
+        engine: str = "auto",
+        reply: str = "objects",
     ) -> list[list[SearchResult]]:
-        """Batched device search. ``expand``/``iters`` tune the traversal
-        (candidates expanded per step / step cap); defaults are
-        reference-parity."""
+        """Batched device search. ``engine`` routes between the exact
+        MXU scan and the graph traversal ("auto" picks by the measured
+        crossover, ops/scan.py); ``expand``/``iters`` tune the graph
+        traversal (candidates expanded per step / step cap)."""
         idx, lk = self._entry(index)
         with lk:
             if isinstance(idx, FlatIndex):
                 return idx.search_batch(queries, k)
             return idx.search_batch(
-                queries, k, ef_search=ef_search, expand=expand, iters=iters
+                queries, k, ef_search=ef_search, expand=expand,
+                iters=iters, engine=engine, reply=reply,
             )
 
 

@@ -685,10 +685,13 @@ class HNSWIndex:
 
     def search_batch(
         self, queries, k: int, ef_search: int | None = None,
-        expand: int = 1, iters: int | None = None,
+        expand: int = 1, iters: int | None = None, engine: str = "auto",
+        reply: str = "objects",
     ) -> list[list[SearchResult]]:
         """Batched device search. See ops/search.py.
 
+        ``engine`` routes between the exact MXU scan and the graph
+        traversal ("auto" picks by measured crossover -- ops/scan.py).
         ``expand`` > 1 expands that many candidates per traversal step
         (fewer, wider device steps; reference parity at 1). ``iters``
         caps traversal steps (None = generous parity-safe default).
@@ -697,5 +700,5 @@ class HNSWIndex:
 
         return _search_batch(
             self, queries, k, ef_search=ef_search, expand=expand,
-            iters=iters,
+            iters=iters, engine=engine, reply=reply,
         )

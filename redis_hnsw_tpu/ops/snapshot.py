@@ -104,7 +104,20 @@ def _shapes(index):
     cfg = index.config
     hint = int(getattr(index, "_capacity_hint", 0))
     n_rows = max(index._names.high_water, 1)
-    n_pad = _round_pow2(max(n_rows, hint), 128)
+    if hint >= n_rows and hint > 0:
+        # Hint-exact rows: bulk builds and presized configs declare the
+        # final size up front, so pad to the hint rounded to the 128
+        # lane width instead of the next power of two -- pow2 padding
+        # wasted up to 2x HBM (a ~1.2-1.9M build paid full 2^21-row
+        # tables and OOMed at compile on the int8 tier that fits ~1.9M
+        # real rows). Shapes stay stable for the whole build because
+        # the hint is fixed; the sticky-dims no-shrink rule below still
+        # guards against flip-flops.
+        n_pad = _round_up(max(n_rows, hint), 128)
+    else:
+        # no (or stale) hint: geometric growth keeps incremental
+        # add_node from recompiling every 128 rows
+        n_pad = _round_pow2(n_rows, 128)
 
     native = index._native
     max0 = cfg.m_max_0

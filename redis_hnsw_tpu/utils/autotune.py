@@ -80,7 +80,7 @@ def tune(
         ex = min(expand, ef)
         iters = (ef + ex - 1) // ex + iter_slack
         res = index.search_batch(
-            qs, k, ef_search=ef, expand=ex, iters=iters
+            qs, k, ef_search=ef, expand=ex, iters=iters, engine="graph"
         )
         rec = recall_of(res)
         cfg = {"ef_search": ef, "expand": ex, "iters": iters}
@@ -99,7 +99,7 @@ def tune(
     for _ in range(time_reps):
         index.search_batch(
             qs, k, ef_search=cfg["ef_search"], expand=cfg["expand"],
-            iters=cfg["iters"],
+            iters=cfg["iters"], engine="graph",
         )
     dt = (time.perf_counter() - t0) / time_reps
     return {**cfg, "recall": rec, "qps": len(qs) / dt}

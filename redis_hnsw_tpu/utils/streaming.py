@@ -107,7 +107,8 @@ def run_mixed(
         q_off += query_batch
         t0 = time.perf_counter()
         res = index.search_batch(
-            qb, k, ef_search=ef_search, expand=expand, iters=iters
+            qb, k, ef_search=ef_search, expand=expand, iters=iters,
+            engine="graph",  # the mixed workload exercises the graph
         )
         query_ms.append((time.perf_counter() - t0) * 1e3)
         n_queries += len(res)
@@ -116,7 +117,7 @@ def run_mixed(
         if validate_every and phase % validate_every == 0:
             self_res = index.search_batch(
                 data[lo:hi][:8], 1, ef_search=ef_search,
-                expand=expand, iters=iters,
+                expand=expand, iters=iters, engine="graph",
             )
             hits = sum(
                 1

@@ -191,7 +191,9 @@ def test_high_dim_gist_style(rng):
     truth = [
         {r.name for r in t} for t in oracle.search_batch(queries, k)
     ]
-    res = idx.search_batch(queries, k, ef_search=60, expand=4)
+    res = idx.search_batch(
+        queries, k, ef_search=60, expand=4, engine="graph"
+    )
     hits = sum(
         len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
     )

@@ -57,8 +57,8 @@ def test_roundtrip_identical_graph(tmp_path):
         np.testing.assert_allclose(
             [r.sim for r in a], [r.sim for r in b]
         )
-    dev_a = idx.search_batch(qs, 5)
-    dev_b = idx2.search_batch(qs, 5)
+    dev_a = idx.search_batch(qs, 5, engine="graph")
+    dev_b = idx2.search_batch(qs, 5, engine="graph")
     for ra, rb in zip(dev_a, dev_b):
         assert [r.name for r in ra] == [r.name for r in rb]
 
@@ -281,7 +281,9 @@ def test_restore_then_continue_bulk_build(tmp_path, rng):
     truth = [
         {r.name for r in t} for t in oracle.search_batch(queries, k)
     ]
-    res = back.search_batch(queries, k, ef_search=64, expand=4)
+    res = back.search_batch(
+        queries, k, ef_search=64, expand=4, engine="graph"
+    )
     hits = sum(
         len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
     )

@@ -222,7 +222,7 @@ def test_bulk_build_recall(rng):
     )
     idx.add_batch(names, data, batch_size=512)
     assert idx.node_count == n
-    res = idx.search_batch(queries, k, ef_search=100)
+    res = idx.search_batch(queries, k, ef_search=100, engine="graph")
     hits = sum(
         len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
     )
@@ -339,3 +339,25 @@ def test_flat_duplicate_names_within_batch(rng):
     # the failed batch must leave no phantom allocations behind
     idx.add_batch(["a", "b", "c"], data)
     assert idx.node_count == 3
+
+
+def test_hint_exact_padding(rng):
+    """Snapshot rows pad to the capacity hint rounded to 128 (not pow2)
+    when a hint is declared -- the 2M-rows-per-chip capacity fix -- and
+    never shrink across mutations (sticky dims)."""
+    dim, n = 8, 300
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex("p", IndexConfig(dim=dim, m=4, ef_construction=16,
+                                     seed=0, capacity=1))
+    idx._capacity_hint = 1200  # declared final size
+    idx.add_batch(names, data, batch_size=128)
+    snap = idx.device_snapshot()
+    assert snap.n_pad == 1280, snap.n_pad  # round_up(1200, 128), not 2048
+    # growth beyond the hint falls back to geometric and never shrinks
+    more = rng.standard_normal((1100, dim)).astype(np.float32)
+    idx.add_batch([f"m{i}" for i in range(1100)], more, batch_size=512)
+    snap2 = idx.device_snapshot()
+    assert snap2.n_pad >= 1400 and snap2.n_pad % 128 == 0
+    res = idx.search_batch(data[:4], k=3, engine="graph")
+    assert res[0][0].name == "n0"

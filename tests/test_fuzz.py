@@ -88,7 +88,9 @@ def test_randomized_op_sequence_differential(seed):
         {r.name for r in t} for t in oracle.search_batch(queries, 5)
     ]
     for b, ix in idxs.items():
-        res = ix.search_batch(queries, 5, ef_search=64, expand=4)
+        res = ix.search_batch(
+            queries, 5, ef_search=64, expand=4, engine="graph"
+        )
         hits = sum(
             len({r.name for r in rr} & truth[q])
             for q, rr in enumerate(res)
@@ -116,7 +118,9 @@ def test_hamming_bulk_build_and_batched_search(rng):
     truth = [
         {r.name for r in t} for t in oracle.search_batch(queries, k)
     ]
-    res = idx.search_batch(queries, k, ef_search=64, expand=4)
+    res = idx.search_batch(
+        queries, k, ef_search=64, expand=4, engine="graph"
+    )
     hits = sum(
         len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
     )

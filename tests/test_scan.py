@@ -1,0 +1,138 @@
+"""Exact MXU scan engine (ops/scan.py) + auto routing tests."""
+
+import numpy as np
+import pytest
+
+from redis_hnsw_tpu import HNSWIndex, IndexConfig
+from redis_hnsw_tpu.models.flat import FlatIndex
+
+
+def _build(rng, n=700, dim=24, metric="euclidean"):
+    if metric == "hamming":
+        data = rng.integers(0, 2**32, (n, dim // 32), dtype=np.uint32)
+    else:
+        data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex(
+        "s", IndexConfig(dim=dim, m=8, ef_construction=48,
+                         metric=metric, seed=5),
+    )
+    idx.add_batch(names, data, batch_size=256)
+    oracle = FlatIndex("o", IndexConfig(dim=dim, metric=metric))
+    oracle.add_batch(names, data)
+    return idx, oracle, data, names
+
+
+def test_scan_matches_oracle_euclidean(rng):
+    idx, oracle, data, _ = _build(rng)
+    queries = rng.standard_normal((32, 24)).astype(np.float32)
+    got = idx.search_batch(queries, 10, engine="scan")
+    want = oracle.search_batch(queries, 10)
+    for b in range(len(queries)):
+        assert [r.name for r in got[b]] == [r.name for r in want[b]]
+        np.testing.assert_allclose(
+            [r.sim for r in got[b]], [r.sim for r in want[b]], rtol=1e-5
+        )
+        sims = [r.sim for r in got[b]]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_scan_matches_oracle_hamming(rng):
+    """The int8 +-1 matmul formulation must reproduce popcount hamming
+    EXACTLY: hamming(a, b) = (D - dot(pm1(a), pm1(b))) / 2."""
+    idx, oracle, data, _ = _build(rng, dim=256, metric="hamming")
+    queries = rng.integers(0, 2**32, (32, 8), dtype=np.uint32)
+    got = idx.search_batch(queries, 10, engine="scan")
+    want = oracle.search_batch(queries, 10)
+    for b in range(len(queries)):
+        # integer sims tie heavily; compare the (sim multiset, id set
+        # per sim class) via the sorted (sim, name) pairs
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+
+
+def test_scan_respects_deletes(rng):
+    idx, _, data, names = _build(rng, n=300)
+    for i in range(0, 300, 2):
+        idx.delete_node(f"n{i}")
+    res = idx.search_batch(data[:8], 5, engine="scan")
+    surviving = {f"n{i}" for i in range(1, 300, 2)}
+    for r in res:
+        assert len(r) == 5
+        assert all(item.name in surviving for item in r)
+    # delete-then-search caches per epoch: another delete must refresh
+    idx.delete_node("n1")
+    res = idx.search_batch(data[1][None], 3, engine="scan")
+    assert all(item.name != "n1" for item in res[0])
+
+
+def test_scan_k_exceeds_live_rows(rng):
+    idx, _, data, _ = _build(rng, n=12)
+    res = idx.search_batch(data[:2], 40, engine="scan")
+    for r in res:
+        assert len(r) == 12
+
+
+def test_auto_routes_small_to_scan_and_exact(rng):
+    """auto on a small index = exact results (scan), identical to the
+    flat oracle even where the graph engine would miss."""
+    idx, oracle, data, _ = _build(rng)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    got = idx.search_batch(queries, 10)  # default engine="auto"
+    want = oracle.search_batch(queries, 10)
+    for b in range(len(queries)):
+        assert {r.name for r in got[b]} == {r.name for r in want[b]}
+
+
+def test_engine_arg_validated(rng):
+    idx, _, data, _ = _build(rng, n=20)
+    with pytest.raises(ValueError, match="unknown search engine"):
+        idx.search_batch(data[:2], 3, engine="warp")
+
+
+def test_columnar_reply(rng):
+    idx, oracle, data, _ = _build(rng, n=100)
+    queries = rng.standard_normal((8, 24)).astype(np.float32)
+    names, sims = idx.search_batch(queries, 5, reply="columnar")
+    assert names.shape == (8, 5) and sims.shape == (8, 5)
+    want = oracle.search_batch(queries, 5)
+    for b in range(8):
+        assert list(names[b]) == [r.name for r in want[b]]
+        np.testing.assert_allclose(
+            sims[b], [r.sim for r in want[b]], rtol=1e-5
+        )
+    # invalid slots carry None / -inf (k > live rows; k clamps to the
+    # padded table width)
+    names, sims = idx.search_batch(queries[:2], 200, reply="columnar")
+    k_eff = names.shape[1]
+    assert k_eff >= 100
+    assert (names[0] == None).sum() == k_eff - 100  # noqa: E711
+    assert np.isneginf(sims[0]).sum() == k_eff - 100
+    assert set(names[0][:100]) == {f"n{i}" for i in range(100)}
+    # empty index
+    e = HNSWIndex("e", IndexConfig(dim=24, m=4, seed=0))
+    names, sims = e.search_batch(queries[:2], 3, reply="columnar")
+    assert names.shape == (2, 3) and (names == None).all()  # noqa: E711
+    with pytest.raises(ValueError, match="unknown reply mode"):
+        idx.search_batch(queries, 5, reply="rows")
+
+
+def test_hamming_packed_reply_roundtrip(rng):
+    """The one-word hamming reply (dist << id_bits | id) must decode to
+    exactly the generic reply's results."""
+    idx, oracle, data, _ = _build(rng, dim=256, metric="hamming")
+    queries = rng.integers(0, 2**32, (16, 8), dtype=np.uint32)
+    got = idx.search_batch(queries, 10, engine="scan")
+    want = oracle.search_batch(queries, 10)
+    for b in range(16):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+    # with deletes: -1/-inf slots decode safely
+    for i in range(0, 700, 3):
+        idx.delete_node(f"n{i}")
+    got = idx.search_batch(queries[:4], 10, engine="scan")
+    for rr in got:
+        assert all("n" in r.name for r in rr)
+        assert all(int(r.name[1:]) % 3 != 0 for r in rr)

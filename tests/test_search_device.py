@@ -29,7 +29,7 @@ def test_device_matches_host_result_sets(built):
     reference-parity engine (same graph, same ef)."""
     idx, _, _, queries = built
     k = 10
-    dev = idx.search_batch(queries, k)
+    dev = idx.search_batch(queries, k, engine="graph")
     for b, q in enumerate(queries):
         host = idx.search_knn(q, k)
         got = [r.name for r in dev[b]]
@@ -47,7 +47,7 @@ def test_device_matches_host_result_sets(built):
 def test_device_recall_vs_oracle(built):
     idx, oracle, _, queries = built
     k = 10
-    dev = idx.search_batch(queries, k)
+    dev = idx.search_batch(queries, k, engine="graph")
     want = oracle.search_batch(queries, k)
     hits = total = 0
     for b in range(len(queries)):
@@ -83,8 +83,8 @@ def test_device_ef_search_knob(built):
     the reference lacks (search ef hardwired at core.rs:485)."""
     idx, oracle, _, queries = built
     k = 10
-    lo = idx.search_batch(queries, k, ef_search=k)
-    hi = idx.search_batch(queries, k, ef_search=128)
+    lo = idx.search_batch(queries, k, ef_search=k, engine="graph")
+    hi = idx.search_batch(queries, k, ef_search=128, engine="graph")
     want = oracle.search_batch(queries, k)
 
     def recall(res):
@@ -133,7 +133,9 @@ def test_device_hamming_no_duplicates_and_recall():
     oracle = FlatIndex("o", IndexConfig(dim=256, metric="hamming"))
     oracle.add_batch(names, data)
     truth = [{r.name for r in t} for t in oracle.search_batch(queries, k)]
-    res = idx.search_batch(queries, k, ef_search=64, expand=16, iters=12)
+    res = idx.search_batch(
+        queries, k, ef_search=64, expand=16, iters=12, engine="graph"
+    )
     hits = 0
     for b, rr in enumerate(res):
         got = [r.name for r in rr]
@@ -161,7 +163,9 @@ def test_quantized_high_dim_path(monkeypatch, built=None):
     oracle = FlatIndex("o", IndexConfig(dim=dim))
     oracle.add_batch(names, data)
     truth = oracle.search_batch(queries, k)
-    res = idx.search_batch(queries, k, ef_search=64, expand=8, iters=12)
+    res = idx.search_batch(
+        queries, k, ef_search=64, expand=8, iters=12, engine="graph"
+    )
     hits = 0
     for b in range(len(queries)):
         hits += len(
@@ -196,7 +200,9 @@ def test_int8_blocked_tier(monkeypatch):
     oracle = FlatIndex("o", IndexConfig(dim=dim))
     oracle.add_batch(names, data)
     truth = oracle.search_batch(queries, k)
-    res = idx.search_batch(queries, k, ef_search=64, expand=8, iters=12)
+    res = idx.search_batch(
+        queries, k, ef_search=64, expand=8, iters=12, engine="graph"
+    )
     hits = 0
     for b in range(len(queries)):
         hits += len({r.name for r in res[b]} & {r.name for r in truth[b]})
@@ -208,5 +214,5 @@ def test_int8_blocked_tier(monkeypatch):
     # mutations keep the packed blocks fresh through the delta path
     idx.delete_node("n5")
     idx.add_node("n5b", data[5] * 0.5)
-    res = idx.search_batch(data[5][None] * 0.5, 1)
+    res = idx.search_batch(data[5][None] * 0.5, 1, engine="graph")
     assert res[0][0].name == "n5b"

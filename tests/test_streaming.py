@@ -40,7 +40,9 @@ def test_mixed_stream_visibility_and_recall(rng):
     truth = [
         {r.name for r in t} for t in oracle.search_batch(queries, k)
     ]
-    res = idx.search_batch(queries, k, ef_search=64, expand=4)
+    res = idx.search_batch(
+        queries, k, ef_search=64, expand=4, engine="graph"
+    )
     hits = sum(
         len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
     )
