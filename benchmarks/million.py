@@ -220,6 +220,29 @@ def search_phase(
     results["frontier"] = frontier
     results["operating"] = operating
 
+    # The exact MXU scan engine at the same scale (ops/scan.py): at 1M
+    # rows the scan is still ~4x the graph beam on this chip AND exact,
+    # so it is the auto engine's pick; record it alongside the graph
+    # frontier (columnar serving reply).
+    try:
+        nm, _ = idx.search_batch(qd[:256], K, engine="scan",
+                                 reply="columnar")
+        scan_rec = sum(
+            len(set(nm[b]) & truth_sets[b]) for b in range(len(nm))
+        ) / (K * len(nm))
+        idx.search_batch(qd, K, engine="scan", reply="columnar")
+        t0 = time.perf_counter()
+        for _ in range(3):
+            idx.search_batch(qd, K, engine="scan", reply="columnar")
+        dt = (time.perf_counter() - t0) / 3
+        results["scan_engine"] = {
+            "recall": round(scan_rec, 4), "qps": round(2048 / dt, 1),
+        }
+        log(f"scan engine: recall@{K}={scan_rec:.4f} qps={2048/dt:.0f}")
+    except Exception as e:  # pragma: no cover - HBM-bound at huge N
+        results["scan_engine"] = {"error": repr(e)}
+        log(f"scan engine unavailable at this scale: {e!r}")
+
     # Sequential-native baselines (median of 3 reps, bench.py
     # methodology), measured two ways:
     #  * parity: the reference's hardwired ef = efcon = 200
