@@ -1,0 +1,135 @@
+"""Config-4 at scale: streaming 50/50 insert+query to >= 1M rows, staged.
+
+BASELINE.json config 4 is "Deep10M 96-d with streaming 50/50
+insert+query mix". This driver runs the mixed stream
+(utils/streaming.py) to N rows of 96-d clustered vectors in resumable
+stages (bounded wall-clock per invocation; checkpoint + stats carried
+between stages), so a runner can drive it to any N:
+
+    python benchmarks/streaming1m.py 1000000 200000 /path/ckpt.npz /path/stats.jsonl
+
+arguments: N_total, stage_size, checkpoint path, stats path. Each
+invocation streams one stage (insert waves interleaved with query
+batches, graph engine, incremental snapshot deltas), appends the
+stage's stats as one JSON line, checkpoints, and exits. When the index
+reaches N_total it prints the aggregate summary JSON and exits 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+DIM, K = 96, 10
+N_CENTERS, SIGMA = 4096, 0.8
+EF, EXPAND, ITERS = 128, 16, 14
+WAVE = 2048
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def dataset(n: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((N_CENTERS, DIM)).astype(np.float32)
+    assign = rng.integers(0, N_CENTERS, n)
+    out = centers[assign]
+    out += SIGMA * rng.standard_normal((n, DIM)).astype(np.float32)
+    return out
+
+
+def query_pool(n_q: int) -> np.ndarray:
+    rng = np.random.default_rng(1)
+    centers = (
+        np.random.default_rng(0)
+        .standard_normal((N_CENTERS, DIM))
+        .astype(np.float32)
+    )
+    assign = rng.integers(0, N_CENTERS, n_q)
+    return (
+        centers[assign]
+        + SIGMA * rng.standard_normal((n_q, DIM)).astype(np.float32)
+    )
+
+
+def main() -> None:
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+    from redis_hnsw_tpu.utils.checkpoint import load_index, save_index
+    from redis_hnsw_tpu.utils.streaming import run_mixed
+
+    n_total, stage = int(sys.argv[1]), int(sys.argv[2])
+    ckpt, stats_path = sys.argv[3], sys.argv[4]
+
+    if os.path.exists(ckpt):
+        t0 = time.perf_counter()
+        idx = load_index(ckpt)
+        log(f"resume: {idx.node_count} rows "
+            f"({time.perf_counter()-t0:.1f}s load)")
+    else:
+        idx = HNSWIndex(
+            "s1m",
+            IndexConfig(dim=DIM, m=16, ef_construction=200, seed=7),
+        )
+    start = idx.node_count
+    if start >= n_total:
+        summarize(stats_path, n_total)
+        return
+
+    hi = min(start + stage, n_total)
+    data = dataset(n_total)[start:hi]
+    names = [f"n{i}" for i in range(start, hi)]
+    queries = query_pool(4096)
+    idx._capacity_hint = n_total
+
+    stats = run_mixed(
+        idx, names, data, queries, k=K,
+        insert_wave=WAVE, query_batch=WAVE,
+        ef_search=EF, expand=EXPAND, iters=ITERS,
+        validate_every=16, capacity_hint=n_total,
+    )
+    s = stats.summary()
+    s["start"], s["end"] = start, hi
+    with open(stats_path, "a") as f:
+        f.write(json.dumps(s) + "\n")
+    log(f"stage {start}..{hi}: {s}")
+
+    t0 = time.perf_counter()
+    save_index(idx, ckpt, compress=False)
+    log(f"checkpoint save: {time.perf_counter()-t0:.1f}s")
+    if hi >= n_total:
+        summarize(stats_path, n_total)
+
+
+def summarize(stats_path: str, n_total: int) -> None:
+    """Aggregate all stages into the config-4 record."""
+    rows = [json.loads(l) for l in open(stats_path)]
+    el = sum(r["elapsed_s"] for r in rows)
+    ins = sum(r["inserts"] for r in rows)
+    qs = sum(r["queries"] for r in rows)
+    out = {
+        "config": "4-streaming-50-50",
+        "dim": DIM, "n": n_total, "stages": len(rows),
+        "elapsed_s": round(el, 1),
+        "inserts_per_s": round(ins / el, 1),
+        "qps": round(qs / el, 1),
+        "ef_search": EF,
+        "insert_p95_ms": max(r["insert_p95_ms"] for r in rows),
+        "query_p95_ms": max(r["query_p95_ms"] for r in rows),
+        "first_stage_inserts_per_s": rows[0]["inserts_per_s"],
+        "last_stage_inserts_per_s": rows[-1]["inserts_per_s"],
+        "last_stage_qps": rows[-1]["qps"],
+    }
+    log("AGGREGATE " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,18 @@ def _use_pallas_gather(batch: int) -> bool:
     )
 
 
+# Extra beam slots carried in lazy-dedup mode (see beam_search): room
+# for one step's dup-marked dead entries to sit in the beam window
+# without displacing live tail entries.
+LAZY_SLACK = 64
+
+
+def _lazy_dedup() -> bool:
+    import os
+
+    return os.environ.get("REDIS_HNSW_TPU_LAZY_DEDUP", "0") != "0"
+
+
 # ---------------------------------------------------------------------------
 # Fixed-shape beam search over one adjacency table (vectorized search_level).
 # ---------------------------------------------------------------------------
@@ -201,7 +213,20 @@ def beam_search(
     E = max(1, min(expand, ef))
     if iters is None:
         iters = 4 * ((ef + E - 1) // E) + 16
-    slots = jnp.arange(ef, dtype=jnp.int32)
+    # Lazy dedup (opt-out REDIS_HNSW_TPU_LAZY_DEDUP=0): instead of a
+    # second full-width sort pushing dup-marked entries out every step,
+    # carry the beam ``LAZY_SLACK`` slots wider and leave dead slots in
+    # place -- each step's merge sort re-compacts them to the tail
+    # (key=+inf sorts last). Saves one of the two widest sorts per step
+    # for one slightly wider merge; a single cleanup sort runs after
+    # the loop. Dead slots can transiently displace entries past the
+    # window tail, so results are not bit-identical to the eager beam
+    # (measured recall-identical at bench settings, but the k-th result
+    # can differ on tie-heavy queries); parity mode (expand=1, the
+    # reference's expansion order) therefore always runs eager.
+    lazy = E > 1 and _lazy_dedup()
+    wb = ef + (min(LAZY_SLACK, E * F) if lazy else 0)
+    slots = jnp.arange(wb, dtype=jnp.int32)
     quant_blocks = nbrvec is not None and nbrvec.dtype == jnp.int8
     if qrows is not None or quant_blocks:
         q8, qs8 = D.quantize_query(q)  # once per call, reused every step
@@ -327,18 +352,30 @@ def beam_search(
         )
         k1 = jnp.where(dup, jnp.inf, k1)
         p1 = jnp.where(dup, -1, p1)
+        if lazy:
+            # dead slots stay in place; next step's merge sort pushes
+            # them past the live entries again
+            return (step + 1, p1[:, :wb], -k1[:, :wb])
         k2, p2 = jax.lax.sort(
             (k1, p1), dimension=1, is_stable=True, num_keys=1
         )
         return (
             step + 1,
-            p2[:, :ef],
-            -k2[:, :ef],
+            p2[:, :wb],
+            -k2[:, :wb],
         )
 
     _, beam_pid, beam_sims = jax.lax.while_loop(
         cond, body, (step0, beam_pid, beam_sims)
     )
+    if lazy:
+        # one cleanup sort compacts the dead slots out before slicing
+        kf, beam_pid = jax.lax.sort(
+            (-beam_sims, beam_pid), dimension=1, is_stable=True,
+            num_keys=2,
+        )
+        beam_sims = -kf
+        return beam_pid[:, :ef] >> 1, beam_sims[:, :ef]
     return beam_pid >> 1, beam_sims
 
 
