@@ -104,6 +104,52 @@ def _sharded_search_jit(
     return top_gids, top_sims
 
 
+@partial(
+    jax.jit, static_argnames=("k", "metric", "mesh"),
+)
+def _sharded_scan_jit(
+    table, sqn, live, queries, *, k: int, metric: str, mesh
+):
+    """Exact MXU scan per shard + one all-gather top-k merge.
+
+    The sharded analog of ops/scan.py: every device scans its own
+    [n_pad, D] slice (euclidean matmul form with exact rescore, or the
+    int8 +-1 hamming matmul), encodes global ids as shard * n_pad +
+    row, and GSPMD inserts the single ICI collective for the [S, B, k]
+    merge -- identical structure to the graph engine's merge above.
+    """
+    from ..ops.scan import scan_topk, scan_topk_exact_l2
+
+    n_pad = table.shape[1]
+
+    def local(table, sqn, live, queries):
+        if metric == "hamming":
+            ids, sims = scan_topk(
+                table[0], sqn[0], live[0], queries, k=k, metric=metric
+            )
+        else:
+            ids, sims = scan_topk_exact_l2(
+                table[0], sqn[0], live[0], queries, k=k
+            )
+        s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        gids = jnp.where(ids >= 0, s * n_pad + ids, -1)
+        return gids[None], sims[None]
+
+    spec = P(DATA_AXIS)
+    gids, sims = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=(spec, spec),
+    )(table, sqn, live, queries)
+    S = gids.shape[0]
+    B = queries.shape[0]
+    flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
+    flat_gids = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
+    top_sims, idx = jax.lax.top_k(flat_sims, k)
+    top_gids = jnp.take_along_axis(flat_gids, idx, axis=1)
+    return top_gids, top_sims
+
+
 class ShardedHNSW:
     """S independent sub-indexes presented as one index."""
 
@@ -327,6 +373,51 @@ class ShardedHNSW:
         self._stacked_npad = n_pad
         return self._stacked
 
+    def _scan_stack(self):
+        """Stacked per-shard scan-engine state: (table, sqn, live),
+        sharded over the mesh. Cached per shard-epoch tuple."""
+        epochs = tuple(s.epoch for s in self.shards)
+        cached = getattr(self, "_scan_stacked", None)
+        if cached is not None and self._scan_stacked_epochs == epochs:
+            return cached
+        snaps = [s.device_snapshot() for s in self.shards]
+        n_pad = max(sn.vecs.shape[0] for sn in snaps)
+        width = snaps[0].vecs.shape[1]
+
+        def padded(arr, shape, fill):
+            widths = [(0, t - s) for s, t in zip(arr.shape, shape)]
+            if any(w != (0, 0) for w in widths):
+                arr = jnp.pad(arr, widths, constant_values=fill)
+            return arr
+
+        vecs = jnp.stack(
+            [padded(sn.vecs, (n_pad, width), 0) for sn in snaps]
+        )
+        sqn = jnp.stack(
+            [padded(sn.sqnorms, (n_pad,), 0) for sn in snaps]
+        )
+        live_np = np.zeros((self.n_shards, n_pad), bool)
+        for si, shard in enumerate(self.shards):
+            h = min(len(shard._levels), n_pad)
+            live_np[si, :h] = shard._levels[:h] >= 0
+        if self.config.metric == "hamming":
+            from ..ops.scan import pm1_table
+
+            table = jax.jit(
+                lambda v: pm1_table(
+                    v.reshape(-1, width)
+                ).reshape(v.shape[0], v.shape[1], -1)
+            )(vecs)
+        else:
+            table = vecs
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        put = lambda x: jax.device_put(jnp.asarray(x), sh)
+        out = (put(table), put(sqn), put(jnp.asarray(live_np)))
+        self._scan_stacked = out
+        self._scan_stacked_epochs = epochs
+        self._scan_npad = n_pad
+        return out
+
     # -- search -----------------------------------------------------------------
 
     def search_knn(
@@ -347,13 +438,19 @@ class ShardedHNSW:
 
     def search_batch(
         self, queries, k: int, ef_search: int | None = None,
-        expand: int = 1, iters: int | None = None, engine: str = "graph",
+        expand: int = 1, iters: int | None = None, engine: str = "auto",
         reply: str = "objects",
     ) -> list[list[SearchResult]]:
-        # ``engine``/``reply`` accepted for API uniformity; sharded
-        # search always runs the graph engine per shard today (a
-        # per-shard scan under shard_map is a straightforward
-        # extension) and assembles object replies.
+        """Batched search across all shards. ``engine`` routes like the
+        single-chip path (ops/search.py SCAN_MAX_ROWS, judged per
+        shard): "auto" picks the per-shard exact MXU scan below the
+        crossover, the per-shard graph beam above it; both merge with
+        the same single all-gather top-k. ``reply`` accepted for API
+        uniformity (object replies are always assembled here)."""
+        from ..ops.search import SCAN_MAX_ROWS
+
+        if engine not in ("auto", "graph", "scan"):
+            raise ValueError(f"unknown search engine {engine!r}")
         qs = np.atleast_2d(
             np.asarray(queries, dtype=self.shards[0]._vectors.dtype)
         )
@@ -365,8 +462,6 @@ class ShardedHNSW:
             if ef_search is None
             else int(ef_search)
         )
-        stacked = self._stack()
-        n_pad = self._stacked_npad
         b_pad = 8
         while b_pad < n_q:
             b_pad *= 2
@@ -377,11 +472,29 @@ class ShardedHNSW:
         qs_dev = jax.device_put(
             jnp.asarray(qs), NamedSharding(self.mesh, P())
         )
-        gids, sims = _sharded_search_jit(
-            *stacked, qs_dev,
-            ef=max(ef, 1), k=int(k), metric=self.config.metric,
-            mesh=self.mesh, expand=expand, iters=iters,
+        shard_pad = max(
+            s.device_snapshot().n_pad for s in self.shards
         )
+        use_scan = engine == "scan" or (
+            engine == "auto"
+            and shard_pad <= SCAN_MAX_ROWS.get(self.config.metric, 0)
+        )
+        if use_scan:
+            table, sqn, live = self._scan_stack()
+            n_pad = self._scan_npad
+            k_eff = min(int(k), n_pad)
+            gids, sims = _sharded_scan_jit(
+                table, sqn, live, qs_dev,
+                k=k_eff, metric=self.config.metric, mesh=self.mesh,
+            )
+        else:
+            stacked = self._stack()
+            n_pad = self._stacked_npad
+            gids, sims = _sharded_search_jit(
+                *stacked, qs_dev,
+                ef=max(ef, 1), k=int(k), metric=self.config.metric,
+                mesh=self.mesh, expand=expand, iters=iters,
+            )
         gids = np.asarray(gids[:n_q])
         sims = np.asarray(sims[:n_q])
         out = []

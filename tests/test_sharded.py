@@ -186,3 +186,41 @@ def test_interleaved_build_identical_graphs(rng):
     ra = [(r.name, round(r.sim, 4)) for r in a.search_knn(q, 5)]
     rb = [(r.name, round(r.sim, 4)) for r in b.search_knn(q, 5)]
     assert ra == rb
+
+
+def test_sharded_scan_engine_exact(rng):
+    """Per-shard exact MXU scan under shard_map + all-gather merge:
+    results equal the flat oracle exactly; auto routes to it at these
+    shard sizes."""
+    dim, n, k = 16, 900, 8
+    mesh = make_mesh(8)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = ShardedHNSW(
+        "sc", IndexConfig(dim=dim, m=6, ef_construction=48, seed=1),
+        mesh=mesh,
+    )
+    idx.add_batch(names, data, batch_size=256)
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+    want = oracle.search_batch(queries, k)
+    got = idx.search_batch(queries, k, engine="scan")
+    auto = idx.search_batch(queries, k)  # routes to scan here
+    for b in range(16):
+        assert {r.name for r in got[b]} == {r.name for r in want[b]}
+        assert {r.name for r in auto[b]} == {r.name for r in want[b]}
+        np.testing.assert_allclose(
+            sorted(r.sim for r in got[b]),
+            sorted(r.sim for r in want[b]), rtol=1e-5,
+        )
+    # deletes respected across shards
+    for i in range(0, n, 3):
+        idx.delete_node(f"n{i}")
+    got = idx.search_batch(data[:6], 5, engine="scan")
+    for rr in got:
+        assert all(int(r.name[1:]) % 3 != 0 for r in rr)
+    # graph engine still reachable
+    g = idx.search_batch(queries, k, engine="graph", ef_search=64,
+                         expand=8, iters=12)
+    assert len(g) == 16 and all(len(r) == k for r in g)
