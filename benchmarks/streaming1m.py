@@ -30,7 +30,7 @@ sys.path.insert(
 
 DIM, K = 96, 10
 N_CENTERS, SIGMA = 4096, 0.8
-EF, EXPAND, ITERS = 128, 16, 14
+EF, EXPAND, ITERS = 128, 16, 20
 WAVE = 2048
 
 
@@ -98,6 +98,20 @@ def main() -> None:
     )
     s = stats.summary()
     s["start"], s["end"] = start, hi
+    # recall of the stream's operating point vs the exact scan engine
+    try:
+        probe = queries[:256]
+        nm, _ = idx.search_batch(probe, K, engine="scan",
+                                 reply="columnar")
+        truth = [set(r) for r in nm]
+        res = idx.search_batch(probe, K, ef_search=EF, expand=EXPAND,
+                               iters=ITERS, engine="graph")
+        s["recall"] = round(sum(
+            len({r.name for r in rr} & truth[b])
+            for b, rr in enumerate(res)
+        ) / (K * len(res)), 4)
+    except Exception as e:  # pragma: no cover
+        s["recall_error"] = repr(e)
     with open(stats_path, "a") as f:
         f.write(json.dumps(s) + "\n")
     log(f"stage {start}..{hi}: {s}")

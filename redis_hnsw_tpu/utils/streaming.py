@@ -115,9 +115,13 @@ def run_mixed(
 
         phase += 1
         if validate_every and phase % validate_every == 0:
+            # Visibility probe, not a perf probe: use a generous beam
+            # (the stream's operating ef/iters can be too tight for
+            # guaranteed self-hits at large N -- iters caps the slowest
+            # lane; a 230k-row graph needs more steps than a 30k one).
             self_res = index.search_batch(
-                data[lo:hi][:8], 1, ef_search=ef_search,
-                expand=expand, iters=iters, engine="graph",
+                data[lo:hi][:8], 1, ef_search=max(256, ef_search or 0),
+                expand=expand, iters=None, engine="graph",
             )
             hits = sum(
                 1
