@@ -151,6 +151,11 @@ LAZY_SLACK = 64
 
 
 def _lazy_dedup() -> bool:
+    """Opt-in: measured on the v5e at 131k rows / B=2048 / expand=16 it
+    is +10% at ef=256 (11.1k vs 10.0k qps) and a wash at ef=512 (7.0k
+    vs 7.1k) with identical recall -- the wider merge window eats the
+    dropped sort's saving as ef grows. Kept opt-in; parity mode
+    (expand=1) always runs eager regardless."""
     import os
 
     return os.environ.get("REDIS_HNSW_TPU_LAZY_DEDUP", "0") != "0"
