@@ -30,18 +30,21 @@ from ..utils.names import NameTable
 from .hnsw import SearchResult
 
 
-@partial(jax.jit, static_argnames=("k", "metric"))
-def _scan_topk(vecs, sqn, valid, queries, *, k: int, metric: str):
+def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str):
+    """Shared exact scan engine (ops/scan.py): chunked matmul top-k;
+    hamming rides the MXU via the int8 +-1 table (the popcount
+    formulation this replaced collapses past ~100k rows). The hamming
+    table is cached per mutation epoch on the index."""
+    from ..ops import scan as SC
+
     if metric == "hamming":
-        scores = D.pairwise_hamming(queries, vecs)
-    else:
-        scores = D.pairwise_neg_sq_l2(queries, vecs, sqn)
-    scores = jnp.where(valid[None, :], scores, -jnp.inf)
-    sims, ids = jax.lax.top_k(scores, k)
-    if metric == "euclidean":
-        sims = D.exact_neg_sq_l2(queries, vecs, ids, sims != -jnp.inf)
-        ids, sims = D.resort_desc(ids, sims)
-    return ids, sims
+        cached = index._pm1_cache
+        if cached is None or cached[0] != index._epoch:
+            cached = (index._epoch, SC._build_pm1(vecs))
+            index._pm1_cache = cached
+        return SC.scan_topk(cached[1], sqn, valid, queries, k=k,
+                            metric="hamming")
+    return SC.scan_topk_exact_l2(vecs, sqn, valid, queries, k=k)
 
 
 def _scan_topk_pallas(vecs, sqn, valid, queries, *, k: int, metric: str):
@@ -79,6 +82,7 @@ class FlatIndex:
         self._epoch = 0
         self._dev = None
         self._dev_epoch = -1
+        self._pm1_cache = None  # (epoch, int8 +-1 table) for hamming
 
     @property
     def node_count(self) -> int:
@@ -201,10 +205,16 @@ class FlatIndex:
             return [[] for _ in range(qs.shape[0])]
         vecs, sqn, valid = self._device()
         k_eff = min(int(k), int(vecs.shape[0]))
-        scan = _scan_topk_pallas if use_pallas else _scan_topk
-        ids, sims = scan(
-            vecs, sqn, valid, jnp.asarray(qs), k=k_eff, metric=self.config.metric
-        )
+        if use_pallas:
+            ids, sims = _scan_topk_pallas(
+                vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
+                metric=self.config.metric,
+            )
+        else:
+            ids, sims = _scan_topk(
+                self, vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
+                metric=self.config.metric,
+            )
         ids = np.asarray(ids)
         sims = np.asarray(sims)
         # Batch replies carry (sim, name) only, like the HNSW batch path

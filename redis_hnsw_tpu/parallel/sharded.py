@@ -445,8 +445,8 @@ class ShardedHNSW:
         single-chip path (ops/search.py SCAN_MAX_ROWS, judged per
         shard): "auto" picks the per-shard exact MXU scan below the
         crossover, the per-shard graph beam above it; both merge with
-        the same single all-gather top-k. ``reply`` accepted for API
-        uniformity (object replies are always assembled here)."""
+        the same single all-gather top-k. ``reply="columnar"`` returns
+        (names, sims) arrays like the single-chip path."""
         from ..ops.search import SCAN_MAX_ROWS
 
         if engine not in ("auto", "graph", "scan"):
@@ -456,6 +456,11 @@ class ShardedHNSW:
         )
         n_q = qs.shape[0]
         if self.node_count == 0:
+            if reply == "columnar":
+                return (
+                    np.full((n_q, int(k)), None, object),
+                    np.full((n_q, int(k)), -np.inf, np.float32),
+                )
             return [[] for _ in range(n_q)]
         ef = (
             self.config.ef_construction
@@ -497,6 +502,22 @@ class ShardedHNSW:
             )
         gids = np.asarray(gids[:n_q])
         sims = np.asarray(sims[:n_q])
+        if reply == "columnar":
+            out_names = np.full(gids.shape, None, object)
+            sims_np = np.asarray(sims, np.float32)
+            valid = (gids >= 0) & ~np.isneginf(sims_np)
+            if valid.any():
+                shard_idx = gids // n_pad
+                rows = gids % n_pad
+                for si, shard in enumerate(self.shards):
+                    m = valid & (shard_idx == si)
+                    if m.any():
+                        out_names[m] = shard._names.names_array()[rows[m]]
+            return out_names, np.where(
+                valid, sims_np, np.float32(-np.inf)
+            )
+        if reply != "objects":
+            raise ValueError(f"unknown reply mode {reply!r}")
         out = []
         for b in range(n_q):
             res = []

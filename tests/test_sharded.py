@@ -224,3 +224,16 @@ def test_sharded_scan_engine_exact(rng):
     g = idx.search_batch(queries, k, engine="graph", ef_search=64,
                          expand=8, iters=12)
     assert len(g) == 16 and all(len(r) == k for r in g)
+
+
+def test_sharded_columnar_reply(sharded_built):
+    sharded, oracle, data, rng = sharded_built
+    queries = rng.standard_normal((4, 16)).astype(np.float32)
+    names, sims = sharded.search_batch(queries, 5, reply="columnar")
+    want = sharded.search_batch(queries, 5)
+    assert names.shape == (4, 5)
+    for b in range(4):
+        assert list(names[b]) == [r.name for r in want[b]]
+        np.testing.assert_allclose(
+            sims[b], [r.sim for r in want[b]], rtol=1e-5
+        )
