@@ -189,24 +189,29 @@ def search_phase(
     results = {"n": n, "kind": kind, "restore_s": round(load_s, 1),
                "oracle_scan_256q_s": round(oracle_s, 1)}
 
-    # Sweep the recall/qps frontier bottom-up; the operating point is the
-    # cheapest setting with recall@10 >= 0.95 (the reference has no such
-    # knobs: it always pays ef = efcon = 200, core.rs:485).
+    # Sweep the GRAPH engine's recall/qps frontier bottom-up (pinned
+    # engine="graph": under auto routing the scan engine would answer
+    # instead at this scale); the operating point is the cheapest graph
+    # setting with recall@10 >= 0.95 (the reference has no such knobs:
+    # it always pays ef = efcon = 200, core.rs:485).
     frontier = []
     operating = None
     for ef, ex, it in (
         (32, 8, 8), (48, 8, 10), (64, 8, 12), (96, 16, 10), (128, 16, 12),
         (192, 16, 18), (256, 16, 24), (384, 16, 32), (512, 16, 40),
     ):
-        res = idx.search_batch(qd[:256], K, ef_search=ef, expand=ex, iters=it)
+        res = idx.search_batch(qd[:256], K, ef_search=ef, expand=ex,
+                               iters=it, engine="graph")
         rec = sum(
             len({r.name for r in rr} & truth_sets[b])
             for b, rr in enumerate(res)
         ) / (K * len(res))
-        idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it)  # warm B
+        idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it,
+                         engine="graph")  # warm B
         t0 = time.perf_counter()
         for _ in range(3):
-            idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it)
+            idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it,
+                             engine="graph")
         dt = (time.perf_counter() - t0) / 3
         qps = 2048 / dt
         log(f"ef={ef} expand={ex} iters={it}: recall@{K}={rec:.4f} "
