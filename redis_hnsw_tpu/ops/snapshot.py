@@ -213,19 +213,43 @@ def _nbrvec_dtype(metric, vec_dtype, n_pad, deg0, width):
 
 
 @partial(jax.jit, static_argnames=("dtype",))
+def _narrow_rows(vecs, sq, *, dtype):
+    """Narrowed per-row table, materialized as its OWN program output.
+    Running this in the same program as the block gather lets XLA fuse
+    the conversion INTO the gather, which materializes both the
+    gathered narrow blocks AND a full-width gathered intermediate
+    (observed: the fused int8 build used 16.09G at 1.9M rows and OOMed
+    by 349M; split into two dispatches it peaks at the 258MB packed
+    table + the one 8.3GB gather output)."""
+    if dtype == jnp.int8:
+        return _quantize_rows(vecs, sq)
+    return vecs.astype(dtype)
+
+
+@jax.jit
+def _gather_blocks(rows, adj0):
+    return rows[jnp.maximum(adj0, 0)]
+
+
+@jax.jit
+def _gather_scalars(sq, adj0):
+    return sq[jnp.maximum(adj0, 0)]
+
+
 def _build_nbrvec(vecs, sq, adj0, *, dtype):
     """Materialize the blocked neighbor-vector table on device (no host
     bytes: one [N*deg0]-row gather from the already-uploaded tables).
 
-    Cast/quantize BEFORE gathering: gather-then-convert materializes
-    the full-width table ([1M, 32, 128] f32 = 16GiB transient -> OOM)
-    where convert-then-gather adds only a narrow copy of vecs. The int8
-    tier gathers packed [D+8] rows and needs no separate sqnorm table
+    Cast/quantize BEFORE gathering -- in a separate dispatch (see
+    _narrow_rows): gather-then-convert materializes the full-width
+    table ([1M, 32, 128] f32 = 16GiB transient -> OOM). The int8 tier
+    gathers packed [D+8] rows and needs no separate sqnorm table
     (ops/distance.py block_int8_neg_sq_l2)."""
-    safe = jnp.maximum(adj0, 0)
+    narrow = _narrow_rows(vecs, sq, dtype=dtype)
+    blocks = _gather_blocks(narrow, adj0)
     if dtype == jnp.int8:
-        return _quantize_rows(vecs, sq)[safe], None
-    return vecs.astype(dtype)[safe], sq[safe]
+        return blocks, None
+    return blocks, _gather_scalars(sq, adj0)
 
 
 # High-D euclidean frontiers are HBM-byte-bound (not issue-bound), so

@@ -136,3 +136,38 @@ def test_hamming_packed_reply_roundtrip(rng):
     for rr in got:
         assert all("n" in r.name for r in rr)
         assert all(int(r.name[1:]) % 3 != 0 for r in rr)
+
+
+def test_columnar_reply_graph_engine(rng):
+    """Columnar replies work for the graph engine too (not just scan)."""
+    idx, oracle, data, _ = _build(rng, n=400)
+    queries = rng.standard_normal((8, 24)).astype(np.float32)
+    names, sims = idx.search_batch(
+        queries, 5, ef_search=64, expand=8, iters=12,
+        engine="graph", reply="columnar",
+    )
+    objs = idx.search_batch(
+        queries, 5, ef_search=64, expand=8, iters=12, engine="graph",
+    )
+    assert names.shape == (8, 5)
+    for b in range(8):
+        assert list(names[b]) == [r.name for r in objs[b]]
+        np.testing.assert_allclose(
+            sims[b], [r.sim for r in objs[b]], rtol=1e-6
+        )
+
+
+def test_scan_after_checkpoint_restore(rng, tmp_path):
+    """Restore -> scan engine: the per-epoch scan state rebuilds from
+    the restored snapshot (no stale caches)."""
+    from redis_hnsw_tpu.utils.checkpoint import load_index, save_index
+
+    idx, oracle, data, _ = _build(rng, n=200)
+    p = str(tmp_path / "s.npz")
+    save_index(idx, p)
+    back = load_index(p)
+    queries = rng.standard_normal((8, 24)).astype(np.float32)
+    got = back.search_batch(queries, 5, engine="scan")
+    want = oracle.search_batch(queries, 5)
+    for b in range(8):
+        assert [r.name for r in got[b]] == [r.name for r in want[b]]

@@ -267,3 +267,25 @@ def test_flat_kind_over_wire(server):
     assert first["name"] == "n0"
     assert c.cmd("HNSW.DEL", "fw") == 1
     c.close()
+
+
+def test_sharded_kind_over_wire(server):
+    """KIND sharded routes to the mesh-sharded index over RESP."""
+    c = RespClient(server)
+    assert (
+        c.cmd("HNSW.NEW", "sw", "DIM", "8", "M", "4", "KIND", "sharded")
+        == "OK"
+    )
+    for i in range(12):
+        v = [str(float(i))] * 8
+        assert c.cmd("HNSW.NODE.ADD", "sw", f"n{i}", "DATA", "8", *v) == "OK"
+    res = c.cmd("HNSW.SEARCH", "sw", "K", "2", "QUERY", "8", *["3.0"] * 8)
+    assert res[0] == 2
+    first = dict(zip(res[1][::2], res[1][1::2]))
+    assert first["name"] == "n3"
+    info = dict(
+        (lambda it: zip(it[::2], it[1::2]))(c.cmd("HNSW.GET", "sw"))
+    )
+    assert int(info["node_count"]) == 12
+    assert c.cmd("HNSW.DEL", "sw") == 1
+    c.close()
