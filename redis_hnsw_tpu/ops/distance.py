@@ -218,26 +218,26 @@ def block_int8_neg_sq_l2(
     q8: jnp.ndarray,         # [B, D] int8 (quantize_query)
     q_scale: jnp.ndarray,    # [B] f32
     q_sqnorm: jnp.ndarray,   # [B] f32 (exact)
-    nbrvec8: jnp.ndarray,    # [N, F, D+8] int8 packed neighbor blocks
+    nbrvec8: jnp.ndarray,    # [N, F, D] int8 neighbor blocks
+    nbrmeta: jnp.ndarray,    # [N, 2F] f32: scales[:F] ++ sqnorms[F:]
     cand: jnp.ndarray,       # [B, E] parent row ids (in-range)
     mask: jnp.ndarray,       # [B, E*F]
 ) -> jnp.ndarray:
     """Blocked + quantized frontier scoring: the low-D tier when the
     f32 nbrvec table is over budget. Combines both measured wins --
-    [B, E] block gathers (issue-bound fix) of int8 rows (3.5x fewer
-    bytes than f32, and 4.5GB instead of 8GB f16 at 1M x 128d), with
-    the (scale, exact sqnorm) pair packed per neighbor row. Dots run
+    [B, E] block gathers (issue-bound fix) of int8 rows (4x fewer
+    bytes than f32; [N, F, 128] int8 is TILE-EXACT, 7.8GB physical at
+    1.9M rows where a D+8 packed layout padded to D+128 and OOMed),
+    with each neighbor's (dequant scale, exact sqnorm) riding in one
+    flat [N, 2F] f32 meta row gathered per PARENT (so no per-neighbor
+    scalar gather re-pays the 13ns/row issue cost). Dots run
     int8 x int8 -> int32 on the MXU; final k rescored exactly."""
     B, E = cand.shape
     F = nbrvec8.shape[1]
-    D = q8.shape[1]
-    blocks = nbrvec8[cand]                      # [B, E, F, D+8] int8
-    x8 = blocks[..., :D]
-    meta = jax.lax.bitcast_convert_type(
-        blocks[..., D:].reshape(*blocks.shape[:-1], 2, 4), jnp.float32
-    )                                           # [B, E, F, 2]
-    s = meta[..., 0].reshape(B, E * F)
-    fn = meta[..., 1].reshape(B, E * F)
+    x8 = nbrvec8[cand]                          # [B, E, F, D] int8
+    meta = nbrmeta[cand]                        # [B, E, 2F] f32
+    s = meta[:, :, :F].reshape(B, E * F)
+    fn = meta[:, :, F:].reshape(B, E * F)
     dots = jnp.einsum(
         "bd,befd->bef", q8, x8, preferred_element_type=jnp.int32
     ).astype(jnp.float32).reshape(B, E * F)

@@ -300,7 +300,7 @@ def beam_search(
                 nsims = D.block_hamming(q, nbrvec, csafe, fresh)
             elif quant_blocks:
                 nsims = D.block_int8_neg_sq_l2(
-                    q8, qs8, qn, nbrvec, csafe, fresh
+                    q8, qs8, qn, nbrvec, nbrsqn, csafe, fresh
                 )
             elif _use_pallas_gather(B):
                 from .pallas_gather import fused_block_score

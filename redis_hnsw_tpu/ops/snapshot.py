@@ -78,8 +78,11 @@ class Snapshot:
     # nbrvec[x] = vecs[adj0[x]] stored contiguously, so the beam gathers
     # [B, E] blocks instead of [B, E*F] rows (gathers are per-row
     # issue-bound on TPU -- see ops/distance.py block_neg_sq_l2).
-    nbrvec: jnp.ndarray | None = None   # [N_pad, deg0, D] f32/bf16/uint32
-    nbrsqn: jnp.ndarray | None = None   # [N_pad, deg0] f32 (euclidean)
+    nbrvec: jnp.ndarray | None = None   # [N_pad, deg0, D] f32/f16/int8/uint32
+    # f32/f16 tiers: [N_pad, deg0] f32 neighbor sqnorms. int8 tier:
+    # [N_pad, 2*deg0] f32 meta = per-neighbor (dequant scale ++ exact
+    # sqnorm) -- flat, because a [N, F, 2] trailing dim tile-pads 2->128.
+    nbrsqn: jnp.ndarray | None = None
     # Quantized row table for the byte-bound high-D regime: int8 rows
     # with the f32 (scale, exact sqnorm) pair bitcast into the last 8
     # bytes (see ops/distance.py frontier_int8_neg_sq_l2). Built when
@@ -168,12 +171,25 @@ def _row_adj(index, rows, lc, deg):
     return out
 
 
+def _phys_block_bytes(n, f, d, dtype) -> int:
+    """PHYSICAL HBM bytes of an [n, f, d] array under TPU tiling: the
+    minor dim pads to 128 lanes and the second-minor to the dtype's
+    sublane count. Budgeting with logical bytes undercounts badly for
+    narrow minors -- the int8 [N, 32, 136] packed layout physically
+    occupied [N, 32, 256] (1.9x) and OOMed a 1.9M build; a hamming
+    [N, 32, 8]-word table would physically be [N, 32, 128] (16x)."""
+    dt = jnp.dtype(dtype)
+    sublane = {1: 32, 2: 16, 4: 8}[dt.itemsize]
+    return n * _round_up(f, sublane) * _round_up(d, 128) * dt.itemsize
+
+
 def _nbrvec_dtype(metric, vec_dtype, n_pad, deg0, width):
     """Element type for the neighbor-vector blocks, or None when even the
     compressed table exceeds the HBM budget (row-gather fallback).
 
-    Budget default 9GiB: a 1M x 128d index at deg0=32 fits in bf16
-    (8GiB) beside the 0.5GiB vector table on a 16GiB v5e. Override via
+    Budget default 9GiB of PHYSICAL (tile-padded) bytes: a 1M x 128d
+    index at deg0=32 fits in f16 (8.4GiB) beside the 0.5GiB vector
+    table on a 16GiB v5e; int8 carries ~1.9M rows. Override via
     REDIS_HNSW_TPU_NBRVEC_BYTES.
     """
     import os
@@ -191,23 +207,27 @@ def _nbrvec_dtype(metric, vec_dtype, n_pad, deg0, width):
     budget = int(
         os.environ.get("REDIS_HNSW_TPU_NBRVEC_BYTES", 9 * 2**30)
     )
-    full = n_pad * deg0 * width * 4
     if metric == "hamming":
-        return vec_dtype if full <= budget else None
-    if full <= budget:
+        phys = _phys_block_bytes(n_pad, deg0, width, vec_dtype)
+        return vec_dtype if phys <= budget else None
+    if _phys_block_bytes(n_pad, deg0, width, jnp.float32) <= budget:
         return jnp.float32
-    if full // 2 <= budget:
+    if _phys_block_bytes(n_pad, deg0, width, jnp.float16) <= budget:
         # f16, not bf16: coarse sims only steer the beam, but within
         # dense clusters neighbor-sim gaps (~1) are smaller than bf16's
         # 8-bit-mantissa error on sims of magnitude ~200; f16's 11-bit
         # mantissa keeps the ordering (measured at 1M clustered).
         return jnp.float16
-    if n_pad * deg0 * (width + 8) <= budget:
-        # int8 packed blocks (rows carry dequant scale + exact sqnorm
-        # in the trailing 8 bytes): ~2x smaller again than f16, so one
-        # chip holds ~2x more rows. At 1M it measures ~f16 speed
-        # (4926 vs 5117 qps at ef=512) with recall 0.969 vs 0.973 --
-        # the tier exists for capacity, not speed.
+    if (
+        _phys_block_bytes(n_pad, deg0, width, jnp.int8)
+        + n_pad * _round_up(2 * deg0, 128) * 4  # [N, 2F] f32 meta
+        <= budget
+    ):
+        # int8 blocks [N, F, D] (tile-exact at D=128) + a separate
+        # [N, 2F] f32 meta table carrying each neighbor's (dequant
+        # scale, exact sqnorm): ~2x smaller than f16, so one chip holds
+        # ~1.9M rows. At 1M it measures ~f16 speed (4926 vs 5117 qps at
+        # ef=512) with recall 0.969 vs 0.973 -- a capacity tier.
         return jnp.int8
     return None
 
@@ -218,11 +238,11 @@ def _narrow_rows(vecs, sq, *, dtype):
     Running this in the same program as the block gather lets XLA fuse
     the conversion INTO the gather, which materializes both the
     gathered narrow blocks AND a full-width gathered intermediate
-    (observed: the fused int8 build used 16.09G at 1.9M rows and OOMed
-    by 349M; split into two dispatches it peaks at the 258MB packed
-    table + the one 8.3GB gather output)."""
+    (observed: the fused int8 build OOMed at 1.9M rows; split into two
+    dispatches it peaks at the narrow table + the one gather output)."""
     if dtype == jnp.int8:
-        return _quantize_rows(vecs, sq)
+        x8, scale = _quantize_split(vecs)
+        return x8
     return vecs.astype(dtype)
 
 
@@ -236,6 +256,17 @@ def _gather_scalars(sq, adj0):
     return sq[jnp.maximum(adj0, 0)]
 
 
+@jax.jit
+def _gather_meta(vecs, sq, adj0):
+    """[N, 2F] f32 per-neighbor meta for the int8 tier: columns [:F]
+    are dequant scales, [F:] exact sqnorms. Flat (not [N, F, 2]): a
+    trailing dim of 2 would tile-pad to 128 lanes -- 64x the bytes."""
+    safe = jnp.maximum(adj0, 0)
+    amax = jnp.max(jnp.abs(vecs), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    return jnp.concatenate([scale[safe], sq[safe]], axis=1)
+
+
 def _build_nbrvec(vecs, sq, adj0, *, dtype):
     """Materialize the blocked neighbor-vector table on device (no host
     bytes: one [N*deg0]-row gather from the already-uploaded tables).
@@ -243,12 +274,13 @@ def _build_nbrvec(vecs, sq, adj0, *, dtype):
     Cast/quantize BEFORE gathering -- in a separate dispatch (see
     _narrow_rows): gather-then-convert materializes the full-width
     table ([1M, 32, 128] f32 = 16GiB transient -> OOM). The int8 tier
-    gathers packed [D+8] rows and needs no separate sqnorm table
+    gathers bare [N, F, D] int8 blocks (tile-exact at D=128) plus the
+    [N, 2F] f32 scale/sqnorm meta table in ``nbrsqn``
     (ops/distance.py block_int8_neg_sq_l2)."""
     narrow = _narrow_rows(vecs, sq, dtype=dtype)
     blocks = _gather_blocks(narrow, adj0)
     if dtype == jnp.int8:
-        return blocks, None
+        return blocks, _gather_meta(vecs, sq, adj0)
     return blocks, _gather_scalars(sq, adj0)
 
 
@@ -271,6 +303,19 @@ def _use_quant(metric: str, width: int) -> bool:
     if metric != "euclidean":
         return False
     return flag == "1" or width >= QUANT_MIN_DIM
+
+
+@jax.jit
+def _quantize_split(vecs):
+    """Per-row symmetric int8 quantization, (x8, scale) as separate
+    arrays (the blocked int8 tier keeps meta out of the block rows --
+    a D+8 trailing dim tile-pads to D+128 and nearly doubles HBM)."""
+    amax = jnp.max(jnp.abs(vecs), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    x8 = jnp.clip(
+        jnp.round(vecs / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return x8, scale
 
 
 @jax.jit
@@ -453,13 +498,16 @@ def _apply_delta(
     if has_nbrvec:
         safe = jnp.maximum(adj0_data, 0)
         if nbrvec.dtype == jnp.int8:
-            nbrvec = nbrvec.at[arows].set(
-                _quantize_rows(vecs[safe], sq[safe])
+            x8, scale = _quantize_split(vecs[safe])
+            nbrvec = nbrvec.at[arows].set(x8)
+            # int8 meta rows: [w, 2F] = scales ++ sqnorms
+            nbrsqn = nbrsqn.at[arows].set(
+                jnp.concatenate([scale, sq[safe]], axis=1)
             )
         else:
             nbrvec = nbrvec.at[arows].set(vecs[safe].astype(nbrvec.dtype))
-        if nbrsqn is not None:
-            nbrsqn = nbrsqn.at[arows].set(sq[safe])
+            if nbrsqn is not None:
+                nbrsqn = nbrsqn.at[arows].set(sq[safe])
     shape_up = adj_up.shape
     adj_up_f = adj_up.reshape(-1, shape_up[2])
     adj_up_f = adj_up_f.at[wipe_flat].set(-1)

@@ -357,8 +357,10 @@ class ShardedHNSW:
                 for sn in snaps
             ])
             if snaps[0].nbrsqn is not None:
+                # f32/f16 tiers: [n, deg0]; int8 tier: [n, 2*deg0] meta
+                meta_w = max(sn.nbrsqn.shape[1] for sn in snaps)
                 nbrsqn = jnp.stack([
-                    padded(sn.nbrsqn, (n_pad, deg0), 0) for sn in snaps
+                    padded(sn.nbrsqn, (n_pad, meta_w), 0) for sn in snaps
                 ])
 
         sh = NamedSharding(self.mesh, P(DATA_AXIS))

@@ -196,7 +196,10 @@ def test_int8_blocked_tier(monkeypatch):
     idx.add_batch(names, data, batch_size=256)
     snap = idx.device_snapshot()
     assert snap.nbrvec is not None and snap.nbrvec.dtype == jnp.int8
-    assert snap.nbrvec.shape[-1] == dim + 8 and snap.nbrsqn is None
+    # int8 tier: bare [N, F, D] blocks + [N, 2F] f32 scale/sqn meta
+    assert snap.nbrvec.shape[-1] == dim
+    assert snap.nbrsqn is not None
+    assert snap.nbrsqn.shape == (snap.n_pad, 2 * snap.nbrvec.shape[1])
     oracle = FlatIndex("o", IndexConfig(dim=dim))
     oracle.add_batch(names, data)
     truth = oracle.search_batch(queries, k)
