@@ -219,3 +219,23 @@ def test_int8_blocked_tier(monkeypatch):
     idx.add_node("n5b", data[5] * 0.5)
     res = idx.search_batch(data[5][None] * 0.5, 1, engine="graph")
     assert res[0][0].name == "n5b"
+
+
+def test_nbrvec_over_budget_fallback(monkeypatch):
+    """With the nbrvec budget too small for any tier, the snapshot
+    carries no blocked table and the beam falls back to row gathers --
+    results unchanged."""
+    monkeypatch.setenv("REDIS_HNSW_TPU_NBRVEC_BYTES", "1024")
+    rng = np.random.default_rng(4)
+    n, dim, k = 400, 16, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        "nb", IndexConfig(dim=dim, m=8, ef_construction=48, seed=2)
+    )
+    idx.add_batch([f"n{i}" for i in range(n)], data, batch_size=256)
+    snap = idx.device_snapshot()
+    assert snap.nbrvec is None and snap.nbrsqn is None
+    res = idx.search_batch(
+        data[:8], k, ef_search=64, expand=8, iters=12, engine="graph"
+    )
+    assert [r[0].name for r in res] == [f"n{i}" for i in range(8)]
