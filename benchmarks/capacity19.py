@@ -37,6 +37,10 @@ def main() -> None:
     idx = load_index(ckpt)
     load_s = time.perf_counter() - t0
     n = idx.node_count
+    # checkpoints now persist the capacity hint; older ones (like a
+    # build driven before that change) restore without it -- re-declare
+    # so the snapshot pads hint-exact instead of pow2
+    idx._capacity_hint = max(int(getattr(idx, "_capacity_hint", 0)), n)
     print(f"restored {n} rows in {load_s:.1f}s", flush=True)
 
     snap = idx.device_snapshot()

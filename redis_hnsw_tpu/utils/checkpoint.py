@@ -71,6 +71,9 @@ def save_index(index, path: str, compress: bool = True) -> None:
         "node_count": index.node_count,
         "max_layer": index.max_layer,
         "enterpoint": int(index.enterpoint),
+        # persisted so a restored index keeps hint-exact snapshot
+        # shapes (ops/snapshot.py) instead of re-padding to pow2
+        "capacity_hint": int(getattr(index, "_capacity_hint", 0)),
     }
     tmp = path + ".tmp"
     writer = np.savez_compressed if compress else np.savez
@@ -167,5 +170,10 @@ def load_index(path: str):
     index.node_count = int(meta["node_count"])
     index.max_layer = max_layer
     index.enterpoint = int(meta["enterpoint"])
+    # older checkpoints (same format version) simply lack the key
+    index._capacity_hint = max(
+        int(getattr(index, "_capacity_hint", 0)),
+        int(meta.get("capacity_hint", 0)),
+    )
     index._bump()
     return index
