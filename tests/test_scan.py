@@ -171,3 +171,35 @@ def test_scan_after_checkpoint_restore(rng, tmp_path):
     want = oracle.search_batch(queries, 5)
     for b in range(8):
         assert [r.name for r in got[b]] == [r.name for r in want[b]]
+
+
+def test_scan_approx_mode(rng):
+    """scan-approx: near-exact results (here, small N: usually exactly
+    equal), exact reported sims, both metrics."""
+    idx, oracle, data, _ = _build(rng, n=600)
+    queries = rng.standard_normal((32, 24)).astype(np.float32)
+    got = idx.search_batch(queries, 10, engine="scan-approx")
+    want = oracle.search_batch(queries, 10)
+    hits = sum(
+        len({r.name for r in got[b]} & {r.name for r in want[b]})
+        for b in range(32)
+    )
+    assert hits / 320 >= 0.98
+    # sims of returned results are exact
+    for b in range(32):
+        for r in got[b]:
+            row = oracle._names.get(r.name)
+            exact = -float(np.sum(
+                (queries[b].astype(np.float64)
+                 - data[row].astype(np.float64)) ** 2))
+            assert abs(r.sim - exact) < 1e-3 * (1 + abs(exact))
+
+    ih, oh, dh, _ = _build(rng, dim=256, metric="hamming")
+    qh = rng.integers(0, 2**32, (16, 8), dtype=np.uint32)
+    got = ih.search_batch(qh, 10, engine="scan-approx")
+    want = oh.search_batch(qh, 10)
+    hits = sum(
+        len({r.name for r in got[b]} & {r.name for r in want[b]})
+        for b in range(16)
+    )
+    assert hits / 160 >= 0.98
