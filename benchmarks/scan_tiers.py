@@ -1,0 +1,92 @@
+"""Scan-engine tier ladder at scale: exact / approx / bf16 on one chip.
+
+Restores a staged checkpoint (benchmarks/million.py build) and measures
+the four scan-engine operating points at B=2048, k=10:
+
+    exact        f32 selection + exact top_k          (recall 1.0)
+    approx       f32 selection + oversampled approx_max_k
+    bf16         bf16 selection + exact top_k
+    bf16+approx  bf16 selection + oversampled approx_max_k
+
+Recall is against the exact scan oracle on 256 held-out queries;
+reported sims are f32-exact in every tier (ops/scan.py rescore).
+Emits one JSON line and appends it to artifacts/scan_tiers.json.
+
+    python benchmarks/scan_tiers.py /path/ckpt.npz [DIM]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from benchmarks.million import query_set, set_dim, snapshot_truth  # noqa: E402
+
+K = 10
+REPS = 3
+
+
+def measure(idx, qd, engine: str, truth) -> dict:
+    nm, _ = idx.search_batch(qd, K, engine=engine, reply="columnar")
+    rec = sum(
+        len(set(nm[b]) & truth[b]) for b in range(256)
+    ) / (K * 256)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        idx.search_batch(qd, K, engine=engine, reply="columnar")
+    dt = (time.perf_counter() - t0) / REPS
+    return {"recall": round(rec, 4), "qps": round(qd.shape[0] / dt, 1)}
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from redis_hnsw_tpu.utils.checkpoint import load_index
+
+    ckpt = sys.argv[1]
+    set_dim(int(sys.argv[2]) if len(sys.argv) > 2 else 128)
+    t0 = time.perf_counter()
+    idx = load_index(ckpt)
+    load_s = time.perf_counter() - t0
+    n = idx.node_count
+    idx._capacity_hint = max(int(getattr(idx, "_capacity_hint", 0)), n)
+    print(f"restored {n} rows in {load_s:.1f}s", flush=True)
+
+    queries = query_set(2048, "clustered")
+    qd = jnp.asarray(queries)
+    truth = snapshot_truth(idx, queries[:256], K)
+
+    out = {"n": n, "dim": queries.shape[1], "b": 2048, "k": K}
+    for label, engine, dt_env in (
+        ("exact", "scan", "f32"),
+        ("approx", "scan-approx", "f32"),
+        ("bf16", "scan", "bf16"),
+        ("bf16_approx", "scan-approx", "bf16"),
+    ):
+        os.environ["REDIS_HNSW_TPU_SCAN_DTYPE"] = dt_env
+        try:
+            out[label] = measure(idx, qd, engine, truth)
+            print(f"{label}: {out[label]}", flush=True)
+        except Exception as e:  # OOM at this scale is a finding too
+            out[label] = {"error": repr(e)}
+            print(f"{label}: {e!r}", flush=True)
+    os.environ.pop("REDIS_HNSW_TPU_SCAN_DTYPE", None)
+
+    line = json.dumps(out)
+    print(line, flush=True)
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "artifacts", "scan_tiers.json")
+    with open(art, "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,32 @@ NEG_INF = float("-inf")
 CHUNK_N = 1 << 19
 
 
+def scan_dtype() -> str:
+    """Euclidean scan-table tier: REDIS_HNSW_TPU_SCAN_DTYPE.
+
+    * ``f32`` (default) -- score in f32; selection is exactly exact.
+    * ``bf16`` -- keep the scan copy of the vector table in bfloat16:
+      the MXU's native input width, so the [B, D] x [D, N] score
+      matmul runs at full systolic rate instead of the multi-pass f32
+      emulation, and the scan copy is half the bytes. Selection order
+      can differ from f32 only where two rows' scores agree to ~3
+      decimal digits; the selected k are ALWAYS rescored in exact f32
+      direct form from the f32 snapshot (scan_topk_exact_l2), so
+      reported sims stay reference-exact either way.
+    """
+    import os
+
+    v = os.environ.get("REDIS_HNSW_TPU_SCAN_DTYPE", "f32")
+    if v not in ("f32", "bf16"):
+        raise ValueError(f"REDIS_HNSW_TPU_SCAN_DTYPE={v!r}")
+    return v
+
+
+@jax.jit
+def _to_bf16(vecs):
+    return vecs.astype(jnp.bfloat16)
+
+
 def pm1_table(vecs_packed: jnp.ndarray) -> jnp.ndarray:
     """[N, W] uint32 packed bits -> [N, 32W] int8 in {-1, +1}.
 
@@ -99,8 +125,11 @@ def scan_topk(
         d_bits = table.shape[1]
         q = pm1_table(queries)
     else:
-        q = queries
-        qq = jnp.sum(q * q, axis=-1, keepdims=True)
+        # bf16 tier: cast the query side to match the table so the dot
+        # is a native bf16 x bf16 -> f32 MXU matmul (scan_dtype()).
+        q = queries.astype(table.dtype)
+        qf = queries.astype(jnp.float32)
+        qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
     for lo in range(0, N, n_chunk):
         rows = table[lo : lo + n_chunk]
         lv = live[lo : lo + n_chunk]
@@ -141,13 +170,20 @@ def scan_topk(
 
 @partial(jax.jit, static_argnames=("k", "pack", "approx"))
 def scan_topk_exact_l2(
-    vecs, sqn, live, queries, *, k: int, pack=False, approx=False
+    vecs, sqn, live, queries, *, k: int, pack=False, approx=False,
+    table=None,
 ):
     """Euclidean scan + exact direct-form rescore of the final k (the
     matmul form loses ~1e-3 relative to cancellation; reported sims
-    must match the reference kernel to f32 rounding, metrics.rs:79-84)."""
+    must match the reference kernel to f32 rounding, metrics.rs:79-84).
+
+    ``table`` optionally supplies a lower-precision copy of ``vecs``
+    (the bf16 scan tier) used only for SELECTION; the rescore always
+    reads the exact f32 ``vecs``.
+    """
     ids, sims = scan_topk(
-        vecs, sqn, live, queries, k=k, metric="euclidean", approx=approx
+        vecs if table is None else table,
+        sqn, live, queries, k=k, metric="euclidean", approx=approx,
     )
     sims = D.exact_neg_sq_l2(
         queries, vecs, jnp.maximum(ids, 0), sims != NEG_INF
@@ -163,26 +199,34 @@ def scan_topk_exact_l2(
 # -- host-side engine wrapper -------------------------------------------------
 
 def _scan_state(index):
-    """Per-epoch device state for the scan engine: (table, sqn, live).
+    """Per-epoch device state for the scan engine:
+    (table, vecs, sqn, live, metric) -- ``table`` is the selection
+    table (f32 vecs, the bf16 tier copy, or the hamming +-1 int8
+    expansion), ``vecs`` the exact f32 rescore table (None for
+    hamming, whose int32 distances are already exact).
 
-    Cached on the index keyed by mutation epoch. ``live`` rides up once
-    per epoch (a [N] bool is small); the hamming +-1 table is built
-    device-side from the snapshot's packed rows.
+    Cached on the index keyed by (mutation epoch, scan dtype).
+    ``live`` rides up once per epoch (a [N] bool is small); derived
+    tables are built device-side from the snapshot (no host
+    round-trip).
     """
     snap = index.device_snapshot()
+    dt = scan_dtype()
     cached = getattr(index, "_scan_cache", None)
-    if cached is not None and cached[0] == index.epoch:
+    if cached is not None and cached[0] == (index.epoch, dt):
         return cached[1]
     live_np = np.zeros(snap.n_pad, bool)
     h = min(len(index._levels), snap.n_pad)
     live_np[:h] = index._levels[:h] >= 0
     live = jnp.asarray(live_np)
     if snap.metric == "hamming":
-        table = _build_pm1(snap.vecs)
+        table, vecs = _build_pm1(snap.vecs), None
+    elif dt == "bf16":
+        table, vecs = _to_bf16(snap.vecs), snap.vecs
     else:
-        table = snap.vecs
-    state = (table, snap.sqnorms, live, snap.metric)
-    index._scan_cache = (index.epoch, state)
+        table = vecs = snap.vecs
+    state = (table, vecs, snap.sqnorms, live, snap.metric)
+    index._scan_cache = ((index.epoch, dt), state)
     return state
 
 
@@ -192,7 +236,7 @@ def scan_batch(index, qs, k: int, approx: bool = False):
     per-chunk exact top_k for oversampled jax.lax.approx_max_k
     (measured ~0.999 recall, several-fold faster at big N); reported
     sims stay exact either way."""
-    table, sqn, live, metric = _scan_state(index)
+    table, vecs, sqn, live, metric = _scan_state(index)
     n_q = qs.shape[0]
     b_pad = 8
     while b_pad < n_q:
@@ -227,7 +271,8 @@ def scan_batch(index, qs, k: int, approx: bool = False):
         )
     else:
         packed = scan_topk_exact_l2(
-            table, sqn, live, qd, k=k_eff, pack=True, approx=approx
+            vecs, sqn, live, qd, k=k_eff, pack=True, approx=approx,
+            table=None if table is vecs else table,
         )
     packed = np.asarray(packed[:n_q])
     ids = packed[:, :k_eff]

@@ -203,3 +203,37 @@ def test_scan_approx_mode(rng):
         for b in range(16)
     )
     assert hits / 160 >= 0.98
+
+
+def test_scan_bf16_tier(rng, monkeypatch):
+    """REDIS_HNSW_TPU_SCAN_DTYPE=bf16: selection rides a bfloat16 copy
+    of the table, reported sims stay f32-exact (rescored from the f32
+    snapshot), and near-duplicate rows that bf16 cannot separate are
+    still ranked correctly by the exact rescore."""
+    idx, oracle, data, _ = _build(rng, n=500)
+    queries = rng.standard_normal((24, 24)).astype(np.float32)
+    want = oracle.search_batch(queries, 10)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "bf16")
+    got = idx.search_batch(queries, 10, engine="scan")
+    hits = sum(
+        len({r.name for r in got[b]} & {r.name for r in want[b]})
+        for b in range(24)
+    )
+    assert hits / 240 >= 0.97  # bf16 selection: near-exact
+    for b in range(24):
+        sims = [r.sim for r in got[b]]
+        assert sims == sorted(sims, reverse=True)
+        for r in got[b]:
+            row = oracle._names.get(r.name)
+            exact = -float(np.sum(
+                (queries[b].astype(np.float64)
+                 - data[row].astype(np.float64)) ** 2))
+            assert abs(r.sim - exact) < 1e-4 * (1 + abs(exact))
+    # tier switch invalidates the per-epoch cache (same epoch, new dt)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "f32")
+    got32 = idx.search_batch(queries, 10, engine="scan")
+    for b in range(24):
+        assert [r.name for r in got32[b]] == [r.name for r in want[b]]
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "tf32")
+    with pytest.raises(ValueError, match="SCAN_DTYPE"):
+        idx.search_batch(queries, 10, engine="scan")
