@@ -105,31 +105,38 @@ def _sharded_search_jit(
 
 
 @partial(
-    jax.jit, static_argnames=("k", "metric", "mesh"),
+    jax.jit, static_argnames=("k", "metric", "mesh", "approx"),
 )
 def _sharded_scan_jit(
-    table, sqn, live, queries, *, k: int, metric: str, mesh
+    table, vecs, sqn, live, queries, *, k: int, metric: str, mesh,
+    approx: bool = False,
 ):
-    """Exact MXU scan per shard + one all-gather top-k merge.
+    """MXU scan per shard + one all-gather top-k merge.
 
     The sharded analog of ops/scan.py: every device scans its own
     [n_pad, D] slice (euclidean matmul form with exact rescore, or the
     int8 +-1 hamming matmul), encodes global ids as shard * n_pad +
     row, and GSPMD inserts the single ICI collective for the [S, B, k]
     merge -- identical structure to the graph engine's merge above.
+    ``table`` is the selection table (== ``vecs``, or its bf16 tier
+    copy, or the hamming +-1 expansion); euclidean rescore always
+    reads the exact f32 ``vecs``. ``approx`` selects the oversampled
+    approx_max_k per-chunk path (ops/scan.py).
     """
     from ..ops.scan import scan_topk, scan_topk_exact_l2
 
     n_pad = table.shape[1]
 
-    def local(table, sqn, live, queries):
+    def local(table, vecs, sqn, live, queries):
         if metric == "hamming":
             ids, sims = scan_topk(
-                table[0], sqn[0], live[0], queries, k=k, metric=metric
+                table[0], sqn[0], live[0], queries, k=k, metric=metric,
+                approx=approx,
             )
         else:
             ids, sims = scan_topk_exact_l2(
-                table[0], sqn[0], live[0], queries, k=k
+                vecs[0], sqn[0], live[0], queries, k=k, approx=approx,
+                table=table[0],
             )
         s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
         gids = jnp.where(ids >= 0, s * n_pad + ids, -1)
@@ -138,9 +145,9 @@ def _sharded_scan_jit(
     spec = P(DATA_AXIS)
     gids, sims = shard_map(
         local, mesh=mesh,
-        in_specs=(spec, spec, spec, P()),
+        in_specs=(spec, spec, spec, spec, P()),
         out_specs=(spec, spec),
-    )(table, sqn, live, queries)
+    )(table, vecs, sqn, live, queries)
     S = gids.shape[0]
     B = queries.shape[0]
     flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
@@ -376,9 +383,14 @@ class ShardedHNSW:
         return self._stacked
 
     def _scan_stack(self):
-        """Stacked per-shard scan-engine state: (table, sqn, live),
-        sharded over the mesh. Cached per shard-epoch tuple."""
-        epochs = tuple(s.epoch for s in self.shards)
+        """Stacked per-shard scan-engine state:
+        (table, vecs, sqn, live), sharded over the mesh -- ``table``
+        the selection table (f32 vecs / bf16 tier copy / hamming +-1
+        expansion), ``vecs`` the exact rescore table. Cached per
+        (shard-epoch tuple, scan dtype)."""
+        from ..ops.scan import scan_dtype
+
+        epochs = (tuple(s.epoch for s in self.shards), scan_dtype())
         cached = getattr(self, "_scan_stacked", None)
         if cached is not None and self._scan_stacked_epochs == epochs:
             return cached
@@ -410,11 +422,15 @@ class ShardedHNSW:
                     v.reshape(-1, width)
                 ).reshape(v.shape[0], v.shape[1], -1)
             )(vecs)
+        elif epochs[1] == "bf16":
+            table = jax.jit(lambda v: v.astype(jnp.bfloat16))(vecs)
         else:
             table = vecs
         sh = NamedSharding(self.mesh, P(DATA_AXIS))
         put = lambda x: jax.device_put(jnp.asarray(x), sh)
-        out = (put(table), put(sqn), put(jnp.asarray(live_np)))
+        out = (
+            put(table), put(vecs), put(sqn), put(jnp.asarray(live_np))
+        )
         self._scan_stacked = out
         self._scan_stacked_epochs = epochs
         self._scan_npad = n_pad
@@ -446,12 +462,15 @@ class ShardedHNSW:
         """Batched search across all shards. ``engine`` routes like the
         single-chip path (ops/search.py SCAN_MAX_ROWS, judged per
         shard): "auto" picks the per-shard exact MXU scan below the
-        crossover, the per-shard graph beam above it; both merge with
-        the same single all-gather top-k. ``reply="columnar"`` returns
-        (names, sims) arrays like the single-chip path."""
+        crossover, the per-shard graph beam above it; "scan-approx"
+        runs the oversampled approx_max_k scan per shard. All merge
+        with the same single all-gather top-k, and the bf16 scan tier
+        (REDIS_HNSW_TPU_SCAN_DTYPE) applies per shard exactly as on
+        one chip. ``reply="columnar"`` returns (names, sims) arrays
+        like the single-chip path."""
         from ..ops.search import SCAN_MAX_ROWS
 
-        if engine not in ("auto", "graph", "scan"):
+        if engine not in ("auto", "graph", "scan", "scan-approx"):
             raise ValueError(f"unknown search engine {engine!r}")
         qs = np.atleast_2d(
             np.asarray(queries, dtype=self.shards[0]._vectors.dtype)
@@ -482,17 +501,18 @@ class ShardedHNSW:
         shard_pad = max(
             s.device_snapshot().n_pad for s in self.shards
         )
-        use_scan = engine == "scan" or (
+        use_scan = engine in ("scan", "scan-approx") or (
             engine == "auto"
             and shard_pad <= SCAN_MAX_ROWS.get(self.config.metric, 0)
         )
         if use_scan:
-            table, sqn, live = self._scan_stack()
+            table, vecs, sqn, live = self._scan_stack()
             n_pad = self._scan_npad
             k_eff = min(int(k), n_pad)
             gids, sims = _sharded_scan_jit(
-                table, sqn, live, qs_dev,
+                table, vecs, sqn, live, qs_dev,
                 k=k_eff, metric=self.config.metric, mesh=self.mesh,
+                approx=engine == "scan-approx",
             )
         else:
             stacked = self._stack()

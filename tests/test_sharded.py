@@ -226,6 +226,45 @@ def test_sharded_scan_engine_exact(rng):
     assert len(g) == 16 and all(len(r) == k for r in g)
 
 
+def test_sharded_scan_tiers(rng, monkeypatch):
+    """scan-approx and the bf16 selection tier ride the sharded scan
+    identically to one chip: near-exact names, exact reported sims."""
+    dim, n, k = 16, 700, 8
+    mesh = make_mesh(8)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = ShardedHNSW(
+        "st", IndexConfig(dim=dim, m=6, ef_construction=48, seed=1),
+        mesh=mesh,
+    )
+    idx.add_batch(names, data, batch_size=256)
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+    want = oracle.search_batch(queries, k)
+    for env, engine in (
+        (None, "scan-approx"), ("bf16", "scan"), ("bf16", "scan-approx")
+    ):
+        if env:
+            monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", env)
+        else:
+            monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_DTYPE",
+                               raising=False)
+        got = idx.search_batch(queries, k, engine=engine)
+        hits = sum(
+            len({r.name for r in got[b]} & {r.name for r in want[b]})
+            for b in range(16)
+        )
+        assert hits / (16 * k) >= 0.97, (env, engine)
+        for b in range(16):
+            by_name = {r.name: r.sim for r in want[b]}
+            for r in got[b]:
+                if r.name in by_name:  # sims are exact where comparable
+                    assert abs(r.sim - by_name[r.name]) <= 1e-5 * (
+                        1 + abs(by_name[r.name])
+                    ), (env, engine)
+
+
 def test_sharded_columnar_reply(sharded_built):
     sharded, oracle, data, rng = sharded_built
     queries = rng.standard_normal((4, 16)).astype(np.float32)
