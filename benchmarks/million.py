@@ -244,8 +244,27 @@ def search_phase(
             "recall": round(scan_rec, 4), "qps": round(2048 / dt, 1),
         }
         log(f"scan engine: recall@{K}={scan_rec:.4f} qps={2048/dt:.0f}")
+        # and the approx-select tier (oversampled approx_max_k,
+        # exactly re-reduced): 2.4-3.9x the exact scan at >= 1M rows
+        # for ~0.999 recall (artifacts/scan_tiers.json)
+        nm, _ = idx.search_batch(qd[:256], K, engine="scan-approx",
+                                 reply="columnar")
+        a_rec = sum(
+            len(set(nm[b]) & truth_sets[b]) for b in range(len(nm))
+        ) / (K * len(nm))
+        idx.search_batch(qd, K, engine="scan-approx", reply="columnar")
+        t0 = time.perf_counter()
+        for _ in range(3):
+            idx.search_batch(qd, K, engine="scan-approx",
+                             reply="columnar")
+        dt = (time.perf_counter() - t0) / 3
+        results["scan_approx_engine"] = {
+            "recall": round(a_rec, 4), "qps": round(2048 / dt, 1),
+        }
+        log(f"scan-approx: recall@{K}={a_rec:.4f} qps={2048/dt:.0f}")
     except Exception as e:  # pragma: no cover - HBM-bound at huge N
-        results["scan_engine"] = {"error": repr(e)}
+        results.setdefault("scan_engine", {"error": repr(e)})
+        results["scan_approx_engine"] = {"error": repr(e)}
         log(f"scan engine unavailable at this scale: {e!r}")
 
     # Sequential-native baselines (median of 3 reps, bench.py
