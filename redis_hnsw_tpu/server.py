@@ -24,7 +24,10 @@ is exactly the reference's concurrency model.
 
 Extensions beyond the reference's seven commands: HNSW.SAVE / HNSW.RESTORE
 give wire-level durability (the reference leans on Redis RDB snapshots,
-src/types.rs:157-284, which a standalone server does not have).
+src/types.rs:157-284, which a standalone server does not have), and
+HNSW.SEARCH accepts ENGINE auto|graph|scan|scan-approx to route through
+the batched device engines (ops/search.py) instead of the host parity
+path.
 """
 
 from __future__ import annotations
@@ -264,7 +267,16 @@ class Dispatcher:
                 raise HNSWError("missing required argument query")
             k = int(kw.get("k", 5))
             metric = c.index(args[0]).config.metric
-            res = c.search(args[0], _vec(kw["query"], metric), k=k)
+            q = _vec(kw["query"], metric)
+            if "engine" in kw:
+                # ENGINE auto|graph|scan|scan-approx extends the
+                # reference grammar: route through the batched device
+                # engines (B=1) instead of the host parity path.
+                res = c.search_batch(
+                    args[0], q[None], k=k, engine=kw["engine"].lower()
+                )[0]
+            else:
+                res = c.search(args[0], q, k=k)
             reply: list = [len(res)]
             for r in res:
                 reply.append(

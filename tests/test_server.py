@@ -289,3 +289,41 @@ def test_sharded_kind_over_wire(server):
     assert int(info["node_count"]) == 12
     assert c.cmd("HNSW.DEL", "sw") == 1
     c.close()
+
+
+def test_engine_kwarg_over_wire(server):
+    """ENGINE on HNSW.SEARCH routes through the batched device engines
+    (scan / scan-approx / graph / auto); results match the parity path
+    on exact engines, and a bad engine is a clean -ERR reply."""
+    c = RespClient(server)
+    dim = 8
+    assert c.cmd("HNSW.NEW", "ew", "DIM", str(dim), "M", "5") == "OK"
+    for i in range(20):
+        v = [str(float(i))] * dim
+        assert c.cmd("HNSW.NODE.ADD", "ew", f"n{i}", "DATA",
+                     str(dim), *v) == "OK"
+    q = ["7.2"] * dim
+    base = c.cmd("HNSW.SEARCH", "ew", "K", "3", "QUERY", str(dim), *q)
+    for engine in ("auto", "scan", "scan-approx", "graph"):
+        res = c.cmd("HNSW.SEARCH", "ew", "K", "3", "QUERY", str(dim),
+                    *q, "ENGINE", engine)
+        assert res[0] == 3
+        first = dict(zip(res[1][::2], res[1][1::2]))
+        assert first["name"] == "n7"
+        if engine in ("auto", "scan"):
+            # exact engines reproduce the parity results: same names,
+            # sims equal to f32 rounding (summation order differs
+            # between the host loop and the device rescore)
+            for got, want in zip(res[1:], base[1:]):
+                g, w = dict(zip(got[::2], got[1::2])), dict(
+                    zip(want[::2], want[1::2])
+                )
+                assert g["name"] == w["name"]
+                assert abs(
+                    float(g["similarity"]) - float(w["similarity"])
+                ) <= 1e-6 * (1 + abs(float(w["similarity"])))
+    with pytest.raises(RuntimeError, match="unknown search engine"):
+        c.cmd("HNSW.SEARCH", "ew", "K", "3", "QUERY", str(dim), *q,
+              "ENGINE", "warp")
+    assert c.cmd("HNSW.DEL", "ew") == 1
+    c.close()
