@@ -58,6 +58,25 @@ def _recall_fn(truth, k):
     return recall
 
 
+def _recall_tie_fn(truth, k):
+    """Tie-aware recall: a result counts if its (exact) sim reaches the
+    oracle's k-th sim. Identical to name-set recall when sims are
+    distinct; under heavy ties (hamming: integer distances on random
+    bits) name-set recall under-reports engines whose tie ORDER differs
+    from the oracle's (-sim, id) rule -- the approx-select tier keeps
+    exact sims but not tie order, so this is its correct metric."""
+    kth = [min((r.sim for r in t), default=np.inf) for t in truth]
+
+    def recall(results):
+        hits = sum(
+            sum(1 for r in res if r.sim >= kth[b])
+            for b, res in enumerate(results)
+        )
+        return hits / (k * len(results))
+
+    return recall
+
+
 def _baseline_qps(idx, queries, n_q: int = 1000, reps: int = 5) -> float:
     """Median sequential-native qps over ``reps`` timed reps (plus one
     discarded warmup rep), single query at a time at parity ef."""
@@ -135,7 +154,9 @@ def _bench_one(
 
     oracle = FlatIndex("o" + name, IndexConfig(dim=dim, metric=metric))
     oracle.add_batch(names, data)
-    recall = _recall_fn(oracle.search_batch(queries, k), k)
+    truth = oracle.search_batch(queries, k)
+    recall = _recall_fn(truth, k)
+    recall_tie = _recall_tie_fn(truth, k)
 
     q_dev = jnp.asarray(queries)  # one upload, reused
     reps = 5
@@ -199,12 +220,30 @@ def _bench_one(
         f"{scan_gbps:.0f} GB/s)"
     )
 
+    # -- approx-select tier (oversampled approx_max_k, exact re-reduce;
+    # the 2.4-3.9x lever at >=1M rows, artifacts/scan_tiers.json --
+    # recorded here at bench scale for the trend)
+    ap_recall = recall_tie(
+        idx.search_batch(q_dev, k, engine="scan-approx")
+    )
+    idx.search_batch(q_dev, k, engine="scan-approx", reply="columnar")
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        idx.search_batch(q_dev, k, engine="scan-approx",
+                         reply="columnar")
+    ap_qps = n_queries / ((time.perf_counter() - t0) / reps)
+    log(f"[{name}] scan-approx tier: tie-aware recall@{k}="
+        f"{ap_recall:.4f} {ap_qps:.0f} qps (big-N tier: at bench "
+        f"scale the exact scan already wins; see artifacts/"
+        f"scan_tiers.json for the >=1M operating points)")
+
     base_qps = _baseline_qps(idx, queries, n_q=base_n)
     log(f"[{name}] ratio vs sequential baseline: auto "
         f"{auto_qps / base_qps:.2f}x, graph {graph_qps / base_qps:.2f}x")
     return {
         "qps": auto_qps, "recall": auto_recall,
         "graph_qps": graph_qps, "graph_recall": graph_recall,
+        "scan_approx_qps": ap_qps, "scan_approx_recall": ap_recall,
         "ef": ef, "iters": iters,
         "build_s": build_s, "build_warm_s": build_warm_s,
         "base_qps": base_qps, "hbm_gbps": hbm_gbps, "pct_peak": pct_peak,
@@ -300,6 +339,8 @@ def main():
             "vs_baseline": round(r["qps"] / r["base_qps"], 2),
             "graph_qps": round(r["graph_qps"], 1),
             "graph_recall": round(r["graph_recall"], 4),
+            "scan_approx_qps": round(r["scan_approx_qps"], 1),
+            "scan_approx_recall": round(r["scan_approx_recall"], 4),
             "hbm_gbps": round(r["hbm_gbps"], 1),
             "pct_peak": round(r["pct_peak"], 1),
             "build_s": round(r["build_s"], 1),
@@ -336,6 +377,8 @@ def main():
                 "vs_baseline": round(r["qps"] / r["base_qps"], 2),
                 "graph_qps": round(r["graph_qps"], 1),
                 "graph_recall": round(r["graph_recall"], 4),
+                "scan_approx_qps": round(r["scan_approx_qps"], 1),
+                "scan_approx_recall": round(r["scan_approx_recall"], 4),
                 "hbm_gbps": round(r["hbm_gbps"], 1),
                 "pct_peak": round(r["pct_peak"], 1),
                 "build_s": round(r["build_s"], 1),
