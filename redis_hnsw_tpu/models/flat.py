@@ -30,11 +30,15 @@ from ..utils.names import NameTable
 from .hnsw import SearchResult
 
 
-def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str):
+def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str,
+               approx: bool = False):
     """Shared exact scan engine (ops/scan.py): chunked matmul top-k;
     hamming rides the MXU via the int8 +-1 table (the popcount
     formulation this replaced collapses past ~100k rows). The hamming
-    table is cached per mutation epoch on the index."""
+    table is cached per mutation epoch on the index. ``approx`` opts
+    into the oversampled approx_max_k selection (ops/scan.py) -- the
+    flat index stays the exact oracle by DEFAULT; the tier is for
+    capacity-scale serving where the select dominates."""
     from ..ops import scan as SC
 
     if metric == "hamming":
@@ -43,8 +47,9 @@ def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str):
             cached = (index._epoch, SC._build_pm1(vecs))
             index._pm1_cache = cached
         return SC.scan_topk(cached[1], sqn, valid, queries, k=k,
-                            metric="hamming")
-    return SC.scan_topk_exact_l2(vecs, sqn, valid, queries, k=k)
+                            metric="hamming", approx=approx)
+    return SC.scan_topk_exact_l2(vecs, sqn, valid, queries, k=k,
+                                 approx=approx)
 
 
 def _scan_topk_pallas(vecs, sqn, valid, queries, *, k: int, metric: str):
@@ -193,9 +198,19 @@ class FlatIndex:
         return self._dev
 
     def search_batch(
-        self, queries, k: int, use_pallas: bool = False
+        self, queries, k: int, use_pallas: bool = False,
+        approx: bool = False,
     ) -> list[list[SearchResult]]:
-        qs = np.atleast_2d(np.asarray(queries, dtype=self._vectors.dtype))
+        if (
+            isinstance(queries, jax.Array)
+            and queries.ndim == 2
+            and queries.dtype == self._vectors.dtype
+        ):
+            qs = queries  # device-resident: no host round-trip
+        else:
+            qs = np.atleast_2d(
+                np.asarray(queries, dtype=self._vectors.dtype)
+            )
         if qs.shape[1] != self._vectors.shape[1]:
             got = qs.shape[1] * (
                 32 if self.config.metric == "hamming" else 1
@@ -213,7 +228,7 @@ class FlatIndex:
         else:
             ids, sims = _scan_topk(
                 self, vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
-                metric=self.config.metric,
+                metric=self.config.metric, approx=approx,
             )
         ids = np.asarray(ids)
         sims = np.asarray(sims)

@@ -237,3 +237,23 @@ def test_scan_bf16_tier(rng, monkeypatch):
     monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "tf32")
     with pytest.raises(ValueError, match="SCAN_DTYPE"):
         idx.search_batch(queries, 10, engine="scan")
+
+
+def test_flat_approx_and_device_queries(rng):
+    """FlatIndex: approx=True opt-in tier + device-resident query
+    batches (no host round-trip) both reproduce the exact oracle at
+    small N; the default path stays exactly exact."""
+    import jax.numpy as jnp
+
+    idx, oracle, data, _ = _build(rng, n=400)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    want = oracle.search_batch(queries, 10)
+    got_dev = oracle.search_batch(jnp.asarray(queries), 10)
+    for b in range(16):
+        assert [r.name for r in got_dev[b]] == [r.name for r in want[b]]
+    got_ap = oracle.search_batch(queries, 10, approx=True)
+    hits = sum(
+        len({r.name for r in got_ap[b]} & {r.name for r in want[b]})
+        for b in range(16)
+    )
+    assert hits / 160 >= 0.98
