@@ -239,18 +239,21 @@ class HNSW:
         iters: int | None = None,
         engine: str = "auto",
         reply: str = "objects",
+        seeds: int = 0,
     ) -> list[list[SearchResult]]:
         """Batched device search. ``engine`` routes between the exact
         MXU scan and the graph traversal ("auto" picks by the measured
         crossover, ops/scan.py); ``expand``/``iters`` tune the graph
-        traversal (candidates expanded per step / step cap)."""
+        traversal (candidates expanded per step / step cap); ``seeds``
+        adds per-lane pivot entrypoints to the graph beam (recall lever
+        for hard data; scan engines ignore it)."""
         idx, lk = self._entry(index)
         with lk:
             if isinstance(idx, FlatIndex):
                 return idx.search_batch(queries, k)
             return idx.search_batch(
                 queries, k, ef_search=ef_search, expand=expand,
-                iters=iters, engine=engine, reply=reply,
+                iters=iters, engine=engine, reply=reply, seeds=seeds,
             )
 
 

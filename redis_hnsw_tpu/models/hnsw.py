@@ -686,7 +686,7 @@ class HNSWIndex:
     def search_batch(
         self, queries, k: int, ef_search: int | None = None,
         expand: int = 1, iters: int | None = None, engine: str = "auto",
-        reply: str = "objects",
+        reply: str = "objects", seeds: int = 0,
     ) -> list[list[SearchResult]]:
         """Batched device search. See ops/search.py.
 
@@ -695,10 +695,12 @@ class HNSWIndex:
         ``expand`` > 1 expands that many candidates per traversal step
         (fewer, wider device steps; reference parity at 1). ``iters``
         caps traversal steps (None = generous parity-safe default).
+        ``seeds`` > 0 adds that many per-lane pivot entrypoints to the
+        graph beam (entrypoint diversity; scan engines ignore it).
         """
         from ..ops.search import search_batch as _search_batch
 
         return _search_batch(
             self, queries, k, ef_search=ef_search, expand=expand,
-            iters=iters, engine=engine, reply=reply,
+            iters=iters, engine=engine, reply=reply, seeds=seeds,
         )

@@ -154,8 +154,12 @@ def _lazy_dedup() -> bool:
     """Opt-in: measured on the v5e at 131k rows / B=2048 / expand=16 it
     is +10% at ef=256 (11.1k vs 10.0k qps) and a wash at ef=512 (7.0k
     vs 7.1k) with identical recall -- the wider merge window eats the
-    dropped sort's saving as ef grows. Kept opt-in; parity mode
-    (expand=1) always runs eager regardless."""
+    dropped sort's saving as ef grows. At the 1M operating point it is
+    a wash-to-LOSS (ef=256: 6.3k vs 7.0k; ef=384: 6.2k vs 6.4k;
+    ef=512: 4.7k vs 4.6k): the bigger frontier tiles there amortize the
+    sorts and the wider window costs more than the dropped sort saves.
+    Stays opt-in; parity mode (expand=1) always runs eager
+    regardless."""
     import os
 
     return os.environ.get("REDIS_HNSW_TPU_LAZY_DEDUP", "0") != "0"
@@ -168,7 +172,7 @@ def _lazy_dedup() -> bool:
 def beam_search(
     metric, q, qn, vecs, vn, adj, ep_ids, ep_sims, ef: int,
     row_map=None, active=None, expand: int = 1, iters: int | None = None,
-    nbrvec=None, nbrsqn=None, qrows=None,
+    nbrvec=None, nbrsqn=None, qrows=None, seed_ids=None, seed_sims=None,
 ):
     """Run the ef-wide beam for every lane; returns sorted (ids, sims).
 
@@ -256,14 +260,46 @@ def beam_search(
     else:
         # inactive lanes: entrypoint pre-expanded -> inert for the loop
         unexp0 = active.astype(jnp.int32)
-    beam_pid = jnp.where(
-        slots[None, :] == 0,
-        (ep_ids[:, None] << 1) | unexp0[:, None],
-        -1,
-    ).astype(jnp.int32)
-    beam_sims = jnp.where(
-        slots[None, :] == 0, ep_sims[:, None], NEG_INF
-    )
+    if seed_ids is not None:
+        # Entrypoint diversity (a pure extension; the reference starts
+        # every layer-0 beam from the single descent entrypoint,
+        # core.rs:876): seed the beam with extra unexpanded entries so
+        # lanes explore several basins. Seeds duplicating the descent
+        # entrypoint are dropped here (a same-id copy with a
+        # differently-computed sim could otherwise survive the
+        # adjacent-equal dedup and duplicate an id in the reply);
+        # seeds are distinct among themselves by construction
+        # (_pivot_pool rows are unique, scan top-k picks are unique).
+        S = seed_ids.shape[1]
+        ok = (seed_ids >= 0) & (seed_ids != ep_ids[:, None])
+        s_pid = jnp.where(ok, (seed_ids << 1) | 1, -1).astype(jnp.int32)
+        s_sims = jnp.where(ok, seed_sims, NEG_INF)
+        head_pid = jnp.concatenate(
+            [
+                ((ep_ids[:, None] << 1) | unexp0[:, None]).astype(
+                    jnp.int32
+                ),
+                s_pid,
+            ],
+            axis=1,
+        )
+        head_sims = jnp.concatenate([ep_sims[:, None], s_sims], axis=1)
+        pad = wb - (S + 1)
+        beam_pid = jnp.concatenate(
+            [head_pid, jnp.full((B, pad), -1, jnp.int32)], axis=1
+        )
+        beam_sims = jnp.concatenate(
+            [head_sims, jnp.full((B, pad), NEG_INF)], axis=1
+        )
+    else:
+        beam_pid = jnp.where(
+            slots[None, :] == 0,
+            (ep_ids[:, None] << 1) | unexp0[:, None],
+            -1,
+        ).astype(jnp.int32)
+        beam_sims = jnp.where(
+            slots[None, :] == 0, ep_sims[:, None], NEG_INF
+        )
     step0 = jnp.sum(no_b).astype(jnp.int32)  # traced zero
 
     def cond(c):
@@ -392,16 +428,25 @@ def search_pipeline(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer, queries,
     *, ef: int, k: int, metric: str, expand: int = 1,
     iters: int | None = None, nbrvec=None, nbrsqn=None,
-    qrows=None, pack: bool = False,
+    qrows=None, pack: bool = False, seed_ids=None,
 ):
     qn = _query_sqnorms(metric, queries)
     ep_ids, ep_sims = greedy_descent(
         metric, queries, qn, vecs, sqn, adj_up, upper_of, ep, max_layer
     )
+    seed_sims = None
+    if seed_ids is not None:
+        # score seeds through the SAME gather path as every other beam
+        # entry so re-proposals during traversal carry bit-identical
+        # sims (the adjacent-equal dedup depends on it, see beam_search)
+        seed_sims = _score(
+            metric, queries, qn, vecs, sqn,
+            jnp.maximum(seed_ids, 0), seed_ids >= 0,
+        )
     beam_ids, beam_sims = beam_search(
         metric, queries, qn, vecs, sqn, adj0, ep_ids, ep_sims, ef,
         expand=expand, iters=iters, nbrvec=nbrvec, nbrsqn=nbrsqn,
-        qrows=qrows,
+        qrows=qrows, seed_ids=seed_ids, seed_sims=seed_sims,
     )
     k_eff = min(k, ef)
     k_ids = beam_ids[:, :k_eff]
@@ -450,7 +495,63 @@ def max_lanes_for(n_pad: int) -> int:
     return MAX_LANES
 
 
-def _run_search(snap, qs, ef: int, k: int, expand: int, iters=None):
+# Pivot pool size for seeded search: P rows strided over the live id
+# space, refreshed per mutation epoch. The per-call cost of seeding is
+# one [B, P] scan matmul + a [B, seeds] gather -- trivial next to the
+# beam itself.
+PIVOT_POOL = 1024
+
+
+def _pivot_pool(index, snap):
+    """Per-epoch cache of (global_ids [P] i32 dev, score_table, sqn).
+
+    The pool is a strided sample of live rows; seeded search scans it
+    to hand each lane its ``seeds`` closest pivots as extra beam
+    entrypoints (entrypoint diversity -- an extension knob; the
+    reference always starts from the single enterpoint, core.rs:876).
+    """
+    cached = getattr(index, "_pivot_cache", None)
+    if cached is not None and cached[0] == index.epoch:
+        return cached[1]
+    h = min(len(index._levels), snap.n_pad)
+    live_rows = np.flatnonzero(index._levels[:h] >= 0)
+    p = min(PIVOT_POOL, len(live_rows))
+    pick = np.unique(
+        live_rows[np.linspace(0, len(live_rows) - 1, p).astype(np.int64)]
+    ).astype(np.int32)
+    ids_dev = jnp.asarray(pick)
+    rows = snap.vecs[ids_dev]
+    if snap.metric == "hamming":
+        from .scan import _build_pm1
+
+        table = _build_pm1(rows)
+        sqn = jnp.zeros(len(pick), jnp.float32)
+    else:
+        table = rows
+        sqn = snap.sqnorms[ids_dev]
+    pool = (ids_dev, table, sqn)
+    index._pivot_cache = (index.epoch, pool)
+    return pool
+
+
+def _seed_ids_for(pool, qd, seeds: int):
+    """Top-``seeds`` pivots per lane as global row ids [B, seeds]."""
+    from .scan import scan_topk
+
+    ids_dev, table, sqn = pool
+    s = min(int(seeds), int(table.shape[0]))
+    live = jnp.ones(table.shape[0], bool)
+    local, _ = scan_topk(
+        table, sqn, live, qd, k=s,
+        metric="hamming" if table.dtype == jnp.int8 else "euclidean",
+    )
+    return jnp.where(local >= 0, ids_dev[jnp.maximum(local, 0)], -1)
+
+
+def _run_search(
+    snap, qs, ef: int, k: int, expand: int, iters=None,
+    seeds: int = 0, pool=None,
+):
     """One padded device call; returns trimmed (ids, sims) numpy.
 
     ``qs`` may already live on device (jax.Array): callers that reuse a
@@ -464,11 +565,14 @@ def _run_search(snap, qs, ef: int, k: int, expand: int, iters=None):
         qd = jnp.concatenate(
             [qd, jnp.zeros((b_pad - n_q, qd.shape[1]), qd.dtype)], axis=0
         )
+    seed_ids = None
+    if seeds > 0 and ef > 1 and pool is not None:
+        seed_ids = _seed_ids_for(pool, qd, min(seeds, ef - 1))
     packed = search_batch_jit(
         *snap.arrays, qd, ef=ef, k=int(k), metric=snap.metric,
         expand=expand, iters=iters,
         nbrvec=snap.nbrvec, nbrsqn=snap.nbrsqn,
-        qrows=snap.qrows, pack=True,
+        qrows=snap.qrows, pack=True, seed_ids=seed_ids,
     )
     packed = np.asarray(packed[:n_q])
     k_eff = packed.shape[1] // 2
@@ -488,7 +592,7 @@ SCAN_MAX_ROWS = {"euclidean": 1 << 21, "hamming": 1 << 21}
 def search_batch(
     index, queries, k: int, ef_search: int | None = None,
     expand: int = 1, iters: int | None = None, engine: str = "auto",
-    reply: str = "objects",
+    reply: str = "objects", seeds: int = 0,
 ):
     """Host entry: batched k-NN over an index. Returns per-query result
     lists of models.hnsw.SearchResult, nearest first -- or, with
@@ -560,7 +664,10 @@ def search_batch(
         approx = engine == "scan-approx"
         run = lambda part: scan_batch(index, part, k, approx=approx)
     else:
-        run = lambda part: _run_search(snap, part, ef, k, expand, iters)
+        pool = _pivot_pool(index, snap) if seeds > 0 else None
+        run = lambda part: _run_search(
+            snap, part, ef, k, expand, iters, seeds=seeds, pool=pool
+        )
     chunk = max_lanes_for(snap.n_pad)
     if n_q > chunk:
         id_parts, sim_parts = [], []

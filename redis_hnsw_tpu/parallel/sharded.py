@@ -41,13 +41,15 @@ def _shard_of(name: str, n_shards: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("ef", "k", "metric", "mesh", "expand", "iters"),
+    static_argnames=(
+        "ef", "k", "metric", "mesh", "expand", "iters", "seeds",
+    ),
 )
 def _sharded_search_jit(
     vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
-    nbrvec, nbrsqn, queries,
+    nbrvec, nbrsqn, pivot_ids, queries,
     *, ef: int, k: int, metric: str, mesh, expand: int = 1,
-    iters: int | None = None,
+    iters: int | None = None, seeds: int = 0,
 ):
     """All shards traverse in parallel; one collective merges top-k.
 
@@ -55,20 +57,48 @@ def _sharded_search_jit(
     queries are replicated. Per-shard ids are encoded globally as
     shard * n_pad + row before the merge. ``counts`` masks empty shards
     (their padded snapshot would otherwise report phantom row 0).
+    ``pivot_ids`` [S, P] (-1 padded) + ``seeds`` > 0 seed each shard's
+    beam with per-lane pivot entrypoints, exactly like the single-chip
+    seeded path (ops/search.py): every shard scans its OWN pivot pool,
+    so the lever composes with the shard-axis diversity the merge
+    already provides.
     """
     n_pad = vecs.shape[1]
 
     def local(
         vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
-        nbrvec, nbrsqn, queries,
+        nbrvec, nbrsqn, pivot_ids, queries,
     ):
         # shard_map gives [1, ...] blocks; drop the shard axis.
+        seed_ids = None
+        if pivot_ids is not None and seeds > 0:
+            from ..ops.scan import pm1_table, scan_topk
+
+            pr = pivot_ids[0]
+            rows = vecs[0][jnp.maximum(pr, 0)]
+            ok = pr >= 0
+            if metric == "hamming":
+                ptable = pm1_table(rows)
+                psqn = jnp.zeros(pr.shape[0], jnp.float32)
+                pmetric = "hamming"
+            else:
+                ptable = rows
+                psqn = sqn[0][jnp.maximum(pr, 0)]
+                pmetric = "euclidean"
+            s_local, _ = scan_topk(
+                ptable, psqn, ok, queries,
+                k=min(seeds, int(pr.shape[0])), metric=pmetric,
+            )
+            seed_ids = jnp.where(
+                s_local >= 0, pr[jnp.maximum(s_local, 0)], -1
+            )
         ids, sims = search_pipeline(
             vecs[0], sqn[0], adj0[0], adj_up[0], upper_of[0],
             eps[0], max_layers[0], queries,
             ef=ef, k=k, metric=metric, expand=expand, iters=iters,
             nbrvec=None if nbrvec is None else nbrvec[0],
             nbrsqn=None if nbrsqn is None else nbrsqn[0],
+            seed_ids=seed_ids,
         )
         nonempty = counts[0] > 0
         s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
@@ -79,18 +109,19 @@ def _sharded_search_jit(
     spec_sharded = P(DATA_AXIS)
     nv_spec = None if nbrvec is None else spec_sharded
     nsq_spec = None if nbrsqn is None else spec_sharded
+    pv_spec = None if pivot_ids is None else spec_sharded
     gids, sims = shard_map(
         local,
         mesh=mesh,
         in_specs=(
             spec_sharded, spec_sharded, spec_sharded, spec_sharded,
             spec_sharded, spec_sharded, spec_sharded, spec_sharded,
-            nv_spec, nsq_spec, P(),
+            nv_spec, nsq_spec, pv_spec, P(),
         ),
         out_specs=(spec_sharded, spec_sharded),
     )(
         vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
-        nbrvec, nbrsqn, queries,
+        nbrvec, nbrsqn, pivot_ids, queries,
     )
 
     # [S, B, k] -> [B, S*k]; top-k over all shards (GSPMD inserts the
@@ -436,6 +467,36 @@ class ShardedHNSW:
         self._scan_npad = n_pad
         return out
 
+    def _pivot_stack(self):
+        """Stacked per-shard pivot pools [S, P] (-1 padded), sharded
+        over the mesh; cached per shard-epoch tuple. Each shard's pool
+        is a strided sample of its live rows, mirroring the single-chip
+        _pivot_pool (ops/search.py)."""
+        from ..ops.search import PIVOT_POOL
+
+        epochs = tuple(s.epoch for s in self.shards)
+        cached = getattr(self, "_pivots", None)
+        if cached is not None and self._pivots_epochs == epochs:
+            return cached
+        n_pad = self._stacked_npad
+        out = np.full((self.n_shards, PIVOT_POOL), -1, np.int32)
+        for si, shard in enumerate(self.shards):
+            h = min(len(shard._levels), n_pad)
+            live_rows = np.flatnonzero(shard._levels[:h] >= 0)
+            if len(live_rows) == 0:
+                continue
+            p = min(PIVOT_POOL, len(live_rows))
+            pick = np.unique(
+                live_rows[
+                    np.linspace(0, len(live_rows) - 1, p).astype(np.int64)
+                ]
+            ).astype(np.int32)
+            out[si, : len(pick)] = pick
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._pivots = jax.device_put(jnp.asarray(out), sh)
+        self._pivots_epochs = epochs
+        return self._pivots
+
     # -- search -----------------------------------------------------------------
 
     def search_knn(
@@ -457,7 +518,7 @@ class ShardedHNSW:
     def search_batch(
         self, queries, k: int, ef_search: int | None = None,
         expand: int = 1, iters: int | None = None, engine: str = "auto",
-        reply: str = "objects",
+        reply: str = "objects", seeds: int = 0,
     ) -> list[list[SearchResult]]:
         """Batched search across all shards. ``engine`` routes like the
         single-chip path (ops/search.py SCAN_MAX_ROWS, judged per
@@ -467,7 +528,9 @@ class ShardedHNSW:
         with the same single all-gather top-k, and the bf16 scan tier
         (REDIS_HNSW_TPU_SCAN_DTYPE) applies per shard exactly as on
         one chip. ``reply="columnar"`` returns (names, sims) arrays
-        like the single-chip path."""
+        like the single-chip path. ``seeds`` > 0 seeds each shard's
+        graph beam with that many per-lane pivot entrypoints (scan
+        engines ignore it, matching single-chip)."""
         from ..ops.search import SCAN_MAX_ROWS
 
         if engine not in ("auto", "graph", "scan", "scan-approx"):
@@ -517,10 +580,16 @@ class ShardedHNSW:
         else:
             stacked = self._stack()
             n_pad = self._stacked_npad
+            ef_eff = max(ef, 1)
+            seeds_eff = (
+                min(int(seeds), ef_eff - 1) if ef_eff > 1 else 0
+            )
+            pivots = self._pivot_stack() if seeds_eff > 0 else None
             gids, sims = _sharded_search_jit(
-                *stacked, qs_dev,
-                ef=max(ef, 1), k=int(k), metric=self.config.metric,
+                *stacked, pivots, qs_dev,
+                ef=ef_eff, k=int(k), metric=self.config.metric,
                 mesh=self.mesh, expand=expand, iters=iters,
+                seeds=seeds_eff,
             )
         gids = np.asarray(gids[:n_q])
         sims = np.asarray(sims[:n_q])

@@ -27,7 +27,8 @@ give wire-level durability (the reference leans on Redis RDB snapshots,
 src/types.rs:157-284, which a standalone server does not have), and
 HNSW.SEARCH accepts ENGINE auto|graph|scan|scan-approx to route through
 the batched device engines (ops/search.py) instead of the host parity
-path.
+path, plus SEEDS n (with ENGINE graph) to seed the beam with per-lane
+pivot entrypoints.
 """
 
 from __future__ import annotations
@@ -272,8 +273,10 @@ class Dispatcher:
                 # ENGINE auto|graph|scan|scan-approx extends the
                 # reference grammar: route through the batched device
                 # engines (B=1) instead of the host parity path.
+                # SEEDS n adds pivot entrypoints to the graph beam.
                 res = c.search_batch(
-                    args[0], q[None], k=k, engine=kw["engine"].lower()
+                    args[0], q[None], k=k, engine=kw["engine"].lower(),
+                    seeds=int(kw.get("seeds", 0)),
                 )[0]
             else:
                 res = c.search(args[0], q, k=k)

@@ -239,3 +239,55 @@ def test_nbrvec_over_budget_fallback(monkeypatch):
         data[:8], k, ef_search=64, expand=8, iters=12, engine="graph"
     )
     assert [r[0].name for r in res] == [f"n{i}" for i in range(8)]
+
+
+def test_seeded_beam_lifts_recall(built):
+    """seeds>0 adds per-lane pivot entrypoints to the graph beam: at a
+    deliberately starved operating point (tiny ef / few iters) recall
+    must improve, replies must stay duplicate-free and nearest-first,
+    and a second call (pivot pool cached per epoch) must agree."""
+    idx, oracle, _, queries = built
+    k = 10
+    want = oracle.search_batch(queries, k)
+    want_sets = [{r.name for r in w} for w in want]
+
+    def recall(res):
+        return sum(
+            len({r.name for r in res[b]} & want_sets[b])
+            for b in range(len(queries))
+        ) / (k * len(queries))
+
+    kw = dict(ef_search=16, expand=4, iters=4, engine="graph")
+    base = recall(idx.search_batch(queries, k, **kw))
+    seeded = idx.search_batch(queries, k, seeds=8, **kw)
+    assert recall(seeded) > base
+    for res in seeded:
+        names = [r.name for r in res]
+        assert len(names) == len(set(names))
+        sims = [r.sim for r in res]
+        assert sims == sorted(sims, reverse=True)
+    again = idx.search_batch(queries, k, seeds=8, **kw)
+    assert [[r.name for r in res] for res in again] == [
+        [r.name for r in res] for res in seeded
+    ]
+
+
+def test_seeded_beam_hamming(built):
+    """Seeds work for the hamming metric (pm1 pivot scan) and the
+    self-query still ranks first."""
+    rng = np.random.default_rng(11)
+    n, w = 600, 4
+    data = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    idx = HNSWIndex(
+        "seedham",
+        IndexConfig(dim=w * 32, m=5, ef_construction=48,
+                    metric="hamming", seed=3),
+    )
+    idx.add_batch([f"h{i}" for i in range(n)], data, batch_size=256)
+    res = idx.search_batch(
+        data[:16], 5, ef_search=32, expand=8, engine="graph", seeds=8
+    )
+    for b in range(16):
+        names = [r.name for r in res[b]]
+        assert names[0] == f"h{b}"
+        assert len(names) == len(set(names))

@@ -327,3 +327,24 @@ def test_engine_kwarg_over_wire(server):
               "ENGINE", "warp")
     assert c.cmd("HNSW.DEL", "ew") == 1
     c.close()
+
+
+def test_seeds_kwarg_over_wire(server):
+    """SEEDS on HNSW.SEARCH (with ENGINE graph) seeds the beam with
+    pivot entrypoints; the reply shape is unchanged and the self-query
+    still ranks first."""
+    c = RespClient(server)
+    dim = 8
+    assert c.cmd("HNSW.NEW", "sw", "DIM", str(dim), "M", "5") == "OK"
+    for i in range(30):
+        v = [str(float(i))] * dim
+        assert c.cmd("HNSW.NODE.ADD", "sw", f"n{i}", "DATA",
+                     str(dim), *v) == "OK"
+    q = ["12.0"] * dim
+    res = c.cmd("HNSW.SEARCH", "sw", "K", "3", "QUERY", str(dim), *q,
+                "ENGINE", "graph", "SEEDS", "4")
+    assert res[0] == 3
+    first = dict(zip(res[1][::2], res[1][1::2]))
+    assert first["name"] == "n12"
+    assert c.cmd("HNSW.DEL", "sw") == 1
+    c.close()

@@ -276,3 +276,37 @@ def test_sharded_columnar_reply(sharded_built):
         np.testing.assert_allclose(
             sims[b], [r.sim for r in want[b]], rtol=1e-5
         )
+
+
+def test_sharded_seeded_beam(sharded_built):
+    """seeds>0 on the sharded graph engine seeds every shard's beam
+    with per-lane pivot entrypoints: at a starved operating point
+    recall must improve (or at worst tie while staying valid), replies
+    stay duplicate-free and nearest-first, and a repeat call (pivot
+    stack cached per epoch tuple) agrees."""
+    sharded, oracle, data, rng = sharded_built
+    k = 10
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
+    want = oracle.search_batch(queries, k)
+    want_sets = [{r.name for r in w} for w in want]
+
+    def recall(res):
+        return sum(
+            len({r.name for r in res[b]} & want_sets[b])
+            for b in range(len(queries))
+        ) / (k * len(queries))
+
+    kw = dict(ef_search=12, expand=2, iters=3, engine="graph")
+    base = recall(sharded.search_batch(queries, k, **kw))
+    seeded = sharded.search_batch(queries, k, seeds=8, **kw)
+    assert recall(seeded) >= base
+    assert recall(seeded) >= 0.5  # seeds alone nearly solve 800 rows
+    for res in seeded:
+        names = [r.name for r in res]
+        assert len(names) == len(set(names))
+        sims = [r.sim for r in res]
+        assert sims == sorted(sims, reverse=True)
+    again = sharded.search_batch(queries, k, seeds=8, **kw)
+    assert [[r.name for r in res] for res in again] == [
+        [r.name for r in res] for res in seeded
+    ]
