@@ -313,6 +313,57 @@ def search_phase(
         log(f"curve written to {out}")
 
 
+def seed_sweep(
+    n: int, ckpt: str, kind: str = "random", out: str | None = None,
+) -> None:
+    """Seeded-beam ladder: does entrypoint diversity (seeds=s pivot
+    entrypoints per lane, ops/search.py) lift graph recall at scale,
+    and does seeded-low-ef dominate unseeded-high-ef on the
+    recall/qps frontier? Run on the adversarial random corpus where
+    the r2 floor was 0.433 @ ef=256 (VERDICT weak #3)."""
+    import jax.numpy as jnp
+
+    from redis_hnsw_tpu.utils.checkpoint import load_index
+
+    idx = load_index(ckpt)
+    assert idx.node_count == n, idx.node_count
+    queries = query_set(2048, kind)
+    truth_sets = snapshot_truth(idx, queries[:256], K)
+    qd = jnp.asarray(queries)
+
+    rows = []
+    for ef, ex, it in (
+        (64, 8, 12), (128, 16, 12), (256, 16, 24), (512, 16, 40),
+    ):
+        for seeds in (0, 8, 32):
+            res = idx.search_batch(
+                qd[:256], K, ef_search=ef, expand=ex, iters=it,
+                engine="graph", seeds=seeds,
+            )
+            rec = sum(
+                len({r.name for r in rr} & truth_sets[b])
+                for b, rr in enumerate(res)
+            ) / (K * len(res))
+            idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it,
+                             engine="graph", seeds=seeds)  # warm B
+            t0 = time.perf_counter()
+            for _ in range(3):
+                idx.search_batch(qd, K, ef_search=ef, expand=ex,
+                                 iters=it, engine="graph", seeds=seeds)
+            qps = 2048 / ((time.perf_counter() - t0) / 3)
+            log(f"ef={ef} expand={ex} iters={it} seeds={seeds}: "
+                f"recall@{K}={rec:.4f} qps={qps:.0f}")
+            rows.append({"ef": ef, "expand": ex, "iters": it,
+                         "seeds": seeds, "recall": round(rec, 4),
+                         "qps": round(qps, 1)})
+    result = {"n": n, "kind": kind, "ladder": rows}
+    log(json.dumps(result))
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+        log(f"curve written to {out}")
+
+
 def profile_build(n: int) -> None:
     """Phase breakdown of a bulk build: snapshot-delta upload vs device
     pass vs result fetch vs host graph surgery (VERDICT r1 weak#4)."""
@@ -362,6 +413,16 @@ if __name__ == "__main__":
                 sys.argv[6] if len(sys.argv) > 6
                 else (f"sweep_{sys.argv[2]}.json" if mode == "sweep" else None)
             ),
+        )
+    elif mode == "seedsweep":
+        #   python benchmarks/million.py seedsweep N CKPT [KIND] [DIM] [OUT]
+        if len(sys.argv) > 5:
+            set_dim(int(sys.argv[5]))
+        seed_sweep(
+            int(sys.argv[2]), sys.argv[3],
+            sys.argv[4] if len(sys.argv) > 4 else "random",
+            out=(sys.argv[6] if len(sys.argv) > 6
+                 else f"seedsweep_{sys.argv[2]}.json"),
         )
     elif mode == "profile":
         profile_build(int(sys.argv[2]))
