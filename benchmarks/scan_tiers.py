@@ -70,6 +70,8 @@ def main() -> None:
         ("approx", "scan-approx", "f32"),
         ("bf16", "scan", "bf16"),
         ("bf16_approx", "scan-approx", "bf16"),
+        ("int8", "scan", "int8"),
+        ("int8_approx", "scan-approx", "int8"),
     ):
         os.environ["REDIS_HNSW_TPU_SCAN_DTYPE"] = dt_env
         try:

@@ -38,7 +38,13 @@ def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str,
     table is cached per mutation epoch on the index. ``approx`` opts
     into the oversampled approx_max_k selection (ops/scan.py) -- the
     flat index stays the exact oracle by DEFAULT; the tier is for
-    capacity-scale serving where the select dominates."""
+    capacity-scale serving where the select dominates. The bf16 tier
+    (REDIS_HNSW_TPU_SCAN_DTYPE=bf16) applies here exactly as on the
+    HNSW scan engine: selection rides the bf16 copy (cached per
+    epoch), the final k rescored exact-f32 on device. The int8 tier is
+    RESIDENT for the flat kind -- handled before this helper
+    (search_batch): only the int8 table goes to the device, rescore
+    runs on the host."""
     from ..ops import scan as SC
 
     if metric == "hamming":
@@ -48,8 +54,15 @@ def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str,
             index._pm1_cache = cached
         return SC.scan_topk(cached[1], sqn, valid, queries, k=k,
                             metric="hamming", approx=approx)
+    table = None
+    if SC.scan_dtype() == "bf16":
+        cached = getattr(index, "_tier_cache", None)
+        if cached is None or cached[0] != index._epoch:
+            cached = (index._epoch, SC._to_bf16(vecs))
+            index._tier_cache = cached
+        table = cached[1]
     return SC.scan_topk_exact_l2(vecs, sqn, valid, queries, k=k,
-                                 approx=approx)
+                                 approx=approx, table=table)
 
 
 def _scan_topk_pallas(vecs, sqn, valid, queries, *, k: int, metric: str):
@@ -178,23 +191,67 @@ class FlatIndex:
         self._epoch += 1
 
     def _device(self):
-        if self._dev is None or self._dev_epoch != self._epoch:
+        """Device tables: (table, sqn, valid, tscale).
+
+        ``tscale`` is None except in the int8-RESIDENT mode
+        (REDIS_HNSW_TPU_SCAN_DTYPE=int8, euclidean): there the f32
+        vectors never go to the device at all -- ``table`` is the
+        host-quantized int8 copy (QUARTER the HBM and a quarter the
+        upload bytes; the capacity tier for serving beyond the f32
+        ceiling) and the final k are rescored exact-f32 on the host,
+        where the f32 vectors already live (search_batch)."""
+        from ..ops.scan import scan_dtype
+
+        mode = (
+            scan_dtype() if self.config.metric == "euclidean" else "f32"
+        )
+        if self._dev is None or self._dev_epoch != (self._epoch, mode):
             n = max(self._names.high_water, 1)
             n_pad = ((n + 127) // 128) * 128
-            vecs = np.zeros((n_pad, self._vectors.shape[1]), self._vectors.dtype)
-            vecs[:n] = self._vectors[:n]
+            if self._vectors.shape[0] == n_pad:
+                vecs = self._vectors  # no host copy at capacity scale
+            else:
+                vecs = np.zeros(
+                    (n_pad, self._vectors.shape[1]), self._vectors.dtype
+                )
+                vecs[:n] = self._vectors[:n]
             valid = np.zeros(n_pad, bool)
             valid[:n] = self._valid[:n]
             if self.config.metric == "hamming":
                 sqn = np.zeros(n_pad, np.float32)
             else:
                 sqn = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
-            self._dev = (
-                jnp.asarray(vecs),
-                jnp.asarray(sqn),
-                jnp.asarray(valid),
-            )
-            self._dev_epoch = self._epoch
+            if mode == "int8":
+                # chunked host quantization: bounds peak host memory at
+                # capacity scale (a 10M x 128d table is 5GB f32; one
+                # full-size f32 temporary would double it)
+                scale = np.empty(n_pad, np.float32)
+                q8 = np.empty(vecs.shape, np.int8)
+                step = 1 << 20
+                for lo in range(0, n_pad, step):
+                    sl = vecs[lo : lo + step]
+                    amax = np.abs(sl).max(axis=1)
+                    sc = np.where(amax > 0, amax / 127.0, 1.0).astype(
+                        np.float32
+                    )
+                    scale[lo : lo + step] = sc
+                    q8[lo : lo + step] = np.clip(
+                        np.round(sl / sc[:, None]), -127, 127
+                    ).astype(np.int8)
+                self._dev = (
+                    jnp.asarray(q8),
+                    jnp.asarray(sqn),
+                    jnp.asarray(valid),
+                    jnp.asarray(scale),
+                )
+            else:
+                self._dev = (
+                    jnp.asarray(vecs),
+                    jnp.asarray(sqn),
+                    jnp.asarray(valid),
+                    None,
+                )
+            self._dev_epoch = (self._epoch, mode)
         return self._dev
 
     def search_batch(
@@ -218,20 +275,48 @@ class FlatIndex:
             raise DimensionMismatch(got)
         if self.node_count == 0:
             return [[] for _ in range(qs.shape[0])]
-        vecs, sqn, valid = self._device()
+        vecs, sqn, valid, tscale = self._device()
         k_eff = min(int(k), int(vecs.shape[0]))
-        if use_pallas:
+        if tscale is not None:
+            # int8-resident mode: selection on the device int8 table,
+            # exact f32 rescore HOST-side (the f32 vectors only exist
+            # here -- that is the point: the device holds a quarter the
+            # bytes). Reported sims stay direct-form f32-exact and ties
+            # re-sort by (-sim, id), identical to the device rescore.
+            from ..ops import scan as SC
+
+            ids, sims = SC.scan_topk(
+                vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
+                metric="euclidean", tscale=tscale, approx=approx,
+            )
+            ids = np.asarray(ids)
+            sims = np.asarray(sims)
+            qs_np = np.asarray(qs, np.float32)
+            ids_safe = np.where(
+                np.isneginf(sims), 0, np.maximum(ids, 0)
+            )
+            diff = qs_np[:, None, :] - self._vectors[ids_safe]
+            exact = -np.einsum("bkd,bkd->bk", diff, diff)
+            sims = np.where(
+                np.isneginf(sims), sims, exact.astype(np.float32)
+            )
+            order = np.lexsort((ids, -sims), axis=-1)
+            ids = np.take_along_axis(ids, order, -1)
+            sims = np.take_along_axis(sims, order, -1)
+        elif use_pallas:
             ids, sims = _scan_topk_pallas(
                 vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
                 metric=self.config.metric,
             )
+            ids = np.asarray(ids)
+            sims = np.asarray(sims)
         else:
             ids, sims = _scan_topk(
                 self, vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
                 metric=self.config.metric, approx=approx,
             )
-        ids = np.asarray(ids)
-        sims = np.asarray(sims)
+            ids = np.asarray(ids)
+            sims = np.asarray(sims)
         # Batch replies carry (sim, name) only, like the HNSW batch path
         # (the reference's search reply shape, src/types.rs:445-457);
         # names resolve via one object-array fancy-index. Slots scored

@@ -59,11 +59,17 @@ def scan_dtype() -> str:
       decimal digits; the selected k are ALWAYS rescored in exact f32
       direct form from the f32 snapshot (scan_topk_exact_l2), so
       reported sims stay reference-exact either way.
+    * ``int8`` -- per-row symmetric quantization (scale = max|v|/127,
+      one f32 scale per row): the selection table is a QUARTER the f32
+      bytes and the score matmul is an int8 x int8 -> int32 MXU op
+      (2x bf16 systolic rate). Selection is approximate (~0.4%/component
+      rounding); the final k are rescored exact-f32 like bf16. The
+      capacity tier: ~8M rows of 128d selection table per 16GB chip.
     """
     import os
 
     v = os.environ.get("REDIS_HNSW_TPU_SCAN_DTYPE", "f32")
-    if v not in ("f32", "bf16"):
+    if v not in ("f32", "bf16", "int8"):
         raise ValueError(f"REDIS_HNSW_TPU_SCAN_DTYPE={v!r}")
     return v
 
@@ -71,6 +77,20 @@ def scan_dtype() -> str:
 @jax.jit
 def _to_bf16(vecs):
     return vecs.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _to_int8(vecs):
+    """Per-row symmetric int8 quantization -> (q8 [N, D], scale [N]).
+
+    scale maps int8 back to f32 (v ~ q8 * scale); all-zero rows get
+    scale 1 so the descale stays finite."""
+    amax = jnp.max(jnp.abs(vecs), axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8 = jnp.clip(
+        jnp.round(vecs / scale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q8, scale.astype(jnp.float32)
 
 
 def pm1_table(vecs_packed: jnp.ndarray) -> jnp.ndarray:
@@ -97,7 +117,7 @@ def _build_pm1(vecs_packed):
 def scan_topk(
     table, sqn, live, queries, *, k: int, metric: str,
     pack: bool = False, pack_bits: int | None = None,
-    approx: bool = False,
+    approx: bool = False, tscale=None,
 ):
     """Exact top-k of every query against every live row.
 
@@ -107,7 +127,10 @@ def scan_topk(
     (sim, -id), or the packed [B, 2k] int32 reply when ``pack``; with
     ``pack_bits`` (hamming only) the reply is [B, k] int32 words
     ``(dist << pack_bits) | id`` (-1 for empty slots) -- half the
-    device->host bytes.
+    device->host bytes. ``tscale`` [N] f32 marks the euclidean int8
+    tier: ``table`` is per-row-quantized int8 (from :func:`_to_int8`)
+    and the dot runs int8 x int8 -> int32 on the MXU, descaled by the
+    row/query scales before selection.
     """
     B = queries.shape[0]
     N = table.shape[0]
@@ -124,6 +147,11 @@ def scan_topk(
     if metric == "hamming":
         d_bits = table.shape[1]
         q = pm1_table(queries)
+    elif tscale is not None:
+        # int8 tier: quantize the query side per-row the same way
+        q, qscale = _to_int8(queries.astype(jnp.float32))
+        qf = queries.astype(jnp.float32)
+        qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
     else:
         # bf16 tier: cast the query side to match the table so the dot
         # is a native bf16 x bf16 -> f32 MXU matmul (scan_dtype()).
@@ -138,6 +166,12 @@ def scan_topk(
                 q, rows.T, preferred_element_type=jnp.int32
             )
             scores = (dots.astype(jnp.float32) - d_bits) * 0.5
+        elif tscale is not None:
+            dots = jnp.dot(q, rows.T, preferred_element_type=jnp.int32)
+            dequant = dots.astype(jnp.float32) * (
+                qscale[:, None] * tscale[lo : lo + n_chunk][None, :]
+            )
+            scores = 2.0 * dequant - qq - sqn[lo : lo + n_chunk][None, :]
         else:
             dots = jnp.dot(q, rows.T, preferred_element_type=jnp.float32)
             scores = 2.0 * dots - qq - sqn[lo : lo + n_chunk][None, :]
@@ -171,19 +205,21 @@ def scan_topk(
 @partial(jax.jit, static_argnames=("k", "pack", "approx"))
 def scan_topk_exact_l2(
     vecs, sqn, live, queries, *, k: int, pack=False, approx=False,
-    table=None,
+    table=None, tscale=None,
 ):
     """Euclidean scan + exact direct-form rescore of the final k (the
     matmul form loses ~1e-3 relative to cancellation; reported sims
     must match the reference kernel to f32 rounding, metrics.rs:79-84).
 
     ``table`` optionally supplies a lower-precision copy of ``vecs``
-    (the bf16 scan tier) used only for SELECTION; the rescore always
-    reads the exact f32 ``vecs``.
+    (the bf16 scan tier, or the int8 tier with its per-row ``tscale``)
+    used only for SELECTION; the rescore always reads the exact f32
+    ``vecs``.
     """
     ids, sims = scan_topk(
         vecs if table is None else table,
         sqn, live, queries, k=k, metric="euclidean", approx=approx,
+        tscale=tscale,
     )
     sims = D.exact_neg_sq_l2(
         queries, vecs, jnp.maximum(ids, 0), sims != NEG_INF
@@ -200,10 +236,11 @@ def scan_topk_exact_l2(
 
 def _scan_state(index):
     """Per-epoch device state for the scan engine:
-    (table, vecs, sqn, live, metric) -- ``table`` is the selection
-    table (f32 vecs, the bf16 tier copy, or the hamming +-1 int8
-    expansion), ``vecs`` the exact f32 rescore table (None for
-    hamming, whose int32 distances are already exact).
+    (table, vecs, sqn, live, metric, tscale) -- ``table`` is the
+    selection table (f32 vecs, the bf16/int8 tier copy, or the hamming
+    +-1 int8 expansion), ``vecs`` the exact f32 rescore table (None
+    for hamming, whose int32 distances are already exact), ``tscale``
+    the int8 tier's per-row scales (None otherwise).
 
     Cached on the index keyed by (mutation epoch, scan dtype).
     ``live`` rides up once per epoch (a [N] bool is small); derived
@@ -219,13 +256,16 @@ def _scan_state(index):
     h = min(len(index._levels), snap.n_pad)
     live_np[:h] = index._levels[:h] >= 0
     live = jnp.asarray(live_np)
+    tscale = None
     if snap.metric == "hamming":
         table, vecs = _build_pm1(snap.vecs), None
     elif dt == "bf16":
         table, vecs = _to_bf16(snap.vecs), snap.vecs
+    elif dt == "int8":
+        (table, tscale), vecs = _to_int8(snap.vecs), snap.vecs
     else:
         table = vecs = snap.vecs
-    state = (table, vecs, snap.sqnorms, live, snap.metric)
+    state = (table, vecs, snap.sqnorms, live, snap.metric, tscale)
     index._scan_cache = ((index.epoch, dt), state)
     return state
 
@@ -236,7 +276,7 @@ def scan_batch(index, qs, k: int, approx: bool = False):
     per-chunk exact top_k for oversampled jax.lax.approx_max_k
     (measured ~0.999 recall, several-fold faster at big N); reported
     sims stay exact either way."""
-    table, vecs, sqn, live, metric = _scan_state(index)
+    table, vecs, sqn, live, metric, tscale = _scan_state(index)
     n_q = qs.shape[0]
     b_pad = 8
     while b_pad < n_q:
@@ -272,7 +312,7 @@ def scan_batch(index, qs, k: int, approx: bool = False):
     else:
         packed = scan_topk_exact_l2(
             vecs, sqn, live, qd, k=k_eff, pack=True, approx=approx,
-            table=None if table is vecs else table,
+            table=None if table is vecs else table, tscale=tscale,
         )
     packed = np.asarray(packed[:n_q])
     ids = packed[:, :k_eff]

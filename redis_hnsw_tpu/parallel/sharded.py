@@ -139,8 +139,8 @@ def _sharded_search_jit(
     jax.jit, static_argnames=("k", "metric", "mesh", "approx"),
 )
 def _sharded_scan_jit(
-    table, vecs, sqn, live, queries, *, k: int, metric: str, mesh,
-    approx: bool = False,
+    table, vecs, sqn, live, tscale, queries, *, k: int, metric: str,
+    mesh, approx: bool = False,
 ):
     """MXU scan per shard + one all-gather top-k merge.
 
@@ -149,8 +149,9 @@ def _sharded_scan_jit(
     int8 +-1 hamming matmul), encodes global ids as shard * n_pad +
     row, and GSPMD inserts the single ICI collective for the [S, B, k]
     merge -- identical structure to the graph engine's merge above.
-    ``table`` is the selection table (== ``vecs``, or its bf16 tier
-    copy, or the hamming +-1 expansion); euclidean rescore always
+    ``table`` is the selection table (== ``vecs``, or its bf16/int8
+    tier copy, or the hamming +-1 expansion; ``tscale`` [S, n_pad]
+    carries the int8 tier's per-row scales); euclidean rescore always
     reads the exact f32 ``vecs``. ``approx`` selects the oversampled
     approx_max_k per-chunk path (ops/scan.py).
     """
@@ -158,7 +159,7 @@ def _sharded_scan_jit(
 
     n_pad = table.shape[1]
 
-    def local(table, vecs, sqn, live, queries):
+    def local(table, vecs, sqn, live, tscale, queries):
         if metric == "hamming":
             ids, sims = scan_topk(
                 table[0], sqn[0], live[0], queries, k=k, metric=metric,
@@ -168,17 +169,19 @@ def _sharded_scan_jit(
             ids, sims = scan_topk_exact_l2(
                 vecs[0], sqn[0], live[0], queries, k=k, approx=approx,
                 table=table[0],
+                tscale=None if tscale is None else tscale[0],
             )
         s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
         gids = jnp.where(ids >= 0, s * n_pad + ids, -1)
         return gids[None], sims[None]
 
     spec = P(DATA_AXIS)
+    ts_spec = None if tscale is None else spec
     gids, sims = shard_map(
         local, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, P()),
+        in_specs=(spec, spec, spec, spec, ts_spec, P()),
         out_specs=(spec, spec),
-    )(table, vecs, sqn, live, queries)
+    )(table, vecs, sqn, live, tscale, queries)
     S = gids.shape[0]
     B = queries.shape[0]
     flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
@@ -415,10 +418,11 @@ class ShardedHNSW:
 
     def _scan_stack(self):
         """Stacked per-shard scan-engine state:
-        (table, vecs, sqn, live), sharded over the mesh -- ``table``
-        the selection table (f32 vecs / bf16 tier copy / hamming +-1
-        expansion), ``vecs`` the exact rescore table. Cached per
-        (shard-epoch tuple, scan dtype)."""
+        (table, vecs, sqn, live, tscale), sharded over the mesh --
+        ``table`` the selection table (f32 vecs / bf16 or int8 tier
+        copy / hamming +-1 expansion), ``vecs`` the exact rescore
+        table, ``tscale`` the int8 tier's per-row scales (None
+        otherwise). Cached per (shard-epoch tuple, scan dtype)."""
         from ..ops.scan import scan_dtype
 
         epochs = (tuple(s.epoch for s in self.shards), scan_dtype())
@@ -445,6 +449,7 @@ class ShardedHNSW:
         for si, shard in enumerate(self.shards):
             h = min(len(shard._levels), n_pad)
             live_np[si, :h] = shard._levels[:h] >= 0
+        tscale = None
         if self.config.metric == "hamming":
             from ..ops.scan import pm1_table
 
@@ -455,12 +460,21 @@ class ShardedHNSW:
             )(vecs)
         elif epochs[1] == "bf16":
             table = jax.jit(lambda v: v.astype(jnp.bfloat16))(vecs)
+        elif epochs[1] == "int8":
+            from ..ops.scan import _to_int8
+
+            table, tscale = jax.jit(
+                lambda v: _to_int8(v.reshape(-1, width))
+            )(vecs)
+            table = table.reshape(vecs.shape)
+            tscale = tscale.reshape(vecs.shape[0], vecs.shape[1])
         else:
             table = vecs
         sh = NamedSharding(self.mesh, P(DATA_AXIS))
         put = lambda x: jax.device_put(jnp.asarray(x), sh)
         out = (
-            put(table), put(vecs), put(sqn), put(jnp.asarray(live_np))
+            put(table), put(vecs), put(sqn), put(jnp.asarray(live_np)),
+            None if tscale is None else put(tscale),
         )
         self._scan_stacked = out
         self._scan_stacked_epochs = epochs
@@ -569,11 +583,11 @@ class ShardedHNSW:
             and shard_pad <= SCAN_MAX_ROWS.get(self.config.metric, 0)
         )
         if use_scan:
-            table, vecs, sqn, live = self._scan_stack()
+            table, vecs, sqn, live, tscale = self._scan_stack()
             n_pad = self._scan_npad
             k_eff = min(int(k), n_pad)
             gids, sims = _sharded_scan_jit(
-                table, vecs, sqn, live, qs_dev,
+                table, vecs, sqn, live, tscale, qs_dev,
                 k=k_eff, metric=self.config.metric, mesh=self.mesh,
                 approx=engine == "scan-approx",
             )

@@ -239,6 +239,67 @@ def test_scan_bf16_tier(rng, monkeypatch):
         idx.search_batch(queries, 10, engine="scan")
 
 
+def test_scan_int8_tier(rng, monkeypatch):
+    """REDIS_HNSW_TPU_SCAN_DTYPE=int8: selection rides a per-row
+    symmetrically quantized int8 copy (quarter the f32 bytes -- the
+    capacity tier), reported sims stay f32-exact (rescored from the
+    f32 snapshot), on both the HNSW scan engine and the flat index."""
+    from redis_hnsw_tpu.models.flat import FlatIndex
+
+    idx, oracle, data, _ = _build(rng, n=500)
+    queries = rng.standard_normal((24, 24)).astype(np.float32)
+    want = oracle.search_batch(queries, 10)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "int8")
+    for got in (
+        idx.search_batch(queries, 10, engine="scan"),
+        idx.search_batch(queries, 10, engine="scan-approx"),
+    ):
+        hits = sum(
+            len({r.name for r in got[b]} & {r.name for r in want[b]})
+            for b in range(24)
+        )
+        assert hits / 240 >= 0.95  # int8 selection: near-exact
+        for b in range(24):
+            sims = [r.sim for r in got[b]]
+            assert sims == sorted(sims, reverse=True)
+            for r in got[b]:
+                row = oracle._names.get(r.name)
+                exact = -float(np.sum(
+                    (queries[b].astype(np.float64)
+                     - data[row].astype(np.float64)) ** 2))
+                assert abs(r.sim - exact) < 1e-4 * (1 + abs(exact))
+    # flat kind: int8 is the RESIDENT mode -- the device table is the
+    # int8 copy (quarter bytes; capacity tier), rescore runs host-side
+    flat = FlatIndex("f8", idx.config)
+    flat.add_batch([f"n{i}" for i in range(500)], data)
+    for fgot in (
+        flat.search_batch(queries, 10),
+        flat.search_batch(queries, 10, approx=True),
+    ):
+        hits = sum(
+            len({r.name for r in fgot[b]} & {r.name for r in want[b]})
+            for b in range(24)
+        )
+        assert hits / 240 >= 0.95
+        for b in range(24):
+            sims = [r.sim for r in fgot[b]]
+            assert sims == sorted(sims, reverse=True)
+            for r in fgot[b]:
+                row = oracle._names.get(r.name)
+                exact = -float(np.sum(
+                    (queries[b].astype(np.float64)
+                     - data[row].astype(np.float64)) ** 2))
+                assert abs(r.sim - exact) < 1e-4 * (1 + abs(exact))
+    import jax.numpy as jnp
+
+    table = flat._device()[0]
+    assert table.dtype == jnp.int8
+    # deletes stay masked through the resident path
+    flat.delete_node("n0")
+    fgot = flat.search_batch(data[:4], 3)
+    assert all("n0" not in {r.name for r in rr} for rr in fgot)
+
+
 def test_flat_approx_and_device_queries(rng):
     """FlatIndex: approx=True opt-in tier + device-resident query
     batches (no host round-trip) both reproduce the exact oracle at

@@ -243,7 +243,8 @@ def test_sharded_scan_tiers(rng, monkeypatch):
     queries = rng.standard_normal((16, dim)).astype(np.float32)
     want = oracle.search_batch(queries, k)
     for env, engine in (
-        (None, "scan-approx"), ("bf16", "scan"), ("bf16", "scan-approx")
+        (None, "scan-approx"), ("bf16", "scan"), ("bf16", "scan-approx"),
+        ("int8", "scan"), ("int8", "scan-approx"),
     ):
         if env:
             monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", env)
