@@ -1,0 +1,184 @@
+"""32M-rows-on-one-chip capacity demo: the int8-RESIDENT flat tier.
+
+The f32 ceiling for flat (scan-only) serving on a 16GB chip is ~4M
+rows of 128d (benchmarks/flat4m.py: the raw table is 2GB, and the scan
+needs headroom for the [B, chunk] score tiles). The int8-resident mode
+(REDIS_HNSW_TPU_SCAN_DTYPE=int8 on kind=flat) keeps ONLY the per-row
+quantized int8 table on device -- a quarter the bytes -- and rescores
+the final k exact-f32 on the host, where the f32 vectors already live.
+32M x 128d is a 16GB f32 table (does not fit at all alongside score
+tiles) but a 4GB int8 table: this demo is the regime the tier exists
+for.
+
+Recall is measured against EXACT f32 ground truth computed host-side
+with chunked BLAS sgemm (no device involvement, resumable), so the
+demo needs no second 16GB upload:
+
+    python benchmarks/flat_capacity.py truth N     # resumable stage
+    python benchmarks/flat_capacity.py run  N      # build + measure
+
+Emits one JSON line appended to artifacts/flat_capacity.json.
+Dataset/queries: the clustered mixture from benchmarks/million.py
+(held-out queries), same as every other capacity artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from benchmarks.million import dataset, query_set  # noqa: E402
+
+K, B, REPS = 10, 2048, 3
+DIM = 128
+TRUTH_CHUNK = 1 << 18
+SAVE_EVERY = 32  # chunks between resumable-state writes
+
+
+def truth_path(n: int) -> str:
+    return f"/tmp/flat_capacity_truth_{n}.npz"
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def truth_stage(n: int) -> None:
+    """Exact f32 top-K of the query set vs rows, host BLAS, resumable.
+
+    Running top-K state (sims, ids, next_row) checkpoints every
+    SAVE_EVERY chunks so a bounded-walltime runner can drive it."""
+    path = truth_path(n)
+    queries = query_set(B, "clustered").astype(np.float32)
+    qq = np.einsum("bd,bd->b", queries, queries)[:, None]
+    if os.path.exists(path):
+        st = np.load(path)
+        sims, ids = st["sims"], st["ids"]
+        next_row = int(st["next_row"])
+        log(f"resume truth at row {next_row}/{n}")
+    else:
+        sims = np.full((B, K), -np.inf, np.float32)
+        ids = np.full((B, K), -1, np.int64)
+        next_row = 0
+    if next_row >= n:
+        log("truth complete")
+        return
+    t0 = time.perf_counter()
+    data = dataset(n)
+    log(f"datagen {time.perf_counter() - t0:.1f}s")
+    done = 0
+    for lo in range(next_row, n, TRUTH_CHUNK):
+        hi = min(lo + TRUTH_CHUNK, n)
+        chunk = data[lo:hi]
+        # -(||q-x||^2) = 2 q.x - q^2 - x^2, all f32 BLAS
+        scores = 2.0 * (queries @ chunk.T)
+        scores -= qq
+        scores -= np.einsum("nd,nd->n", chunk, chunk)[None, :]
+        kc = min(K, hi - lo)
+        part = np.argpartition(-scores, kc - 1, axis=1)[:, :kc]
+        c_sims = np.take_along_axis(scores, part, axis=1)
+        merged_s = np.concatenate([sims, c_sims], axis=1)
+        merged_i = np.concatenate([ids, part + lo], axis=1)
+        keep = np.argpartition(-merged_s, K - 1, axis=1)[:, :K]
+        sims = np.take_along_axis(merged_s, keep, axis=1)
+        ids = np.take_along_axis(merged_i, keep, axis=1)
+        done += 1
+        if done % SAVE_EVERY == 0 or hi >= n:
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, sims=sims, ids=ids, next_row=hi)
+            os.replace(tmp, path)
+            log(f"truth {hi}/{n} rows "
+                f"({time.perf_counter() - t0:.1f}s)")
+    log(f"truth done in {time.perf_counter() - t0:.1f}s")
+
+
+def run_stage(n: int) -> None:
+    os.environ["REDIS_HNSW_TPU_SCAN_DTYPE"] = "int8"
+    st = np.load(truth_path(n))
+    assert int(st["next_row"]) >= n, "run `truth` to completion first"
+    truth = [set(map(int, row)) for row in st["ids"]]
+
+    from redis_hnsw_tpu import IndexConfig
+    from redis_hnsw_tpu.models.flat import FlatIndex
+
+    t0 = time.perf_counter()
+    data = dataset(n)
+    gen_s = time.perf_counter() - t0
+    idx = FlatIndex(
+        "flat32m",
+        IndexConfig(dim=DIM, capacity=n, fixed_capacity=True),
+    )
+    t0 = time.perf_counter()
+    idx.add_batch([f"n{i}" for i in range(n)], data)
+    build_s = time.perf_counter() - t0
+    del data
+    log(f"built {n} rows in {build_s:.1f}s (datagen {gen_s:.1f}s)")
+
+    import jax.numpy as jnp
+
+    queries = jnp.asarray(query_set(B, "clustered"))
+    out = {
+        "n": n, "dim": DIM, "b": B, "k": K,
+        "build_s": round(build_s, 1),
+        "int8_table_gb": round(n * DIM / 2**30, 2),
+        "f32_table_gb": round(n * DIM * 4 / 2**30, 2),
+    }
+    def recall(res) -> float:  # names are n<row>; rows == truth ids
+        hits = 0
+        for b, rr in enumerate(res):
+            got = {int(r.name[1:]) for r in rr}
+            hits += len(got & truth[b])
+        return hits / (K * B)
+
+    # first call: host int8 quantization + 4GB upload + compile
+    t0 = time.perf_counter()
+    res = idx.search_batch(queries, K)
+    out["first_call_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        idx.search_batch(queries, K)
+    dt = (time.perf_counter() - t0) / REPS
+    out["int8_exact_select"] = {
+        "recall": round(recall(res), 4), "qps": round(B / dt, 1)
+    }
+    log(f"int8 exact-select: {out['int8_exact_select']}")
+
+    res = idx.search_batch(queries, K, approx=True)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        idx.search_batch(queries, K, approx=True)
+    dt = (time.perf_counter() - t0) / REPS
+    out["int8_approx_select"] = {
+        "recall": round(recall(res), 4), "qps": round(B / dt, 1)
+    }
+    log(f"int8 approx-select: {out['int8_approx_select']}")
+
+    line = json.dumps(out)
+    log(line)
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "artifacts", "flat_capacity.json")
+    with open(art, "a") as f:
+        f.write(line + "\n")
+
+
+def main() -> None:
+    stage = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
+    if stage == "truth":
+        truth_stage(n)
+    elif stage == "run":
+        run_stage(n)
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")
+
+
+if __name__ == "__main__":
+    main()

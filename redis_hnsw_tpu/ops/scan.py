@@ -46,6 +46,13 @@ NEG_INF = float("-inf")
 # snapshot tables on a 16GB chip.
 CHUNK_N = 1 << 19
 
+# Below this many full chunks the chunk loop unrolls (XLA overlaps the
+# next chunk's matmul with the current chunk's select); at/above it the
+# loop compiles to ONE lax.scan so program size stays constant in N
+# (a 32M-row capacity table is 64 chunks -- unrolled, that is 64
+# matmul+top_k segments and multi-minute compiles).
+SCAN_LOOP_MIN_CHUNKS = 8
+
 
 def scan_dtype() -> str:
     """Euclidean scan-table tier: REDIS_HNSW_TPU_SCAN_DTYPE.
@@ -110,6 +117,45 @@ def _build_pm1(vecs_packed):
     return pm1_table(vecs_packed)
 
 
+def _chunk_scores(q, rows, sq, ts, *, metric, d_bits, qq, qscale):
+    """Score one row chunk against the (pre-transformed) query block.
+
+    Shared by the unrolled tail and the lax.scan body below so the
+    three metric formulations stay byte-identical between them."""
+    if metric == "hamming":
+        dots = jnp.dot(q, rows.T, preferred_element_type=jnp.int32)
+        return (dots.astype(jnp.float32) - d_bits) * 0.5
+    if ts is not None:
+        dots = jnp.dot(q, rows.T, preferred_element_type=jnp.int32)
+        dequant = dots.astype(jnp.float32) * (
+            qscale[:, None] * ts[None, :]
+        )
+        return 2.0 * dequant - qq - sq[None, :]
+    dots = jnp.dot(q, rows.T, preferred_element_type=jnp.float32)
+    return 2.0 * dots - qq - sq[None, :]
+
+
+def _select_merge(top_sims, top_ids, scores, lv, lo, *, k_sel, approx):
+    """Per-chunk select (exact top_k or oversampled approx_max_k) and
+    running-top-k merge. ``lo`` is the chunk's global row offset
+    (python int in the unrolled tail, traced int32 under lax.scan)."""
+    scores = jnp.where(lv[None, :], scores, NEG_INF)
+    kc = min(k_sel, scores.shape[1])
+    if approx:
+        c_sims, c_idx = jax.lax.approx_max_k(
+            scores, kc, recall_target=0.99
+        )
+    else:
+        c_sims, c_idx = jax.lax.top_k(scores, kc)
+    c_ids = (c_idx + lo).astype(jnp.int32)
+    c_ids = jnp.where(c_sims == NEG_INF, -1, c_ids)
+    merged_sims = jnp.concatenate([top_sims, c_sims], axis=1)
+    merged_ids = jnp.concatenate([top_ids, c_ids], axis=1)
+    top_sims, pos = jax.lax.top_k(merged_sims, k_sel)
+    top_ids = jnp.take_along_axis(merged_ids, pos, axis=1)
+    return top_sims, top_ids
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "metric", "pack", "pack_bits", "approx"),
@@ -131,6 +177,11 @@ def scan_topk(
     tier: ``table`` is per-row-quantized int8 (from :func:`_to_int8`)
     and the dot runs int8 x int8 -> int32 on the MXU, descaled by the
     row/query scales before selection.
+
+    Full chunks run under ONE lax.scan (program size constant in N --
+    a 32M-row capacity table is 64 chunks, which would otherwise
+    unroll into 64 matmul+top_k segments and multi-minute compiles);
+    the remainder chunk is a single unrolled step of the same helpers.
     """
     B = queries.shape[0]
     N = table.shape[0]
@@ -144,6 +195,7 @@ def scan_topk(
     k_sel = min(4 * k, n_chunk) if approx else min(k, n_chunk)
     top_sims = jnp.full((B, k_sel), NEG_INF)
     top_ids = jnp.full((B, k_sel), -1, jnp.int32)
+    d_bits = qq = qscale = None
     if metric == "hamming":
         d_bits = table.shape[1]
         q = pm1_table(queries)
@@ -158,37 +210,46 @@ def scan_topk(
         q = queries.astype(table.dtype)
         qf = queries.astype(jnp.float32)
         qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
-    for lo in range(0, N, n_chunk):
-        rows = table[lo : lo + n_chunk]
-        lv = live[lo : lo + n_chunk]
-        if metric == "hamming":
-            dots = jnp.dot(
-                q, rows.T, preferred_element_type=jnp.int32
-            )
-            scores = (dots.astype(jnp.float32) - d_bits) * 0.5
-        elif tscale is not None:
-            dots = jnp.dot(q, rows.T, preferred_element_type=jnp.int32)
-            dequant = dots.astype(jnp.float32) * (
-                qscale[:, None] * tscale[lo : lo + n_chunk][None, :]
-            )
-            scores = 2.0 * dequant - qq - sqn[lo : lo + n_chunk][None, :]
-        else:
-            dots = jnp.dot(q, rows.T, preferred_element_type=jnp.float32)
-            scores = 2.0 * dots - qq - sqn[lo : lo + n_chunk][None, :]
-        scores = jnp.where(lv[None, :], scores, NEG_INF)
-        kc = min(k_sel, rows.shape[0])
-        if approx:
-            c_sims, c_idx = jax.lax.approx_max_k(
-                scores, kc, recall_target=0.99
-            )
-        else:
-            c_sims, c_idx = jax.lax.top_k(scores, kc)
-        c_ids = (c_idx + lo).astype(jnp.int32)
-        c_ids = jnp.where(c_sims == NEG_INF, -1, c_ids)
-        merged_sims = jnp.concatenate([top_sims, c_sims], axis=1)
-        merged_ids = jnp.concatenate([top_ids, c_ids], axis=1)
-        top_sims, pos = jax.lax.top_k(merged_sims, k_sel)
-        top_ids = jnp.take_along_axis(merged_ids, pos, axis=1)
+    score_kw = dict(metric=metric, d_bits=d_bits, qq=qq, qscale=qscale)
+    n_full, rem = divmod(N, n_chunk)
+    if n_full >= SCAN_LOOP_MIN_CHUNKS:
+        # row-major reshapes of the resident tables are free views
+        nc = n_full * n_chunk
+        xs = (
+            table[:nc].reshape(n_full, n_chunk, table.shape[1]),
+            sqn[:nc].reshape(n_full, n_chunk),
+            live[:nc].reshape(n_full, n_chunk),
+            None if tscale is None else tscale[:nc].reshape(
+                n_full, n_chunk
+            ),
+            jnp.arange(n_full, dtype=jnp.int32) * n_chunk,
+        )
+
+        def body(carry, x):
+            rows, sq, lv, ts, lo = x
+            scores = _chunk_scores(q, rows, sq, ts, **score_kw)
+            return _select_merge(
+                carry[0], carry[1], scores, lv, lo,
+                k_sel=k_sel, approx=approx,
+            ), None
+
+        (top_sims, top_ids), _ = jax.lax.scan(
+            body, (top_sims, top_ids), xs
+        )
+        tail = [(nc, N)] if rem else []
+    else:
+        tail = [
+            (lo, min(lo + n_chunk, N)) for lo in range(0, N, n_chunk)
+        ]
+    for lo, hi in tail:
+        scores = _chunk_scores(
+            q, table[lo:hi], sqn[lo:hi],
+            None if tscale is None else tscale[lo:hi], **score_kw,
+        )
+        top_sims, top_ids = _select_merge(
+            top_sims, top_ids, scores, live[lo:hi], lo,
+            k_sel=k_sel, approx=approx,
+        )
     ids, sims = top_ids[:, :k], top_sims[:, :k]
     ids, sims = D.resort_desc(ids, sims)
     if pack and pack_bits is not None:

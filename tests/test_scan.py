@@ -318,3 +318,67 @@ def test_flat_approx_and_device_queries(rng):
         for b in range(16)
     )
     assert hits / 160 >= 0.98
+
+
+def test_scan_chunk_loop_lax_scan(rng):
+    """At >= SCAN_LOOP_MIN_CHUNKS full chunks the chunk loop compiles
+    to one lax.scan (program size constant in N -- the capacity-scale
+    path); results must be IDENTICAL to the unrolled form, on the
+    exact, approx, int8-tier and hamming formulations, including a
+    non-multiple remainder chunk and dead rows."""
+    import jax.numpy as jnp
+
+    import redis_hnsw_tpu.ops.scan as S
+
+    N, D, B, K = 1100, 32, 16, 10
+    vecs = rng.standard_normal((N, D)).astype(np.float32)
+    sqn = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+    live = np.ones(N, bool)
+    live[[17, 512, 1099]] = False
+    qs = rng.standard_normal((B, D)).astype(np.float32)
+    args = (jnp.asarray(vecs), jnp.asarray(sqn), jnp.asarray(live),
+            jnp.asarray(qs))
+
+    def run(approx=False):
+        ids, sims = S.scan_topk_exact_l2(*args, k=K, approx=approx)
+        return np.asarray(ids), np.asarray(sims)
+
+    ref_ids, ref_sims = run()  # N << CHUNK_N: single unrolled chunk
+    old = S.CHUNK_N
+    S.CHUNK_N = 128  # 8 full chunks + remainder 76 -> lax.scan path
+    S.scan_topk.clear_cache()
+    S.scan_topk_exact_l2.clear_cache()
+    try:
+        got_ids, got_sims = run()
+        assert np.array_equal(ref_ids, got_ids)
+        assert np.array_equal(ref_sims, got_sims)
+        ids_a, _ = run(approx=True)
+        ov = np.mean([
+            len(set(map(int, a)) & set(map(int, b))) / K
+            for a, b in zip(ids_a, ref_ids)
+        ])
+        assert ov >= 0.99
+        q8, sc = S._to_int8(jnp.asarray(vecs))
+        ids8, _ = S.scan_topk(
+            q8, args[1], args[2], args[3], k=K, metric="euclidean",
+            tscale=sc,
+        )
+        ov8 = np.mean([
+            len(set(map(int, a)) & set(map(int, b))) / K
+            for a, b in zip(np.asarray(ids8), ref_ids)
+        ])
+        assert ov8 >= 0.9
+        pk = rng.integers(0, 2**32, (N, 8)).astype(np.uint32)
+        pm = S._build_pm1(jnp.asarray(pk))
+        idh, simh = S.scan_topk(
+            pm, jnp.zeros(N, np.float32), jnp.asarray(np.ones(N, bool)),
+            jnp.asarray(pk[:B]), k=5, metric="hamming",
+        )
+        idh, simh = np.asarray(idh), np.asarray(simh)
+        assert all(
+            idh[i, 0] == i and simh[i, 0] == 0 for i in range(B)
+        )
+    finally:
+        S.CHUNK_N = old
+        S.scan_topk.clear_cache()
+        S.scan_topk_exact_l2.clear_cache()
