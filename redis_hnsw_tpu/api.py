@@ -250,7 +250,16 @@ class HNSW:
         idx, lk = self._entry(index)
         with lk:
             if isinstance(idx, FlatIndex):
-                return idx.search_batch(queries, k)
+                # Flat indexes have no graph: "auto"/"scan" are the
+                # exact scan, "scan-approx" the oversampled tier;
+                # "graph" is a user error, not a silent fallback.
+                if engine not in ("auto", "scan", "scan-approx"):
+                    raise ValueError(
+                        f"engine {engine!r} unavailable on flat indexes"
+                    )
+                return idx.search_batch(
+                    queries, k, approx=engine == "scan-approx"
+                )
             return idx.search_batch(
                 queries, k, ef_search=ef_search, expand=expand,
                 iters=iters, engine=engine, reply=reply, seeds=seeds,

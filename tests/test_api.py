@@ -113,6 +113,13 @@ def test_flat_index_kind():
     node = client.get_node("f", "e5")
     np.testing.assert_array_equal(node["data"], data[5])
     assert node["neighbors"] == []
+    # engine routing: scan engines work, graph is an explicit error
+    res = client.search_batch("f", data[:3], k=1, engine="scan")
+    assert [r[0].name for r in res] == ["e0", "e1", "e2"]
+    res = client.search_batch("f", data[:3], k=1, engine="scan-approx")
+    assert [r[0].name for r in res] == ["e0", "e1", "e2"]
+    with pytest.raises(ValueError, match="unavailable on flat"):
+        client.search_batch("f", data[:3], k=1, engine="graph")
 
 
 def test_batched_api():
