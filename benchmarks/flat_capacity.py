@@ -11,8 +11,12 @@ tiles) but a 4GB int8 table: this demo is the regime the tier exists
 for.
 
 Recall is measured against EXACT f32 ground truth computed host-side
-with chunked BLAS sgemm (no device involvement, resumable), so the
-demo needs no second 16GB upload:
+with chunked torch sgemm (no device involvement, resumable), so the
+demo needs no second 16GB upload. This box's single core sustains only
+~4 GFLOP/s (numpy has no tuned BLAS at all; torch is the fastest gemm
+available), so truth covers the first N_TRUTH=256 queries -- 2,560
+recall samples, std err < 0.5% -- while throughput is still timed on
+the full B=2048 batch:
 
     python benchmarks/flat_capacity.py truth N     # resumable stage
     python benchmarks/flat_capacity.py run  N      # build + measure
@@ -38,9 +42,10 @@ sys.path.insert(
 from benchmarks.million import dataset, query_set  # noqa: E402
 
 K, B, REPS = 10, 2048, 3
+N_TRUTH = 256  # queries with exact ground truth (recall sample)
 DIM = 128
 TRUTH_CHUNK = 1 << 18
-SAVE_EVERY = 32  # chunks between resumable-state writes
+SAVE_EVERY = 8  # chunks between resumable-state writes
 
 
 def truth_path(n: int) -> str:
@@ -52,21 +57,26 @@ def log(*a):
 
 
 def truth_stage(n: int) -> None:
-    """Exact f32 top-K of the query set vs rows, host BLAS, resumable.
+    """Exact f32 top-K of N_TRUTH queries vs all rows, resumable.
 
-    Running top-K state (sims, ids, next_row) checkpoints every
-    SAVE_EVERY chunks so a bounded-walltime runner can drive it."""
+    torch sgemm (the only tuned gemm on this box; numpy dot measured
+    >4x slower). Running top-K state (sims, ids, next_row) checkpoints
+    every SAVE_EVERY chunks so a bounded-walltime runner can drive
+    it."""
+    import torch
+
     path = truth_path(n)
-    queries = query_set(B, "clustered").astype(np.float32)
-    qq = np.einsum("bd,bd->b", queries, queries)[:, None]
+    queries = query_set(B, "clustered").astype(np.float32)[:N_TRUTH]
+    qt = torch.from_numpy(queries)
+    qq = torch.einsum("bd,bd->b", qt, qt)[:, None]
     if os.path.exists(path):
         st = np.load(path)
         sims, ids = st["sims"], st["ids"]
         next_row = int(st["next_row"])
         log(f"resume truth at row {next_row}/{n}")
     else:
-        sims = np.full((B, K), -np.inf, np.float32)
-        ids = np.full((B, K), -1, np.int64)
+        sims = np.full((N_TRUTH, K), -np.inf, np.float32)
+        ids = np.full((N_TRUTH, K), -1, np.int64)
         next_row = 0
     if next_row >= n:
         log("truth complete")
@@ -77,16 +87,17 @@ def truth_stage(n: int) -> None:
     done = 0
     for lo in range(next_row, n, TRUTH_CHUNK):
         hi = min(lo + TRUTH_CHUNK, n)
-        chunk = data[lo:hi]
-        # -(||q-x||^2) = 2 q.x - q^2 - x^2, all f32 BLAS
-        scores = 2.0 * (queries @ chunk.T)
+        chunk = torch.from_numpy(data[lo:hi])
+        # -(||q-x||^2) = 2 q.x - q^2 - x^2
+        scores = 2.0 * (qt @ chunk.T)
         scores -= qq
-        scores -= np.einsum("nd,nd->n", chunk, chunk)[None, :]
+        scores -= torch.einsum("nd,nd->n", chunk, chunk)[None, :]
         kc = min(K, hi - lo)
-        part = np.argpartition(-scores, kc - 1, axis=1)[:, :kc]
-        c_sims = np.take_along_axis(scores, part, axis=1)
-        merged_s = np.concatenate([sims, c_sims], axis=1)
-        merged_i = np.concatenate([ids, part + lo], axis=1)
+        c_sims, part = torch.topk(scores, kc, dim=1)
+        merged_s = np.concatenate([sims, c_sims.numpy()], axis=1)
+        merged_i = np.concatenate(
+            [ids, part.numpy().astype(np.int64) + lo], axis=1
+        )
         keep = np.argpartition(-merged_s, K - 1, axis=1)[:, :K]
         sims = np.take_along_axis(merged_s, keep, axis=1)
         ids = np.take_along_axis(merged_i, keep, axis=1)
@@ -126,17 +137,17 @@ def run_stage(n: int) -> None:
 
     queries = jnp.asarray(query_set(B, "clustered"))
     out = {
-        "n": n, "dim": DIM, "b": B, "k": K,
+        "n": n, "dim": DIM, "b": B, "k": K, "n_truth": N_TRUTH,
         "build_s": round(build_s, 1),
         "int8_table_gb": round(n * DIM / 2**30, 2),
         "f32_table_gb": round(n * DIM * 4 / 2**30, 2),
     }
     def recall(res) -> float:  # names are n<row>; rows == truth ids
         hits = 0
-        for b, rr in enumerate(res):
-            got = {int(r.name[1:]) for r in rr}
+        for b in range(N_TRUTH):  # exact truth covers N_TRUTH queries
+            got = {int(r.name[1:]) for r in res[b]}
             hits += len(got & truth[b])
-        return hits / (K * B)
+        return hits / (K * N_TRUTH)
 
     # first call: host int8 quantization + 4GB upload + compile
     t0 = time.perf_counter()

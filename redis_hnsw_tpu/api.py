@@ -240,13 +240,16 @@ class HNSW:
         engine: str = "auto",
         reply: str = "objects",
         seeds: int = 0,
+        recall_target: float | None = None,
     ) -> list[list[SearchResult]]:
         """Batched device search. ``engine`` routes between the exact
         MXU scan and the graph traversal ("auto" picks by the measured
         crossover, ops/scan.py); ``expand``/``iters`` tune the graph
         traversal (candidates expanded per step / step cap); ``seeds``
         adds per-lane pivot entrypoints to the graph beam (recall lever
-        for hard data; scan engines ignore it)."""
+        for hard data; scan engines ignore it); ``recall_target``
+        turns "auto" into a guarantee (exact scan above the approx
+        tier's measured floor, the tier at or below it)."""
         idx, lk = self._entry(index)
         with lk:
             if isinstance(idx, FlatIndex):
@@ -258,11 +261,13 @@ class HNSW:
                         f"engine {engine!r} unavailable on flat indexes"
                     )
                 return idx.search_batch(
-                    queries, k, approx=engine == "scan-approx"
+                    queries, k, approx=engine == "scan-approx",
+                    recall_target=recall_target,
                 )
             return idx.search_batch(
                 queries, k, ef_search=ef_search, expand=expand,
                 iters=iters, engine=engine, reply=reply, seeds=seeds,
+                recall_target=recall_target,
             )
 
 

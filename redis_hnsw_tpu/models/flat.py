@@ -256,8 +256,17 @@ class FlatIndex:
 
     def search_batch(
         self, queries, k: int, use_pallas: bool = False,
-        approx: bool = False,
+        approx: bool = False, recall_target: float | None = None,
     ) -> list[list[SearchResult]]:
+        # recall_target follows the shared guarantee rule: targets at
+        # or below the approx tier's measured floor ride the tier,
+        # anything above it stays exact (ops/search.py resolve_engine).
+        if recall_target is not None:
+            from ..ops.search import resolve_engine
+
+            approx = approx or (
+                resolve_engine("auto", recall_target) == "scan-approx"
+            )
         if (
             isinstance(queries, jax.Array)
             and queries.ndim == 2

@@ -687,6 +687,7 @@ class HNSWIndex:
         self, queries, k: int, ef_search: int | None = None,
         expand: int = 1, iters: int | None = None, engine: str = "auto",
         reply: str = "objects", seeds: int = 0,
+        recall_target: float | None = None,
     ) -> list[list[SearchResult]]:
         """Batched device search. See ops/search.py.
 
@@ -697,10 +698,14 @@ class HNSWIndex:
         caps traversal steps (None = generous parity-safe default).
         ``seeds`` > 0 adds that many per-lane pivot entrypoints to the
         graph beam (entrypoint diversity; scan engines ignore it).
+        ``recall_target`` makes the "auto" route a guarantee (exact
+        scan above the approx tier's measured floor, the tier at or
+        below it -- ops/search.py resolve_engine).
         """
         from ..ops.search import search_batch as _search_batch
 
         return _search_batch(
             self, queries, k, ef_search=ef_search, expand=expand,
             iters=iters, engine=engine, reply=reply, seeds=seeds,
+            recall_target=recall_target,
         )

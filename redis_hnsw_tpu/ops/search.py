@@ -588,11 +588,53 @@ def _run_search(
 # beam and the graph engine takes over.
 SCAN_MAX_ROWS = {"euclidean": 1 << 21, "hamming": 1 << 21}
 
+# Measured recall floor of the scan-approx tier at >=1M rows (0.9992 at
+# 1M, 0.9996 at 1.9M -- artifacts/scan_tiers.json; smaller indexes are
+# strictly better because the per-chunk oversample covers more of the
+# chunk). recall_target above this floor must be served exactly.
+APPROX_TIER_FLOOR = 0.999
+
+
+def resolve_engine(engine: str, recall_target: float | None) -> str:
+    """Apply the ``recall_target`` routing rule to an engine choice.
+
+    ``recall_target`` is a guarantee, not a hint, so it only ever
+    routes between engines with *known* recall: the exact scan (1.0 by
+    construction) and the approx-select tier (measured >= 0.999,
+    APPROX_TIER_FLOOR). With ``engine="auto"`` a target above the tier
+    floor pins the EXACT scan -- even past the auto crossover where the
+    (approximate, unguaranteed) graph beam would normally take over --
+    and a target at or below the floor picks the tier, which outruns
+    the graph beam at every index size that fits a chip (38.4k vs 5.1k
+    qps at 1.9M rows). An explicit engine choice is always honored;
+    asking the graph engine for a recall_target is an error -- its
+    recall is data-dependent, tune (ef_search, expand, iters) against
+    the in-process oracle with redis_hnsw_tpu.tune() instead.
+    """
+    if engine not in ("auto", "graph", "scan", "scan-approx"):
+        raise ValueError(f"unknown search engine {engine!r}")
+    if recall_target is None:
+        return engine
+    rt = float(recall_target)
+    if not 0.0 < rt <= 1.0:
+        raise ValueError(
+            f"recall_target must be in (0, 1], got {recall_target!r}"
+        )
+    if engine == "graph":
+        raise ValueError(
+            "recall_target routes the scan engines; graph-engine "
+            "knobs are tuned with redis_hnsw_tpu.tune()"
+        )
+    if engine == "auto":
+        return "scan" if rt > APPROX_TIER_FLOOR else "scan-approx"
+    return engine
+
 
 def search_batch(
     index, queries, k: int, ef_search: int | None = None,
     expand: int = 1, iters: int | None = None, engine: str = "auto",
     reply: str = "objects", seeds: int = 0,
+    recall_target: float | None = None,
 ):
     """Host entry: batched k-NN over an index. Returns per-query result
     lists of models.hnsw.SearchResult, nearest first -- or, with
@@ -618,12 +660,15 @@ def search_batch(
       dominates graph traversal until the index reaches millions of
       rows, the inverse of the CPU economics the reference's pointer
       graph is built around.
+
+    ``recall_target`` turns the route into a guarantee: with "auto",
+    a target above APPROX_TIER_FLOOR pins the exact scan and a target
+    at or below it picks the approx tier (see resolve_engine).
     """
     from ..models.hnsw import SearchResult
 
     cfg = index.config
-    if engine not in ("auto", "graph", "scan", "scan-approx"):
-        raise ValueError(f"unknown search engine {engine!r}")
+    engine = resolve_engine(engine, recall_target)
     if (
         isinstance(queries, jax.Array)
         and queries.ndim == 2

@@ -533,6 +533,7 @@ class ShardedHNSW:
         self, queries, k: int, ef_search: int | None = None,
         expand: int = 1, iters: int | None = None, engine: str = "auto",
         reply: str = "objects", seeds: int = 0,
+        recall_target: float | None = None,
     ) -> list[list[SearchResult]]:
         """Batched search across all shards. ``engine`` routes like the
         single-chip path (ops/search.py SCAN_MAX_ROWS, judged per
@@ -544,11 +545,12 @@ class ShardedHNSW:
         one chip. ``reply="columnar"`` returns (names, sims) arrays
         like the single-chip path. ``seeds`` > 0 seeds each shard's
         graph beam with that many per-lane pivot entrypoints (scan
-        engines ignore it, matching single-chip)."""
-        from ..ops.search import SCAN_MAX_ROWS
+        engines ignore it, matching single-chip). ``recall_target``
+        applies the single-chip guarantee rule per shard
+        (ops/search.py resolve_engine)."""
+        from ..ops.search import SCAN_MAX_ROWS, resolve_engine
 
-        if engine not in ("auto", "graph", "scan", "scan-approx"):
-            raise ValueError(f"unknown search engine {engine!r}")
+        engine = resolve_engine(engine, recall_target)
         qs = np.atleast_2d(
             np.asarray(queries, dtype=self.shards[0]._vectors.dtype)
         )

@@ -382,3 +382,69 @@ def test_scan_chunk_loop_lax_scan(rng):
         S.CHUNK_N = old
         S.scan_topk.clear_cache()
         S.scan_topk_exact_l2.clear_cache()
+
+
+def test_recall_target_routing(rng):
+    """recall_target is a guarantee: above the approx tier's measured
+    floor "auto" pins the exact scan (even past the auto crossover);
+    at/below the floor it rides the tier; the graph engine refuses it;
+    explicit engine choices are honored."""
+    from redis_hnsw_tpu.ops.search import (
+        APPROX_TIER_FLOOR,
+        resolve_engine,
+    )
+
+    assert resolve_engine("auto", None) == "auto"
+    assert resolve_engine("auto", 1.0) == "scan"
+    assert resolve_engine("auto", APPROX_TIER_FLOOR + 1e-4) == "scan"
+    assert resolve_engine("auto", APPROX_TIER_FLOOR) == "scan-approx"
+    assert resolve_engine("auto", 0.95) == "scan-approx"
+    assert resolve_engine("scan", 0.5) == "scan"  # explicit wins
+    assert resolve_engine("scan-approx", 1.0) == "scan-approx"
+    with pytest.raises(ValueError, match="tune"):
+        resolve_engine("graph", 0.95)
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        resolve_engine("auto", 1.5)
+    with pytest.raises(ValueError, match="unknown search engine"):
+        resolve_engine("warp", 0.95)
+
+    idx, oracle, data, _ = _build(rng, n=400)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    want = oracle.search_batch(queries, 10)
+    # exact guarantee: identical to the oracle, and pinned to the scan
+    # even when the crossover would hand "auto" to the graph beam
+    import redis_hnsw_tpu.ops.search as S
+
+    old = S.SCAN_MAX_ROWS
+    S.SCAN_MAX_ROWS = {"euclidean": 0, "hamming": 0}
+    try:
+        got = idx.search_batch(queries, 10, recall_target=1.0)
+    finally:
+        S.SCAN_MAX_ROWS = old
+    for b in range(len(queries)):
+        assert [r.name for r in got[b]] == [r.name for r in want[b]]
+    # tier route returns high-recall results end-to-end
+    got = idx.search_batch(queries, 10, recall_target=0.95)
+    hits = sum(
+        len({r.name for r in got[b]} & {r.name for r in want[b]})
+        for b in range(len(queries))
+    )
+    assert hits / 160 >= 0.95
+    with pytest.raises(ValueError, match="tune"):
+        idx.search_batch(queries, 10, engine="graph", recall_target=0.9)
+
+
+def test_recall_target_flat_and_api(rng):
+    """recall_target reaches FlatIndex and the client API unchanged."""
+    from redis_hnsw_tpu import HNSW
+
+    data = rng.standard_normal((200, 16)).astype(np.float32)
+    c = HNSW()
+    c.create_index("f", dim=16, kind="flat")
+    c.add_batch("f", [f"n{i}" for i in range(200)], data)
+    res = c.search_batch("f", data[:8], k=3, recall_target=0.95)
+    assert [r[0].name for r in res] == [f"n{i}" for i in range(8)]
+    c.create_index("h", dim=16, m=8)
+    c.add_batch("h", [f"m{i}" for i in range(200)], data)
+    res = c.search_batch("h", data[:8], k=3, recall_target=1.0)
+    assert [r[0].name for r in res] == [f"m{i}" for i in range(8)]
