@@ -269,14 +269,19 @@ class Dispatcher:
             k = int(kw.get("k", 5))
             metric = c.index(args[0]).config.metric
             q = _vec(kw["query"], metric)
-            if "engine" in kw:
+            if "engine" in kw or "recall_target" in kw:
                 # ENGINE auto|graph|scan|scan-approx extends the
                 # reference grammar: route through the batched device
                 # engines (B=1) instead of the host parity path.
                 # SEEDS n adds pivot entrypoints to the graph beam.
+                # RECALL_TARGET f makes the route a guarantee
+                # (ops/search.py resolve_engine).
+                rt = kw.get("recall_target")
                 res = c.search_batch(
-                    args[0], q[None], k=k, engine=kw["engine"].lower(),
+                    args[0], q[None], k=k,
+                    engine=kw.get("engine", "auto").lower(),
                     seeds=int(kw.get("seeds", 0)),
+                    recall_target=None if rt is None else float(rt),
                 )[0]
             else:
                 res = c.search(args[0], q, k=k)

@@ -348,3 +348,27 @@ def test_seeds_kwarg_over_wire(server):
     assert first["name"] == "n12"
     assert c.cmd("HNSW.DEL", "sw") == 1
     c.close()
+
+
+def test_recall_target_kwarg_over_wire(server):
+    """RECALL_TARGET on HNSW.SEARCH routes through the guarantee rule
+    (no ENGINE needed); graph + target is a clean -ERR reply."""
+    c = RespClient(server)
+    dim = 8
+    assert c.cmd("HNSW.NEW", "rt", "DIM", str(dim), "M", "5") == "OK"
+    for i in range(20):
+        v = [str(float(i))] * dim
+        assert c.cmd("HNSW.NODE.ADD", "rt", f"n{i}", "DATA",
+                     str(dim), *v) == "OK"
+    q = ["7.2"] * dim
+    for target in ("1.0", "0.95"):
+        res = c.cmd("HNSW.SEARCH", "rt", "K", "3", "QUERY", str(dim),
+                    *q, "RECALL_TARGET", target)
+        assert res[0] == 3
+        first = dict(zip(res[1][::2], res[1][1::2]))
+        assert first["name"] == "n7"
+    with pytest.raises(RuntimeError, match="tune"):
+        c.cmd("HNSW.SEARCH", "rt", "K", "3", "QUERY", str(dim), *q,
+              "ENGINE", "graph", "RECALL_TARGET", "0.9")
+    assert c.cmd("HNSW.DEL", "rt") == 1
+    c.close()
