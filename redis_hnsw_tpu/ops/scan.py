@@ -31,6 +31,7 @@ identical to the graph engine's reply contract (ops/search.py).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -43,8 +44,13 @@ NEG_INF = float("-inf")
 
 # Rows scored per chunk: [2048, 2^19] f32 scores = 4GB peak per chunk
 # intermediate (scores + top_k working set) -- safe alongside the
-# snapshot tables on a 16GB chip.
+# snapshot tables on a 16GB chip. REDIS_HNSW_TPU_SCAN_CHUNK overrides
+# (log2): capacity-edge tables (e.g. the 32M int8-resident demo, where
+# the int8 chunk path holds int32 dots AND f32 scores at once) can
+# halve the chunk to trade a few % of throughput for HBM headroom.
 CHUNK_N = 1 << 19
+if os.environ.get("REDIS_HNSW_TPU_SCAN_CHUNK"):
+    CHUNK_N = 1 << int(os.environ["REDIS_HNSW_TPU_SCAN_CHUNK"])
 
 # Below this many full chunks the chunk loop unrolls (XLA overlaps the
 # next chunk's matmul with the current chunk's select); at/above it the
@@ -73,8 +79,6 @@ def scan_dtype() -> str:
       rounding); the final k are rescored exact-f32 like bf16. The
       capacity tier: ~8M rows of 128d selection table per 16GB chip.
     """
-    import os
-
     v = os.environ.get("REDIS_HNSW_TPU_SCAN_DTYPE", "f32")
     if v not in ("f32", "bf16", "int8"):
         raise ValueError(f"REDIS_HNSW_TPU_SCAN_DTYPE={v!r}")
