@@ -34,15 +34,54 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
+import threading
 import time
 
 import numpy as np
 
+# Device-init watchdog: jax.devices() blocks FOREVER when the TPU
+# tunnel is down (observed: a multi-hour outage where device init hung
+# >5min indefinitely). The driver runs this script unattended, so a
+# dead tunnel must produce a terminating, honest record instead of a
+# wedged process. 20min covers the slowest healthy init observed
+# (noisy compile server + tunnel) with a wide margin.
+DEVICE_INIT_TIMEOUT_S = float(
+    os.environ.get("REDIS_HNSW_TPU_BENCH_DEVICE_TIMEOUT", 1200)
+)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _init_devices_or_die():
+    """Return jax.devices(), or print an explicit failure JSON line and
+    exit non-zero if device init doesn't complete in time."""
+    import jax
+
+    ready = threading.Event()
+
+    def watchdog():
+        if not ready.wait(DEVICE_INIT_TIMEOUT_S):
+            print(json.dumps({
+                "metric": (
+                    "BENCH NOT RUN: TPU device init timed out after "
+                    f"{DEVICE_INIT_TIMEOUT_S:.0f}s (tunnel down); no "
+                    "measurement taken"
+                ),
+                "value": 0.0,
+                "unit": "qps/chip",
+                "vs_baseline": 0.0,
+            }), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    devs = jax.devices()
+    ready.set()
+    return devs
 
 
 def _recall_fn(truth, k):
@@ -322,12 +361,10 @@ def config5():
 
 
 def main():
-    import jax
-
     only = None
     if "--config" in sys.argv:
         only = int(sys.argv[sys.argv.index("--config") + 1])
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {_init_devices_or_die()}")
 
     if only in (3, 5):
         fn = config3 if only == 3 else config5

@@ -39,6 +39,32 @@ def _shard_of(name: str, n_shards: int) -> int:
     return zlib.crc32(name.encode("utf-8")) % n_shards
 
 
+def _shard_index(mesh) -> jnp.ndarray:
+    """Global shard index of the current shard_map program instance:
+    row-major over the mesh axes (matches the row-major device order
+    the stacked tables are laid out in)."""
+    s = jnp.int32(0)
+    for ax in mesh.axis_names:
+        s = s * mesh.shape[ax] + jax.lax.axis_index(ax).astype(jnp.int32)
+    return s
+
+
+def _merge_topk_over(gids, sims, k: int, axis_name: str):
+    """All-gather both operands along one mesh axis and reduce to the
+    merged per-query top-k. Used innermost-axis-first, so on a
+    (slice, data) mesh the ICI axis collapses each slice to one k-list
+    before the DCN axis sees anything -- the cross-slice all-gather
+    carries k per slice, not k per chip."""
+    g = jax.lax.all_gather(gids, axis_name)  # [A, B, k]
+    s = jax.lax.all_gather(sims, axis_name)
+    A, B, kk = g.shape
+    fs = jnp.transpose(s, (1, 0, 2)).reshape(B, A * kk)
+    fg = jnp.transpose(g, (1, 0, 2)).reshape(B, A * kk)
+    top_sims, idx = jax.lax.top_k(fs, k)
+    top_gids = jnp.take_along_axis(fg, idx, axis=1)
+    return top_gids, top_sims
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -51,10 +77,11 @@ def _sharded_search_jit(
     *, ef: int, k: int, metric: str, mesh, expand: int = 1,
     iters: int | None = None, seeds: int = 0,
 ):
-    """All shards traverse in parallel; one collective merges top-k.
+    """All shards traverse in parallel; collectives merge top-k.
 
-    Inputs carry a leading shard axis sharded over the data mesh axis;
-    queries are replicated. Per-shard ids are encoded globally as
+    Inputs carry a leading shard axis sharded over the mesh (all axes;
+    on a 1-D mesh that is the single ``data`` axis); queries are
+    replicated. Per-shard ids are encoded globally as
     shard * n_pad + row before the merge. ``counts`` masks empty shards
     (their padded snapshot would otherwise report phantom row 0).
     ``pivot_ids`` [S, P] (-1 padded) + ``seeds`` > 0 seed each shard's
@@ -62,8 +89,17 @@ def _sharded_search_jit(
     seeded path (ops/search.py): every shard scans its OWN pivot pool,
     so the lever composes with the shard-axis diversity the merge
     already provides.
+
+    On a 1-D mesh the merge is the single GSPMD-inserted all-gather
+    after shard_map (ICI). On a multi-axis mesh (make_mesh2d) the merge
+    runs INSIDE shard_map, hierarchically, innermost axis first: the
+    intra-slice (ICI) all-gather + top-k collapses each slice to one
+    k-list before the cross-slice (DCN) axis is touched, cutting DCN
+    bytes by the chips-per-slice factor.
     """
     n_pad = vecs.shape[1]
+    axes = mesh.axis_names
+    hierarchical = len(axes) > 1
 
     def local(
         vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
@@ -101,15 +137,24 @@ def _sharded_search_jit(
             seed_ids=seed_ids,
         )
         nonempty = counts[0] > 0
-        s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        s = _shard_index(mesh)
         gids = jnp.where((ids >= 0) & nonempty, s * n_pad + ids, -1)
         sims = jnp.where(nonempty, sims, -jnp.inf)
+        if hierarchical:
+            for ax in reversed(axes):
+                gids, sims = _merge_topk_over(gids, sims, k, ax)
+            return gids, sims
         return gids[None], sims[None]
 
-    spec_sharded = P(DATA_AXIS)
+    spec_sharded = P(axes)
     nv_spec = None if nbrvec is None else spec_sharded
     nsq_spec = None if nbrsqn is None else spec_sharded
     pv_spec = None if pivot_ids is None else spec_sharded
+    out_spec = P() if hierarchical else spec_sharded
+    # check_vma: the hierarchical tail ends in an all-gather + top_k
+    # that every device computes identically, which the static
+    # replication checker cannot infer through all_gather -- the
+    # 1-D/2-D parity test pins the actual replication.
     gids, sims = shard_map(
         local,
         mesh=mesh,
@@ -118,11 +163,14 @@ def _sharded_search_jit(
             spec_sharded, spec_sharded, spec_sharded, spec_sharded,
             nv_spec, nsq_spec, pv_spec, P(),
         ),
-        out_specs=(spec_sharded, spec_sharded),
+        out_specs=(out_spec, out_spec),
+        check_vma=not hierarchical,
     )(
         vecs, sqn, adj0, adj_up, upper_of, eps, max_layers, counts,
         nbrvec, nbrsqn, pivot_ids, queries,
     )
+    if hierarchical:
+        return gids, sims
 
     # [S, B, k] -> [B, S*k]; top-k over all shards (GSPMD inserts the
     # all-gather along the sharded axis here).
@@ -142,7 +190,9 @@ def _sharded_scan_jit(
     table, vecs, sqn, live, tscale, queries, *, k: int, metric: str,
     mesh, approx: bool = False,
 ):
-    """MXU scan per shard + one all-gather top-k merge.
+    """MXU scan per shard + all-gather top-k merge (hierarchical,
+    innermost-axis-first, on a multi-axis mesh -- see
+    _sharded_search_jit).
 
     The sharded analog of ops/scan.py: every device scans its own
     [n_pad, D] slice (euclidean matmul form with exact rescore, or the
@@ -158,6 +208,8 @@ def _sharded_scan_jit(
     from ..ops.scan import scan_topk, scan_topk_exact_l2
 
     n_pad = table.shape[1]
+    axes = mesh.axis_names
+    hierarchical = len(axes) > 1
 
     def local(table, vecs, sqn, live, tscale, queries):
         if metric == "hamming":
@@ -171,17 +223,25 @@ def _sharded_scan_jit(
                 table=table[0],
                 tscale=None if tscale is None else tscale[0],
             )
-        s = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        s = _shard_index(mesh)
         gids = jnp.where(ids >= 0, s * n_pad + ids, -1)
+        if hierarchical:
+            for ax in reversed(axes):
+                gids, sims = _merge_topk_over(gids, sims, k, ax)
+            return gids, sims
         return gids[None], sims[None]
 
-    spec = P(DATA_AXIS)
+    spec = P(axes)
     ts_spec = None if tscale is None else spec
+    out_spec = P() if hierarchical else spec
     gids, sims = shard_map(
         local, mesh=mesh,
         in_specs=(spec, spec, spec, spec, ts_spec, P()),
-        out_specs=(spec, spec),
+        out_specs=(out_spec, out_spec),
+        check_vma=not hierarchical,  # see _sharded_search_jit
     )(table, vecs, sqn, live, tscale, queries)
+    if hierarchical:
+        return gids, sims
     S = gids.shape[0]
     B = queries.shape[0]
     flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
@@ -404,7 +464,7 @@ class ShardedHNSW:
                     padded(sn.nbrsqn, (n_pad, meta_w), 0) for sn in snaps
                 ])
 
-        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        sh = NamedSharding(self.mesh, P(self.mesh.axis_names))
         put = lambda x, s: jax.device_put(jnp.asarray(x), s)
         self._stacked = (
             put(vecs, sh), put(sqn, sh), put(adj0, sh), put(adj_up, sh),
@@ -470,7 +530,7 @@ class ShardedHNSW:
             tscale = tscale.reshape(vecs.shape[0], vecs.shape[1])
         else:
             table = vecs
-        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        sh = NamedSharding(self.mesh, P(self.mesh.axis_names))
         put = lambda x: jax.device_put(jnp.asarray(x), sh)
         out = (
             put(table), put(vecs), put(sqn), put(jnp.asarray(live_np)),
@@ -506,7 +566,7 @@ class ShardedHNSW:
                 ]
             ).astype(np.int32)
             out[si, : len(pick)] = pick
-        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        sh = NamedSharding(self.mesh, P(self.mesh.axis_names))
         self._pivots = jax.device_put(jnp.asarray(out), sh)
         self._pivots_epochs = epochs
         return self._pivots

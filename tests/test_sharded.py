@@ -311,3 +311,44 @@ def test_sharded_seeded_beam(sharded_built):
     assert [[r.name for r in res] for res in again] == [
         [r.name for r in res] for res in seeded
     ]
+
+
+def test_hierarchical_2d_mesh_matches_1d(rng):
+    """A (slice, data) 2-D mesh (make_mesh2d) runs the SAME stacked
+    tables with the hierarchical in-shard_map merge (intra-slice ICI
+    all-gather first, then the cross-slice axis) and must return
+    byte-identical results to the 1-D mesh's single all-gather merge,
+    for the graph beam and both scan tiers. Same shard count + seeds =>
+    identical shard graphs, so any difference is the merge itself."""
+    from redis_hnsw_tpu.parallel import make_mesh2d
+
+    n, dim, k = 320, 16, 10
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+
+    cfg = dict(dim=dim, m=6, ef_construction=32, seed=3)
+    flat = ShardedHNSW("h1", IndexConfig(**cfg), mesh=make_mesh(8))
+    hier = ShardedHNSW(
+        "h2", IndexConfig(**cfg), mesh=make_mesh2d(2, 4)
+    )
+    assert hier.n_shards == flat.n_shards == 8
+    flat.add_batch(names, data)
+    hier.add_batch(names, data)
+
+    for kw in (
+        dict(engine="graph", ef_search=32),
+        dict(engine="scan"),
+        dict(engine="scan-approx"),
+    ):
+        a = flat.search_batch(queries, k, **kw)
+        b = hier.search_batch(queries, k, **kw)
+        assert [[(r.name, r.sim) for r in row] for row in a] == [
+            [(r.name, r.sim) for r in row] for row in b
+        ], kw
+
+    # columnar decode uses the row-major global-id encoding; pin it
+    an, asim = flat.search_batch(queries, k, reply="columnar")
+    bn, bsim = hier.search_batch(queries, k, reply="columnar")
+    assert an.tolist() == bn.tolist()
+    np.testing.assert_array_equal(asim, bsim)
