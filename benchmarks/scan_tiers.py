@@ -4,6 +4,8 @@ Restores a staged checkpoint (benchmarks/million.py build) and measures
 the four scan-engine operating points at B=2048, k=10:
 
     exact        f32 selection + exact top_k          (recall 1.0)
+    certified    approx select + counting certificate (recall 1.0,
+                 byte-identical to exact; fallback %% recorded)
     approx       f32 selection + oversampled approx_max_k
     bf16         bf16 selection + exact top_k
     bf16+approx  bf16 selection + oversampled approx_max_k
@@ -64,23 +66,36 @@ def main() -> None:
     qd = jnp.asarray(queries)
     truth = snapshot_truth(idx, queries[:256], K)
 
+    from redis_hnsw_tpu.ops import scan as SC
+
     out = {"n": n, "dim": queries.shape[1], "b": 2048, "k": K}
-    for label, engine, dt_env in (
-        ("exact", "scan", "f32"),
-        ("approx", "scan-approx", "f32"),
-        ("bf16", "scan", "bf16"),
-        ("bf16_approx", "scan-approx", "bf16"),
-        ("int8", "scan", "int8"),
-        ("int8_approx", "scan-approx", "int8"),
+    for label, engine, dt_env, cert in (
+        ("exact", "scan", "f32", "0"),
+        ("certified", "scan", "f32", "1"),
+        ("approx", "scan-approx", "f32", "0"),
+        ("bf16", "scan", "bf16", "0"),
+        ("bf16_approx", "scan-approx", "bf16", "0"),
+        ("int8", "scan", "int8", "0"),
+        ("int8_approx", "scan-approx", "int8", "0"),
     ):
         os.environ["REDIS_HNSW_TPU_SCAN_DTYPE"] = dt_env
+        os.environ["REDIS_HNSW_TPU_SCAN_CERT"] = cert
+        q0, f0 = SC.CERT_STATS["queries"], SC.CERT_STATS["fallback_queries"]
         try:
             out[label] = measure(idx, qd, engine, truth)
+            if cert == "1":
+                out[label]["cert_fallback_pct"] = round(
+                    100.0
+                    * (SC.CERT_STATS["fallback_queries"] - f0)
+                    / max(SC.CERT_STATS["queries"] - q0, 1),
+                    3,
+                )
             print(f"{label}: {out[label]}", flush=True)
         except Exception as e:  # OOM at this scale is a finding too
             out[label] = {"error": repr(e)}
             print(f"{label}: {e!r}", flush=True)
     os.environ.pop("REDIS_HNSW_TPU_SCAN_DTYPE", None)
+    os.environ.pop("REDIS_HNSW_TPU_SCAN_CERT", None)
 
     line = json.dumps(out)
     print(line, flush=True)

@@ -61,6 +61,14 @@ def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str,
             cached = (index._epoch, SC._to_bf16(vecs))
             index._tier_cache = cached
         table = cached[1]
+    if table is None and not approx and SC.cert_enabled(
+        int(vecs.shape[0])
+    ):
+        # certified-exact select (ops/scan.py): byte-identical to the
+        # exact top_k path, several-fold cheaper at capacity scale
+        return SC.certified_topk_l2(
+            vecs, sqn, valid, queries, k=k, n_q=int(queries.shape[0])
+        )
     return SC.scan_topk_exact_l2(vecs, sqn, valid, queries, k=k,
                                  approx=approx, table=table)
 

@@ -297,6 +297,187 @@ def scan_topk_exact_l2(
     return ids, sims
 
 
+# -- certified-exact selection ------------------------------------------------
+#
+# The exact scan is SELECT-bound: per chunk, lax.top_k over [2048, 2^19]
+# f32 is ~52ms while the fused approx_max_k dot+select is 8.3ms (PLAN.md,
+# measured on the v5e). The certified path buys back most of that gap
+# WITHOUT giving up the exact contract: it selects with the oversampled
+# approx pass, then PROVES per query that the true top-k was captured
+# with a cheap counting pass (recompute the chunk scores -- the matmul is
+# ~2ms, the select was the cost -- and count rows scoring above the k-th
+# selected score; masked sums, no top_k). A query is certified exact iff
+#
+#     count_all(score >  t) == count_selected(score >  t)   and
+#     count_all(score == t) == count_selected(score == t)
+#
+# where t is its k-th selected (matmul-form) score: the first equality
+# proves no unselected row beats t, the second that the whole tie class
+# at t was captured (so tie membership matches the stable exact top_k).
+# Uncertified queries (measured ~1% of a batch at 1M rows: the approx
+# tier's ~0.999 recall floor, per result) fall back to the exact top_k
+# path host-side in a small bucket-padded rerun. Selection "exact" means
+# exact over the SAME matmul-form scores the plain exact path selects
+# by; both passes run the identical dot_general shape, so the recomputed
+# scores are bit-identical on TPU (fixed tiling => fixed accumulation
+# order). REDIS_HNSW_TPU_SCAN_CERT=0 kills the path; =1 forces it at any
+# size (default: engage at >= CERT_MIN_ROWS, where top_k starts to
+# dominate). f32 euclidean only: the bf16/int8 tiers are approximate by
+# declaration, and hamming's integer sims tie so heavily that the tie
+# equality would fall back constantly (its exact int8-matmul scan is
+# already cheap).
+
+CERT_MIN_ROWS = 1 << 19
+
+# Observability for tests and benchmarks: batches served by the
+# certified path, and how many queries needed the exact fallback.
+CERT_STATS = {"batches": 0, "queries": 0, "fallback_queries": 0}
+
+
+def cert_enabled(n_rows: int) -> bool:
+    v = os.environ.get("REDIS_HNSW_TPU_SCAN_CERT", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    if v == "auto":
+        return n_rows >= CERT_MIN_ROWS
+    raise ValueError(f"REDIS_HNSW_TPU_SCAN_CERT={v!r}")
+
+
+def _count_vs_threshold(vecs, sqn, live, q, qq, t):
+    """Per-query counts of live rows scoring (>, ==) threshold ``t``
+    in matmul form -- the certificate's second pass. Mirrors
+    scan_topk's chunk structure (one lax.scan at capacity scale) and
+    shares _chunk_scores so the score formulation is identical."""
+    B, N = q.shape[0], vecs.shape[0]
+    n_chunk = min(CHUNK_N, N)
+    kw = dict(metric="euclidean", d_bits=None, qq=qq, qscale=None)
+
+    def acc(c_gt, c_eq, rows, sq, lv):
+        scores = _chunk_scores(q, rows, sq, None, **kw)
+        scores = jnp.where(lv[None, :], scores, NEG_INF)
+        c_gt = c_gt + jnp.sum(
+            scores > t[:, None], axis=1, dtype=jnp.int32
+        )
+        c_eq = c_eq + jnp.sum(
+            scores == t[:, None], axis=1, dtype=jnp.int32
+        )
+        return c_gt, c_eq
+
+    c_gt = jnp.zeros((B,), jnp.int32)
+    c_eq = jnp.zeros((B,), jnp.int32)
+    n_full, rem = divmod(N, n_chunk)
+    if n_full >= SCAN_LOOP_MIN_CHUNKS:
+        nc = n_full * n_chunk
+        xs = (
+            vecs[:nc].reshape(n_full, n_chunk, vecs.shape[1]),
+            sqn[:nc].reshape(n_full, n_chunk),
+            live[:nc].reshape(n_full, n_chunk),
+        )
+
+        def body(carry, x):
+            return acc(carry[0], carry[1], *x), None
+
+        (c_gt, c_eq), _ = jax.lax.scan(body, (c_gt, c_eq), xs)
+        tail = [(nc, N)] if rem else []
+    else:
+        tail = [
+            (lo, min(lo + n_chunk, N)) for lo in range(0, N, n_chunk)
+        ]
+    for lo, hi in tail:
+        c_gt, c_eq = acc(
+            c_gt, c_eq, vecs[lo:hi], sqn[lo:hi], live[lo:hi]
+        )
+    return c_gt, c_eq
+
+
+def certified_local(vecs, sqn, live, queries, *, k: int):
+    """Traced core of the certified path: approx select + counting
+    certificate + exact direct-form rescore. Returns
+    ``(ids, sims, ok)`` with the rescored (-sim, id)-ordered reply and
+    the [B] bool certificate verdicts. Shared by the single-chip jit
+    below and the per-shard ``shard_map`` local
+    (parallel/sharded.py:_sharded_scan_cert_jit), so both certify over
+    the identical score formulation."""
+    ids, sims = scan_topk(
+        vecs, sqn, live, queries, k=k, metric="euclidean", approx=True
+    )
+    t = sims[:, -1]
+    s_gt = jnp.sum(sims > t[:, None], axis=1, dtype=jnp.int32)
+    s_eq = jnp.sum(sims == t[:, None], axis=1, dtype=jnp.int32)
+    qf = queries.astype(jnp.float32)
+    qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    c_gt, c_eq = _count_vs_threshold(vecs, sqn, live, qf, qq, t)
+    ok = (t == NEG_INF) | ((c_gt == s_gt) & (c_eq == s_eq))
+    sims = D.exact_neg_sq_l2(
+        queries, vecs, jnp.maximum(ids, 0), sims != NEG_INF
+    )
+    ids, sims = D.resort_desc(ids, sims)
+    return ids, sims, ok
+
+
+@partial(jax.jit, static_argnames=("k", "pack"))
+def scan_certified_l2(vecs, sqn, live, queries, *, k: int, pack=False):
+    """Approx-selected, certificate-checked euclidean top-k.
+
+    Returns ``(reply, ok)`` where ``reply`` matches
+    :func:`scan_topk_exact_l2`'s contract (exact direct-form rescored
+    sims, (-sim, id) order, optionally packed) and ``ok`` is a [B] bool:
+    True = that query's selection is PROVABLY the exact matmul-form
+    top-k (see the certificate above); False = the caller must rerun it
+    through the exact path. Queries whose k-th slot is empty
+    (t == -inf: fewer than k live rows) got everything and are
+    trivially certified."""
+    ids, sims, ok = certified_local(vecs, sqn, live, queries, k=k)
+    if pack:
+        packed = jnp.concatenate(
+            [ids, jax.lax.bitcast_convert_type(sims, jnp.int32)], axis=1
+        )
+        return packed, ok
+    return (ids, sims), ok
+
+
+def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
+                      pack: bool = False):
+    """Host wrapper around :func:`scan_certified_l2`: runs the
+    certified pass, then re-serves any uncertified queries through the
+    exact top_k path (bucket-padded so rerun program shapes stay few).
+    The result is byte-identical to scan_topk_exact_l2 on every query.
+    ``qd`` is the (padded) device query block; ``n_q`` the real query
+    count. Returns the packed [n_q, 2k] int32 reply (``pack``) or
+    ``(ids, sims)`` numpy arrays."""
+    packed, ok = scan_certified_l2(vecs, sqn, live, qd, k=k, pack=True)
+    packed = np.asarray(packed[:n_q])
+    okh = np.asarray(ok[:n_q])
+    CERT_STATS["batches"] += 1
+    CERT_STATS["queries"] += n_q
+    if not okh.all():
+        bad = np.flatnonzero(~okh)
+        CERT_STATS["fallback_queries"] += len(bad)
+        if len(bad) * 4 > n_q:
+            # pathological (tie-heavy / adversarial) data: the whole
+            # batch is cheaper than many bucketed reruns
+            full = scan_topk_exact_l2(vecs, sqn, live, qd, k=k, pack=True)
+            packed = np.asarray(full[:n_q])
+        else:
+            b_pad = 8
+            while b_pad < len(bad):
+                b_pad *= 2
+            sel = np.zeros(b_pad, np.int32)
+            sel[: len(bad)] = bad
+            q_bad = jnp.take(qd, jnp.asarray(sel), axis=0)
+            pb = scan_topk_exact_l2(
+                vecs, sqn, live, q_bad, k=k, pack=True
+            )
+            packed[bad] = np.asarray(pb[: len(bad)])
+    if pack:
+        return packed
+    ids = packed[:, :k]
+    sims = np.ascontiguousarray(packed[:, k:]).view(np.float32)
+    return ids, sims
+
+
 # -- host-side engine wrapper -------------------------------------------------
 
 def _scan_state(index):
@@ -374,6 +555,17 @@ def scan_batch(index, qs, k: int, approx: bool = False):
             table, sqn, live, qd, k=k_eff, metric="hamming", pack=True,
             approx=approx,
         )
+    elif (
+        not approx and tscale is None and table is vecs
+        and cert_enabled(int(vecs.shape[0]))
+    ):
+        # certified-exact: approx select + counting certificate + exact
+        # fallback for uncertified queries -- byte-identical results,
+        # several-fold cheaper select at capacity scale (see above)
+        ids, sims = certified_topk_l2(
+            vecs, sqn, live, qd, k=k_eff, n_q=n_q
+        )
+        return ids, sims
     else:
         packed = scan_topk_exact_l2(
             vecs, sqn, live, qd, k=k_eff, pack=True, approx=approx,

@@ -251,6 +251,60 @@ def _sharded_scan_jit(
     return top_gids, top_sims
 
 
+@partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
+    """Certified-exact sharded scan: per-shard approx select + counting
+    certificate (ops/scan.py:certified_local) + the same all-gather
+    top-k merge as :func:`_sharded_scan_jit`.
+
+    Returns ``(gids, sims, ok)``. The merged top-k of exact per-shard
+    top-ks is the exact global top-k, so ``ok`` (the AND of every
+    shard's per-query verdict, one psum per mesh axis) certifies the
+    MERGED result: True rows are byte-identical to the exact sharded
+    scan; False rows must be re-served by the caller
+    (ShardedHNSW.search_batch). f32 euclidean only, like the
+    single-chip path."""
+    from ..ops.scan import certified_local
+
+    n_pad = vecs.shape[1]
+    axes = mesh.axis_names
+    hierarchical = len(axes) > 1
+
+    def local(vecs, sqn, live, queries):
+        ids, sims, ok = certified_local(
+            vecs[0], sqn[0], live[0], queries, k=k
+        )
+        s = _shard_index(mesh)
+        gids = jnp.where(ids >= 0, s * n_pad + ids, -1)
+        bad = (~ok).astype(jnp.int32)
+        for ax in axes:
+            bad = jax.lax.psum(bad, ax)
+        ok = bad == 0
+        if hierarchical:
+            for ax in reversed(axes):
+                gids, sims = _merge_topk_over(gids, sims, k, ax)
+            return gids, sims, ok
+        return gids[None], sims[None], ok
+
+    spec = P(axes)
+    out_spec = P() if hierarchical else spec
+    gids, sims, ok = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=(out_spec, out_spec, P()),
+        check_vma=not hierarchical,  # see _sharded_search_jit
+    )(vecs, sqn, live, queries)
+    if hierarchical:
+        return gids, sims, ok
+    S = gids.shape[0]
+    B = queries.shape[0]
+    flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
+    flat_gids = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
+    top_sims, idx = jax.lax.top_k(flat_sims, k)
+    top_gids = jnp.take_along_axis(flat_gids, idx, axis=1)
+    return top_gids, top_sims, ok
+
+
 class ShardedHNSW:
     """S independent sub-indexes presented as one index."""
 
@@ -532,8 +586,12 @@ class ShardedHNSW:
             table = vecs
         sh = NamedSharding(self.mesh, P(self.mesh.axis_names))
         put = lambda x: jax.device_put(jnp.asarray(x), sh)
+        vecs_dev = put(vecs)
+        # preserve table-is-vecs identity in the f32 tier: the cert
+        # path (search_batch) keys exactness off it
+        table_dev = vecs_dev if table is vecs else put(table)
         out = (
-            put(table), put(vecs), put(sqn), put(jnp.asarray(live_np)),
+            table_dev, vecs_dev, put(sqn), put(jnp.asarray(live_np)),
             None if tscale is None else put(tscale),
         )
         self._scan_stacked = out
@@ -602,7 +660,11 @@ class ShardedHNSW:
         runs the oversampled approx_max_k scan per shard. All merge
         with the same single all-gather top-k, and the bf16 scan tier
         (REDIS_HNSW_TPU_SCAN_DTYPE) applies per shard exactly as on
-        one chip. ``reply="columnar"`` returns (names, sims) arrays
+        one chip. The f32 exact scan rides the certified-exact select
+        when engaged (ops/scan.py cert_enabled, judged on the per-shard
+        padded rows): per-shard certificates AND across the mesh, and
+        uncertified queries re-serve through the exact sharded scan --
+        results stay byte-identical to it. ``reply="columnar"`` returns (names, sims) arrays
         like the single-chip path. ``seeds`` > 0 seeds each shard's
         graph beam with that many per-lane pivot entrypoints (scan
         engines ignore it, matching single-chip). ``recall_target``
@@ -645,14 +707,54 @@ class ShardedHNSW:
             and shard_pad <= SCAN_MAX_ROWS.get(self.config.metric, 0)
         )
         if use_scan:
+            from ..ops import scan as SC
+
             table, vecs, sqn, live, tscale = self._scan_stack()
             n_pad = self._scan_npad
             k_eff = min(int(k), n_pad)
-            gids, sims = _sharded_scan_jit(
-                table, vecs, sqn, live, tscale, qs_dev,
-                k=k_eff, metric=self.config.metric, mesh=self.mesh,
-                approx=engine == "scan-approx",
+            use_cert = (
+                engine != "scan-approx"
+                and self.config.metric == "euclidean"
+                and tscale is None and table is vecs
+                and SC.cert_enabled(n_pad)
             )
+            if use_cert:
+                # certified-exact per shard (ops/scan.py): byte-
+                # identical to the exact sharded scan; uncertified
+                # queries re-served below through the exact path
+                gids, sims, ok = _sharded_scan_cert_jit(
+                    vecs, sqn, live, qs_dev, k=k_eff, mesh=self.mesh
+                )
+                gids = np.array(gids)  # writable: fallback splices rows
+                sims = np.array(sims)
+                okh = np.asarray(ok[:n_q])
+                SC.CERT_STATS["batches"] += 1
+                SC.CERT_STATS["queries"] += n_q
+                if not okh.all():
+                    bad = np.flatnonzero(~okh)
+                    SC.CERT_STATS["fallback_queries"] += len(bad)
+                    bp = 8
+                    while bp < len(bad):
+                        bp *= 2
+                    sel = np.zeros(bp, np.intp)
+                    sel[: len(bad)] = bad
+                    q_bad = jax.device_put(
+                        jnp.asarray(qs[sel]),
+                        NamedSharding(self.mesh, P()),
+                    )
+                    gb, sb = _sharded_scan_jit(
+                        table, vecs, sqn, live, tscale, q_bad,
+                        k=k_eff, metric=self.config.metric,
+                        mesh=self.mesh, approx=False,
+                    )
+                    gids[bad] = np.asarray(gb[: len(bad)])
+                    sims[bad] = np.asarray(sb[: len(bad)])
+            else:
+                gids, sims = _sharded_scan_jit(
+                    table, vecs, sqn, live, tscale, qs_dev,
+                    k=k_eff, metric=self.config.metric, mesh=self.mesh,
+                    approx=engine == "scan-approx",
+                )
         else:
             stacked = self._stack()
             n_pad = self._stacked_npad

@@ -384,6 +384,105 @@ def test_scan_chunk_loop_lax_scan(rng):
         S.scan_topk_exact_l2.clear_cache()
 
 
+def test_scan_certified_matches_exact(rng, monkeypatch):
+    """Certified-exact select (REDIS_HNSW_TPU_SCAN_CERT=1): results are
+    byte-identical to the exact top_k path -- certified queries by the
+    counting proof, uncertified ones via the exact fallback rerun --
+    and the stats counters record the batch."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    idx, oracle, data, _ = _build(rng, n=900)
+    queries = rng.standard_normal((32, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")  # auto: cert off at 900 rows
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    before = dict(S.CERT_STATS)
+    got = idx.search_batch(queries, 10, engine="scan")
+    assert S.CERT_STATS["batches"] == before["batches"] + 1
+    assert S.CERT_STATS["queries"] == before["queries"] + 32
+    for b in range(32):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+    # recall_target=1.0 rides the same certified path
+    got_rt = idx.search_batch(queries, 10, recall_target=1.0)
+    for b in range(32):
+        assert [r.name for r in got_rt[b]] == [r.name for r in want[b]]
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "2")
+    with pytest.raises(ValueError, match="SCAN_CERT"):
+        idx.search_batch(queries, 10, engine="scan")
+
+
+def test_scan_certified_tie_fallback(rng, monkeypatch):
+    """Adversarial ties (every row duplicated 8x): the tie-class count
+    in the certificate must refuse to certify truncated tie classes and
+    fall back to the exact path -- results identical to exact top_k
+    (same tie members, lowest ids)."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    base = rng.standard_normal((60, 24)).astype(np.float32)
+    data = np.repeat(base, 8, axis=0)
+    names = [f"n{i}" for i in range(480)]
+    idx = HNSWIndex(
+        "ct", IndexConfig(dim=24, m=8, ef_construction=48, seed=5)
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    before = S.CERT_STATS["fallback_queries"]
+    got = idx.search_batch(queries, 10, engine="scan")
+    # top-10 always truncates an 8-member tie class -> every query
+    # must have been re-served by the exact fallback
+    assert S.CERT_STATS["fallback_queries"] >= before + 16
+    for b in range(16):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+
+
+def test_scan_certified_deletes_and_edges(rng, monkeypatch):
+    """Certified path: deletes stay masked; k > live rows certifies
+    trivially (t = -inf); the flat index rides the same path; the
+    chunked lax.scan count pass is byte-identical to unrolled."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    idx, oracle, data, names = _build(rng, n=300)
+    for i in range(0, 300, 2):
+        idx.delete_node(f"n{i}")
+    res = idx.search_batch(data[:8], 5, engine="scan")
+    surviving = {f"n{i}" for i in range(1, 300, 2)}
+    for r in res:
+        assert len(r) == 5
+        assert all(item.name in surviving for item in r)
+    small, _, sdata, _ = _build(rng, n=12)
+    for r in small.search_batch(sdata[:2], 40, engine="scan"):
+        assert len(r) == 12
+    queries = rng.standard_normal((8, 24)).astype(np.float32)
+    want = oracle.search_batch(queries, 10)
+    got = oracle.search_batch(queries, 10)  # flat: certified path
+    for b in range(8):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+    # capacity-scale shape: the count pass lowers to one lax.scan
+    old = S.CHUNK_N
+    S.CHUNK_N = 128
+    for f in (S.scan_topk, S.scan_topk_exact_l2, S.scan_certified_l2):
+        f.clear_cache()
+    try:
+        got2 = oracle.search_batch(queries, 10)
+        for b in range(8):
+            assert [(r.sim, r.name) for r in got2[b]] == [
+                (r.sim, r.name) for r in want[b]
+            ]
+    finally:
+        S.CHUNK_N = old
+        for f in (S.scan_topk, S.scan_topk_exact_l2,
+                  S.scan_certified_l2):
+            f.clear_cache()
+
+
 def test_recall_target_routing(rng):
     """recall_target is a guarantee: above the approx tier's measured
     floor "auto" pins the exact scan (even past the auto crossover);

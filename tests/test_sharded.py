@@ -352,3 +352,46 @@ def test_hierarchical_2d_mesh_matches_1d(rng):
     bn, bsim = hier.search_batch(queries, k, reply="columnar")
     assert an.tolist() == bn.tolist()
     np.testing.assert_array_equal(asim, bsim)
+
+
+def test_sharded_certified_scan(rng, monkeypatch):
+    """Certified-exact sharded scan (REDIS_HNSW_TPU_SCAN_CERT=1):
+    byte-identical to the exact sharded scan on 1-D and 2-D meshes;
+    per-query certificate ANDed across shards; tie-heavy queries fall
+    back through the exact sharded path and still match."""
+    import redis_hnsw_tpu.ops.scan as S
+    from redis_hnsw_tpu.parallel import make_mesh2d
+
+    dim, n, k = 16, 840, 10
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    # duplicate a slab 6x so some queries truncate a tie class
+    data[300:600] = np.repeat(data[300:350], 6, axis=0)
+    names = [f"n{i}" for i in range(n)]
+    cfg = dict(dim=dim, m=6, ef_construction=48, seed=1)
+    queries = np.concatenate(
+        [rng.standard_normal((12, dim)).astype(np.float32),
+         data[310:314]]  # dead-center on the duplicated slab
+    )
+    for mesh in (make_mesh(8), make_mesh2d(2, 4)):
+        idx = ShardedHNSW("cs", IndexConfig(**cfg), mesh=mesh)
+        idx.add_batch(names, data, batch_size=256)
+        monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT", raising=False)
+        want = idx.search_batch(queries, k, engine="scan")
+        monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+        before = dict(S.CERT_STATS)
+        got = idx.search_batch(queries, k, engine="scan")
+        assert S.CERT_STATS["batches"] == before["batches"] + 1
+        assert S.CERT_STATS["queries"] == before["queries"] + 16
+        for b in range(16):
+            assert [(r.sim, r.name) for r in got[b]] == [
+                (r.sim, r.name) for r in want[b]
+            ], b
+        # recall_target=1.0 routes through the same certified path
+        got_rt = idx.search_batch(queries, k, recall_target=1.0)
+        for b in range(16):
+            assert [r.name for r in got_rt[b]] == [
+                r.name for r in want[b]
+            ]
+    # the duplicated-slab queries truncate a 6-member tie class ->
+    # at least those must have been re-served by the exact fallback
+    assert S.CERT_STATS["fallback_queries"] > 0
