@@ -259,6 +259,27 @@ def _bench_one(
         f"{scan_gbps:.0f} GB/s)"
     )
 
+    # -- ids-only reply (REDIS_HNSW_TPU_REPLY=ids): transfer the [B, k]
+    # id block alone, rescore sims host-side in exact direct form --
+    # the euclidean analog of the hamming one-word reply, aimed at the
+    # measured reply-D2H share of the batch wall (ops/scan.py). Same
+    # results; measured separately so the delta is the wire bytes.
+    ids_qps = None
+    if idx.config.metric == "euclidean":
+        os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
+        try:
+            idx.search_batch(q_dev, k, reply="columnar",
+                             host_qs=queries)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                idx.search_batch(q_dev, k, reply="columnar",
+                                 host_qs=queries)
+            ids_qps = n_queries / ((time.perf_counter() - t0) / reps)
+        finally:
+            os.environ.pop("REDIS_HNSW_TPU_REPLY", None)
+        log(f"[{name}] auto engine, ids-only reply: {ids_qps:.0f} qps "
+            f"({ids_qps / auto_qps:.2f}x the full reply)")
+
     # -- approx-select tier (oversampled approx_max_k, exact re-reduce;
     # the 2.4-3.9x lever at >=1M rows, artifacts/scan_tiers.json --
     # recorded here at bench scale for the trend)
@@ -282,6 +303,7 @@ def _bench_one(
     return {
         "qps": auto_qps, "recall": auto_recall,
         "graph_qps": graph_qps, "graph_recall": graph_recall,
+        "ids_reply_qps": ids_qps,
         "scan_approx_qps": ap_qps, "scan_approx_recall": ap_recall,
         "ef": ef, "iters": iters,
         "build_s": build_s, "build_warm_s": build_warm_s,
@@ -378,6 +400,10 @@ def main():
             "graph_recall": round(r["graph_recall"], 4),
             "scan_approx_qps": round(r["scan_approx_qps"], 1),
             "scan_approx_recall": round(r["scan_approx_recall"], 4),
+            "ids_reply_qps": (
+                None if r["ids_reply_qps"] is None
+                else round(r["ids_reply_qps"], 1)
+            ),
             "hbm_gbps": round(r["hbm_gbps"], 1),
             "pct_peak": round(r["pct_peak"], 1),
             "build_s": round(r["build_s"], 1),
@@ -416,6 +442,10 @@ def main():
                 "graph_recall": round(r["graph_recall"], 4),
                 "scan_approx_qps": round(r["scan_approx_qps"], 1),
                 "scan_approx_recall": round(r["scan_approx_recall"], 4),
+                "ids_reply_qps": (
+                    None if r["ids_reply_qps"] is None
+                    else round(r["ids_reply_qps"], 1)
+                ),
                 "hbm_gbps": round(r["hbm_gbps"], 1),
                 "pct_peak": round(r["pct_peak"], 1),
                 "build_s": round(r["build_s"], 1),

@@ -241,6 +241,7 @@ class HNSW:
         reply: str = "objects",
         seeds: int = 0,
         recall_target: float | None = None,
+        host_qs=None,
     ) -> list[list[SearchResult]]:
         """Batched device search. ``engine`` routes between the exact
         MXU scan and the graph traversal ("auto" picks by the measured
@@ -262,12 +263,12 @@ class HNSW:
                     )
                 return idx.search_batch(
                     queries, k, approx=engine == "scan-approx",
-                    recall_target=recall_target,
+                    recall_target=recall_target, host_qs=host_qs,
                 )
             return idx.search_batch(
                 queries, k, ef_search=ef_search, expand=expand,
                 iters=iters, engine=engine, reply=reply, seeds=seeds,
-                recall_target=recall_target,
+                recall_target=recall_target, host_qs=host_qs,
             )
 
 

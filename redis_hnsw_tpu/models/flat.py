@@ -265,7 +265,11 @@ class FlatIndex:
     def search_batch(
         self, queries, k: int, use_pallas: bool = False,
         approx: bool = False, recall_target: float | None = None,
+        host_qs=None,
     ) -> list[list[SearchResult]]:
+        # host_qs optionally mirrors device-resident ``queries`` on the
+        # host: the int8-resident tier rescores host-side and otherwise
+        # has to pull the query block back over the link.
         # recall_target follows the shared guarantee rule: targets at
         # or below the approx tier's measured floor ride the tier,
         # anything above it stays exact (ops/search.py resolve_engine).
@@ -306,16 +310,19 @@ class FlatIndex:
                 vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
                 metric="euclidean", tscale=tscale, approx=approx,
             )
+            # only the id block crosses the link: invalid slots carry
+            # id -1 (scan_topk), and the sims are recomputed host-side
+            # below anyway -- the [B, k] f32 selection sims and (with a
+            # host_qs mirror) the query block stay on device
             ids = np.asarray(ids)
-            sims = np.asarray(sims)
-            qs_np = np.asarray(qs, np.float32)
-            ids_safe = np.where(
-                np.isneginf(sims), 0, np.maximum(ids, 0)
+            invalid = ids < 0
+            qs_np = np.asarray(
+                qs if host_qs is None else host_qs, np.float32
             )
-            diff = qs_np[:, None, :] - self._vectors[ids_safe]
-            exact = -np.einsum("bkd,bkd->bk", diff, diff)
+            ids_safe = np.where(invalid, 0, ids)
+            exact = SC.neg_sq_rows(self._vectors[ids_safe], qs_np)
             sims = np.where(
-                np.isneginf(sims), sims, exact.astype(np.float32)
+                invalid, np.float32(-np.inf), exact.astype(np.float32)
             )
             order = np.lexsort((ids, -sims), axis=-1)
             ids = np.take_along_axis(ids, order, -1)

@@ -687,7 +687,7 @@ class HNSWIndex:
         self, queries, k: int, ef_search: int | None = None,
         expand: int = 1, iters: int | None = None, engine: str = "auto",
         reply: str = "objects", seeds: int = 0,
-        recall_target: float | None = None,
+        recall_target: float | None = None, host_qs=None,
     ) -> list[list[SearchResult]]:
         """Batched device search. See ops/search.py.
 
@@ -701,11 +701,14 @@ class HNSWIndex:
         ``recall_target`` makes the "auto" route a guarantee (exact
         scan above the approx tier's measured floor, the tier at or
         below it -- ops/search.py resolve_engine).
+        ``host_qs`` optionally mirrors device-resident ``queries`` on
+        the host so REDIS_HNSW_TPU_REPLY=ids can rescore sims
+        host-side (ops/scan.py reply_ids_only); ignored otherwise.
         """
         from ..ops.search import search_batch as _search_batch
 
         return _search_batch(
             self, queries, k, ef_search=ef_search, expand=expand,
             iters=iters, engine=engine, reply=reply, seeds=seeds,
-            recall_target=recall_target,
+            recall_target=recall_target, host_qs=host_qs,
         )

@@ -439,16 +439,20 @@ def scan_certified_l2(vecs, sqn, live, queries, *, k: int, pack=False):
 
 
 def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
-                      pack: bool = False):
+                      pack: bool = False, ids_only: bool = False):
     """Host wrapper around :func:`scan_certified_l2`: runs the
     certified pass, then re-serves any uncertified queries through the
     exact top_k path (bucket-padded so rerun program shapes stay few).
     The result is byte-identical to scan_topk_exact_l2 on every query.
     ``qd`` is the (padded) device query block; ``n_q`` the real query
-    count. Returns the packed [n_q, 2k] int32 reply (``pack``) or
-    ``(ids, sims)`` numpy arrays."""
+    count. Returns the packed [n_q, 2k] int32 reply (``pack``),
+    ``(ids, sims)`` numpy arrays, or just the [n_q, k] ids
+    (``ids_only`` -- the ids-reply mode: half the D2H bytes, caller
+    rescores sims host-side via :func:`host_exact_sims`)."""
     packed, ok = scan_certified_l2(vecs, sqn, live, qd, k=k, pack=True)
-    packed = np.asarray(packed[:n_q])
+    # np.array (copy), not asarray: zero-copy views of device buffers
+    # are read-only and the fallback below splices rows in place
+    packed = np.array(packed[:n_q, :k] if ids_only else packed[:n_q])
     okh = np.asarray(ok[:n_q])
     CERT_STATS["batches"] += 1
     CERT_STATS["queries"] += n_q
@@ -459,7 +463,9 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
             # pathological (tie-heavy / adversarial) data: the whole
             # batch is cheaper than many bucketed reruns
             full = scan_topk_exact_l2(vecs, sqn, live, qd, k=k, pack=True)
-            packed = np.asarray(full[:n_q])
+            packed = np.asarray(
+                full[:n_q, :k] if ids_only else full[:n_q]
+            )
         else:
             b_pad = 8
             while b_pad < len(bad):
@@ -470,12 +476,66 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
             pb = scan_topk_exact_l2(
                 vecs, sqn, live, q_bad, k=k, pack=True
             )
-            packed[bad] = np.asarray(pb[: len(bad)])
+            nb = len(bad)
+            packed[bad] = np.asarray(pb[:nb, :k] if ids_only else pb[:nb])
+    if ids_only:
+        return packed
     if pack:
         return packed
     ids = packed[:, :k]
     sims = np.ascontiguousarray(packed[:, k:]).view(np.float32)
     return ids, sims
+
+
+# -- ids-only replies (host exact rescore) ------------------------------------
+#
+# On high-latency links the reply D2H dominates the batch wall at high
+# qps (measured: the [B, 2k] packed reply is 160KB ~= 53ms of a 109ms
+# B=2048 search over this box's ~3MB/s tunnel). Hamming already packs
+# one int32 per result because its distance is a small integer; the
+# euclidean analog is to transfer ONLY the [B, k] id block and
+# recompute the k sims on the host in exact direct form -- the
+# reference's own kernel formulation (metrics.rs:79-84) over the f32
+# rows the host already holds (index._vectors). Result ORDER is still
+# decided by the device's exact rescore (unchanged); only the sims
+# bytes drop off the wire. B=2048 x k=10 is 20k rows x D flops on the
+# host -- ~2ms via torch at 128d, noise next to the transfer saved.
+# Opt-in: REDIS_HNSW_TPU_REPLY=ids, honored when the caller can supply
+# host-resident queries for free (numpy input, or the host_qs mirror
+# serving paths hold anyway).
+
+
+def reply_ids_only() -> bool:
+    v = os.environ.get("REDIS_HNSW_TPU_REPLY", "full")
+    if v not in ("full", "ids"):
+        raise ValueError(f"REDIS_HNSW_TPU_REPLY={v!r}")
+    return v == "ids"
+
+
+def neg_sq_rows(v, q):
+    """-||q - v||^2 for prefetched rows ``v`` [B, k, D] vs ``q``
+    [B, D] f32, on the host. torch when available (this box's numpy
+    has no tuned BLAS; torch is ~4x faster even for the elementwise
+    form), numpy otherwise."""
+    try:
+        import torch
+
+        d = torch.from_numpy(np.ascontiguousarray(v))
+        d = d - torch.from_numpy(q)[:, None, :]
+        return -(d * d).sum(-1).numpy()
+    except ImportError:  # pragma: no cover - torch is baked in here
+        d = v - q[:, None, :]
+        return -np.einsum("bkd,bkd->bk", d, d)
+
+
+def host_exact_sims(vecs_host, qs_host, ids):
+    """Exact direct-form sims of ``ids`` [B, k] rows vs ``qs_host``
+    [B, D], computed on the host from the f32 row table. Invalid ids
+    (< 0) get -inf."""
+    q = np.atleast_2d(np.asarray(qs_host, np.float32))
+    v = vecs_host[np.clip(ids, 0, len(vecs_host) - 1)]
+    sims = neg_sq_rows(v, q)
+    return np.where(ids >= 0, sims, NEG_INF).astype(np.float32)
 
 
 # -- host-side engine wrapper -------------------------------------------------
@@ -516,13 +576,24 @@ def _scan_state(index):
     return state
 
 
-def scan_batch(index, qs, k: int, approx: bool = False):
+def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
     """Batched k-NN via the scan engine; same (ids, sims) numpy
     contract as ops/search._run_search. ``approx=True`` swaps the
     per-chunk exact top_k for oversampled jax.lax.approx_max_k
     (measured ~0.999 recall, several-fold faster at big N); reported
-    sims stay exact either way."""
+    sims stay exact either way.
+
+    With REDIS_HNSW_TPU_REPLY=ids and host-resident queries available
+    (numpy ``qs``, or a ``host_qs`` mirror from the caller), euclidean
+    replies transfer only the [B, k] id block and sims are recomputed
+    host-side in exact direct form (see reply_ids_only above)."""
     table, vecs, sqn, live, metric, tscale = _scan_state(index)
+    if host_qs is None and not isinstance(qs, jax.Array):
+        host_qs = qs
+    ids_mode = (
+        metric == "euclidean" and host_qs is not None
+        and reply_ids_only()
+    )
     n_q = qs.shape[0]
     b_pad = 8
     while b_pad < n_q:
@@ -562,6 +633,11 @@ def scan_batch(index, qs, k: int, approx: bool = False):
         # certified-exact: approx select + counting certificate + exact
         # fallback for uncertified queries -- byte-identical results,
         # several-fold cheaper select at capacity scale (see above)
+        if ids_mode:
+            ids = certified_topk_l2(
+                vecs, sqn, live, qd, k=k_eff, n_q=n_q, ids_only=True
+            )
+            return ids, host_exact_sims(index._vectors, host_qs, ids)
         ids, sims = certified_topk_l2(
             vecs, sqn, live, qd, k=k_eff, n_q=n_q
         )
@@ -571,6 +647,9 @@ def scan_batch(index, qs, k: int, approx: bool = False):
             vecs, sqn, live, qd, k=k_eff, pack=True, approx=approx,
             table=None if table is vecs else table, tscale=tscale,
         )
+    if ids_mode:
+        ids = np.asarray(packed[:n_q, :k_eff])
+        return ids, host_exact_sims(index._vectors, host_qs, ids)
     packed = np.asarray(packed[:n_q])
     ids = packed[:, :k_eff]
     sims = np.ascontiguousarray(packed[:, k_eff:]).view(np.float32)

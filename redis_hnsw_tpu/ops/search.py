@@ -634,7 +634,7 @@ def search_batch(
     index, queries, k: int, ef_search: int | None = None,
     expand: int = 1, iters: int | None = None, engine: str = "auto",
     reply: str = "objects", seeds: int = 0,
-    recall_target: float | None = None,
+    recall_target: float | None = None, host_qs=None,
 ):
     """Host entry: batched k-NN over an index. Returns per-query result
     lists of models.hnsw.SearchResult, nearest first -- or, with
@@ -707,23 +707,30 @@ def search_batch(
         from .scan import scan_batch
 
         approx = engine == "scan-approx"
-        run = lambda part: scan_batch(index, part, k, approx=approx)
+        hq = host_qs if isinstance(qs, jax.Array) else qs
+        run = lambda part, hpart=None: scan_batch(
+            index, part, k, approx=approx, host_qs=hpart
+        )
     else:
+        hq = None
         pool = _pivot_pool(index, snap) if seeds > 0 else None
-        run = lambda part: _run_search(
+        run = lambda part, hpart=None: _run_search(
             snap, part, ef, k, expand, iters, seeds=seeds, pool=pool
         )
     chunk = max_lanes_for(snap.n_pad)
     if n_q > chunk:
         id_parts, sim_parts = [], []
         for lo in range(0, n_q, chunk):
-            i_p, s_p = run(qs[lo : lo + chunk])
+            i_p, s_p = run(
+                qs[lo : lo + chunk],
+                None if hq is None else hq[lo : lo + chunk],
+            )
             id_parts.append(i_p)
             sim_parts.append(s_p)
         ids = np.concatenate(id_parts)
         sims = np.concatenate(sim_parts)
     else:
-        ids, sims = run(qs)
+        ids, sims = run(qs, hq)
 
     # Assemble replies. Like the reference's search reply (src/lib.rs:
     # 484-495, types.rs:445-457) batch results carry (similarity, name)

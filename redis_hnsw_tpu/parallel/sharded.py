@@ -651,7 +651,7 @@ class ShardedHNSW:
         self, queries, k: int, ef_search: int | None = None,
         expand: int = 1, iters: int | None = None, engine: str = "auto",
         reply: str = "objects", seeds: int = 0,
-        recall_target: float | None = None,
+        recall_target: float | None = None, host_qs=None,
     ) -> list[list[SearchResult]]:
         """Batched search across all shards. ``engine`` routes like the
         single-chip path (ops/search.py SCAN_MAX_ROWS, judged per
@@ -669,7 +669,11 @@ class ShardedHNSW:
         graph beam with that many per-lane pivot entrypoints (scan
         engines ignore it, matching single-chip). ``recall_target``
         applies the single-chip guarantee rule per shard
-        (ops/search.py resolve_engine)."""
+        (ops/search.py resolve_engine). ``host_qs`` is accepted for
+        API parity with the single-chip path but unused: sharded
+        queries are always normalized host-side, so the ids-only reply
+        mode (REDIS_HNSW_TPU_REPLY=ids) needs no mirror here."""
+        from ..ops.scan import reply_ids_only as SC_reply_ids_only
         from ..ops.search import SCAN_MAX_ROWS, resolve_engine
 
         engine = resolve_engine(engine, recall_target)
@@ -769,8 +773,36 @@ class ShardedHNSW:
                 mesh=self.mesh, expand=expand, iters=iters,
                 seeds=seeds_eff,
             )
-        gids = np.asarray(gids[:n_q])
-        sims = np.asarray(sims[:n_q])
+        if (
+            isinstance(gids, jax.Array)
+            and self.config.metric == "euclidean"
+            and SC_reply_ids_only()
+        ):
+            # ids-only reply (ops/scan.py reply_ids_only): transfer the
+            # merged [B, k] gid block alone and recompute the sims in
+            # exact direct form from the per-shard HOST row tables --
+            # sharded queries are always host-resident, so the mirror
+            # is free. Order stays the device merge's; invalid slots
+            # carry gid -1 in every engine's local encoding.
+            gids = np.asarray(gids[:n_q])
+            valid = gids >= 0
+            v = np.zeros((*gids.shape, qs.shape[1]), np.float32)
+            shard_idx = np.where(valid, gids, 0) // n_pad
+            rows = np.where(valid, gids, 0) % n_pad
+            for si, shard in enumerate(self.shards):
+                m = valid & (shard_idx == si)
+                if m.any():
+                    v[m] = shard._vectors[rows[m]]
+            from ..ops.scan import neg_sq_rows
+
+            sims = np.where(
+                valid,
+                neg_sq_rows(v, qs[:n_q].astype(np.float32)),
+                -np.inf,
+            ).astype(np.float32)
+        else:
+            gids = np.asarray(gids[:n_q])
+            sims = np.asarray(sims[:n_q])
         if reply == "columnar":
             out_names = np.full(gids.shape, None, object)
             sims_np = np.asarray(sims, np.float32)

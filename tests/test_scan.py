@@ -547,3 +547,62 @@ def test_recall_target_flat_and_api(rng):
     c.add_batch("h", [f"m{i}" for i in range(200)], data)
     res = c.search_batch("h", data[:8], k=3, recall_target=1.0)
     assert [r[0].name for r in res] == [f"m{i}" for i in range(8)]
+
+
+def test_ids_reply_mode(rng, monkeypatch):
+    """REDIS_HNSW_TPU_REPLY=ids: euclidean scan replies transfer only
+    the id block; sims are recomputed host-side in exact direct form.
+    Same names in the same order as the full reply, sims equal to f32
+    rounding, -inf slots preserved; works with numpy queries, with a
+    host_qs mirror for device-resident queries, through the certified
+    path, and on the approx tier."""
+    import jax.numpy as jnp
+
+    import redis_hnsw_tpu.ops.scan as S
+
+    idx, oracle, data, _ = _build(rng, n=400)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids")
+    got = idx.search_batch(queries, 10, engine="scan")
+    for b in range(16):
+        assert [r.name for r in got[b]] == [r.name for r in want[b]]
+        np.testing.assert_allclose(
+            [r.sim for r in got[b]], [r.sim for r in want[b]],
+            rtol=1e-6, atol=1e-5,
+        )
+    # device-resident queries + host mirror
+    qd = jnp.asarray(queries)
+    got2 = idx.search_batch(qd, 10, engine="scan", host_qs=queries)
+    for b in range(16):
+        assert [r.name for r in got2[b]] == [r.name for r in want[b]]
+    # columnar reply shape unchanged
+    names, sims = idx.search_batch(
+        queries, 10, engine="scan", reply="columnar"
+    )
+    assert names.shape == sims.shape == (16, 10)
+    # k > live rows: -inf padding slots survive the host rescore
+    small, _, sdata, _ = _build(rng, n=6)
+    rows = small.search_batch(sdata[:2], 9, engine="scan")
+    assert all(len(r) == 6 for r in rows)
+    # certified + ids compose
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    got3 = idx.search_batch(queries, 10, engine="scan")
+    for b in range(16):
+        assert [r.name for r in got3[b]] == [r.name for r in want[b]]
+    monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT")
+    # approx tier rides it too (names may differ at the floor; sims of
+    # shared names must match the exact oracle's)
+    gotap = idx.search_batch(queries, 10, engine="scan-approx")
+    by_name = [
+        {r.name: r.sim for r in want[b]} for b in range(16)
+    ]
+    for b in range(16):
+        for r in gotap[b]:
+            if r.name in by_name[b]:
+                assert abs(r.sim - by_name[b][r.name]) <= 1e-5 * (
+                    1 + abs(by_name[b][r.name])
+                )
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "nope")
+    with pytest.raises(ValueError, match="REPLY"):
+        idx.search_batch(queries, 10, engine="scan")

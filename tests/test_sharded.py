@@ -395,3 +395,35 @@ def test_sharded_certified_scan(rng, monkeypatch):
     # the duplicated-slab queries truncate a 6-member tie class ->
     # at least those must have been re-served by the exact fallback
     assert S.CERT_STATS["fallback_queries"] > 0
+
+
+def test_sharded_ids_reply_mode(rng, monkeypatch):
+    """REDIS_HNSW_TPU_REPLY=ids on the sharded index: only the merged
+    gid block crosses the link; sims recompute host-side from the
+    per-shard row tables. Same names/order as the full reply for both
+    engines, sims exact, columnar decode unchanged."""
+    dim, n, k = 16, 600, 8
+    mesh = make_mesh(8)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+    idx = ShardedHNSW(
+        "ir", IndexConfig(dim=dim, m=6, ef_construction=48, seed=2),
+        mesh=mesh,
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = rng.standard_normal((12, dim)).astype(np.float32)
+    for kw in (dict(engine="scan"), dict(engine="graph", ef_search=48)):
+        monkeypatch.delenv("REDIS_HNSW_TPU_REPLY", raising=False)
+        want = idx.search_batch(queries, k, **kw)
+        monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids")
+        got = idx.search_batch(queries, k, **kw)
+        for b in range(12):
+            assert [r.name for r in got[b]] == [
+                r.name for r in want[b]
+            ], kw
+            np.testing.assert_allclose(
+                [r.sim for r in got[b]], [r.sim for r in want[b]],
+                rtol=1e-6, atol=1e-5,
+            )
+        nm, sims = idx.search_batch(queries, k, reply="columnar", **kw)
+        assert nm.shape == sims.shape == (12, k)
