@@ -550,13 +550,17 @@ def _seed_ids_for(pool, qd, seeds: int):
 
 def _run_search(
     snap, qs, ef: int, k: int, expand: int, iters=None,
-    seeds: int = 0, pool=None,
+    seeds: int = 0, pool=None, ids_only: bool = False,
 ):
     """One padded device call; returns trimmed (ids, sims) numpy.
 
     ``qs`` may already live on device (jax.Array): callers that reuse a
     query batch should upload once with jnp.asarray and pass the device
     array -- host->device transfer otherwise re-pays per call.
+
+    ``ids_only`` transfers just the [B, k] id block and returns
+    ``(ids, None)``; the caller rescores sims host-side (the ids-reply
+    mode, ops/scan.py reply_ids_only -- empty slots carry id -1).
     """
     n_q = qs.shape[0]
     b_pad = _pad_batch(n_q)
@@ -574,8 +578,10 @@ def _run_search(
         nbrvec=snap.nbrvec, nbrsqn=snap.nbrsqn,
         qrows=snap.qrows, pack=True, seed_ids=seed_ids,
     )
-    packed = np.asarray(packed[:n_q])
     k_eff = packed.shape[1] // 2
+    if ids_only:
+        return np.asarray(packed[:n_q, :k_eff]), None
+    packed = np.asarray(packed[:n_q])
     sims = np.ascontiguousarray(packed[:, k_eff:]).view(np.float32)
     return packed[:, :k_eff], sims
 
@@ -703,20 +709,34 @@ def search_batch(
         engine == "auto"
         and snap.n_pad <= SCAN_MAX_ROWS.get(cfg.metric, 0)
     )
+    hq = host_qs if isinstance(qs, jax.Array) else qs
     if use_scan:
         from .scan import scan_batch
 
         approx = engine == "scan-approx"
-        hq = host_qs if isinstance(qs, jax.Array) else qs
         run = lambda part, hpart=None: scan_batch(
             index, part, k, approx=approx, host_qs=hpart
         )
     else:
-        hq = None
+        from .scan import host_exact_sims, reply_ids_only
+
         pool = _pivot_pool(index, snap) if seeds > 0 else None
-        run = lambda part, hpart=None: _run_search(
-            snap, part, ef, k, expand, iters, seeds=seeds, pool=pool
+        graph_ids_mode = (
+            cfg.metric == "euclidean" and hq is not None
+            and reply_ids_only()
         )
+
+        def run(part, hpart=None):
+            only = graph_ids_mode and hpart is not None
+            ids, sims = _run_search(
+                snap, part, ef, k, expand, iters, seeds=seeds,
+                pool=pool, ids_only=only,
+            )
+            if sims is None:
+                # ids-reply mode: sims host-rescored in exact direct
+                # form; order stays the device beam's (ops/scan.py)
+                sims = host_exact_sims(index._vectors, hpart, ids)
+            return ids, sims
     chunk = max_lanes_for(snap.n_pad)
     if n_q > chunk:
         id_parts, sim_parts = [], []

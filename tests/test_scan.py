@@ -606,3 +606,27 @@ def test_ids_reply_mode(rng, monkeypatch):
     monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "nope")
     with pytest.raises(ValueError, match="REPLY"):
         idx.search_batch(queries, 10, engine="scan")
+
+
+def test_ids_reply_graph_engine(rng, monkeypatch):
+    """REDIS_HNSW_TPU_REPLY=ids applies to the graph beam too: ids-only
+    transfer, host exact rescore, device beam order preserved."""
+    idx, oracle, data, _ = _build(rng, n=500)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="graph", ef_search=96)
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids")
+    got = idx.search_batch(queries, 10, engine="graph", ef_search=96)
+    for b in range(16):
+        assert [r.name for r in got[b]] == [r.name for r in want[b]]
+        np.testing.assert_allclose(
+            [r.sim for r in got[b]], [r.sim for r in want[b]],
+            rtol=1e-6, atol=1e-5,
+        )
+    # k > live rows: short rows keep identical shape to the full reply
+    small, _, sdata, _ = _build(rng, n=7)
+    a = small.search_batch(sdata[:2], 12, engine="graph", ef_search=32)
+    monkeypatch.delenv("REDIS_HNSW_TPU_REPLY")
+    b = small.search_batch(sdata[:2], 12, engine="graph", ef_search=32)
+    assert [[r.name for r in row] for row in a] == [
+        [r.name for r in row] for row in b
+    ]
