@@ -324,9 +324,7 @@ class FlatIndex:
             sims = np.where(
                 invalid, np.float32(-np.inf), exact.astype(np.float32)
             )
-            order = np.lexsort((ids, -sims), axis=-1)
-            ids = np.take_along_axis(ids, order, -1)
-            sims = np.take_along_axis(sims, order, -1)
+            ids, sims = SC.sort_reply(ids, sims)
         elif use_pallas:
             ids, sims = _scan_topk_pallas(
                 vecs, sqn, valid, jnp.asarray(qs), k=k_eff,

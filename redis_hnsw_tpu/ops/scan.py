@@ -409,7 +409,15 @@ def certified_local(vecs, sqn, live, queries, *, k: int):
     qf = queries.astype(jnp.float32)
     qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
     c_gt, c_eq = _count_vs_threshold(vecs, sqn, live, qf, qq, t)
-    ok = (t == NEG_INF) | ((c_gt == s_gt) & (c_eq == s_eq))
+    # c_gt == s_gt must hold even when t == -inf: there it asserts that
+    # EVERY live row (all score finite, so all > -inf) is among the
+    # selected -- i.e. the k-th slot is empty because fewer than k live
+    # rows exist, not because the approx selection returned short (on
+    # real TPUs approx_max_k is a bin reduction and CAN return fewer
+    # than k finite candidates while live rows were missed). Only the
+    # tie-class equality is escaped at t == -inf, where c_eq would
+    # count dead rows.
+    ok = (c_gt == s_gt) & ((t == NEG_INF) | (c_eq == s_eq))
     sims = D.exact_neg_sq_l2(
         queries, vecs, jnp.maximum(ids, 0), sims != NEG_INF
     )
@@ -417,59 +425,89 @@ def certified_local(vecs, sqn, live, queries, *, k: int):
     return ids, sims, ok
 
 
-@partial(jax.jit, static_argnames=("k", "pack"))
-def scan_certified_l2(vecs, sqn, live, queries, *, k: int, pack=False):
+@partial(jax.jit, static_argnames=("k",))
+def scan_certified_l2(vecs, sqn, live, queries, *, k: int):
     """Approx-selected, certificate-checked euclidean top-k.
 
-    Returns ``(reply, ok)`` where ``reply`` matches
-    :func:`scan_topk_exact_l2`'s contract (exact direct-form rescored
-    sims, (-sim, id) order, optionally packed) and ``ok`` is a [B] bool:
-    True = that query's selection is PROVABLY the exact matmul-form
-    top-k (see the certificate above); False = the caller must rerun it
-    through the exact path. Queries whose k-th slot is empty
-    (t == -inf: fewer than k live rows) got everything and are
-    trivially certified."""
+    Returns ``(packed, ok)`` where ``packed`` is the [B, 2k] int32
+    reply matching :func:`scan_topk_exact_l2`'s packed contract (exact
+    direct-form rescored sims, (-sim, id) order) and ``ok`` is a [B]
+    bool: True = that query's selection is PROVABLY the exact
+    matmul-form top-k (see the certificate above); False = the caller
+    must rerun it through the exact path. Queries with fewer than k
+    live rows certify through the c_gt equality (every live row
+    selected)."""
     ids, sims, ok = certified_local(vecs, sqn, live, queries, k=k)
-    if pack:
-        packed = jnp.concatenate(
-            [ids, jax.lax.bitcast_convert_type(sims, jnp.int32)], axis=1
-        )
-        return packed, ok
-    return (ids, sims), ok
+    packed = jnp.concatenate(
+        [ids, jax.lax.bitcast_convert_type(sims, jnp.int32)], axis=1
+    )
+    return packed, ok
+
+
+def pad_pow2(n: int, floor: int = 8) -> int:
+    """Smallest power of two >= n (and >= floor): the batch-padding
+    rule shared by every device entry so program shapes stay few."""
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+# Every CERT_AUDIT_EVERY-th certified batch is re-served through the
+# exact path and byte-compared (REDIS_HNSW_TPU_SCAN_CERT_AUDIT
+# overrides; 0 disables). The certificate's soundness rests on the
+# count pass recomputing the SAME matmul-form scores as the selection
+# pass -- identical _chunk_scores shapes, which fixes the MXU tiling
+# and accumulation order -- but XLA does not contractually promise
+# bit-equality across differently-fused consumers, so the audit turns
+# a hypothetical drift from silent wrongness into a counted, repaired
+# signal (CERT_STATS audits/audit_mismatches; mismatched batches are
+# served the exact result).
+CERT_AUDIT_EVERY = int(
+    os.environ.get("REDIS_HNSW_TPU_SCAN_CERT_AUDIT", "256") or 0
+)
 
 
 def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
-                      pack: bool = False, ids_only: bool = False):
+                      ids_only: bool = False):
     """Host wrapper around :func:`scan_certified_l2`: runs the
     certified pass, then re-serves any uncertified queries through the
     exact top_k path (bucket-padded so rerun program shapes stay few).
     The result is byte-identical to scan_topk_exact_l2 on every query.
     ``qd`` is the (padded) device query block; ``n_q`` the real query
-    count. Returns the packed [n_q, 2k] int32 reply (``pack``),
-    ``(ids, sims)`` numpy arrays, or just the [n_q, k] ids
-    (``ids_only`` -- the ids-reply mode: half the D2H bytes, caller
-    rescores sims host-side via :func:`host_exact_sims`)."""
-    packed, ok = scan_certified_l2(vecs, sqn, live, qd, k=k, pack=True)
+    count. Returns ``(ids, sims)`` numpy arrays, or just the [n_q, k]
+    ids (``ids_only`` -- the ids-reply mode: half the D2H bytes,
+    caller rescores sims host-side via :func:`host_exact_sims`)."""
+    packed, ok = scan_certified_l2(vecs, sqn, live, qd, k=k)
     # np.array (copy), not asarray: zero-copy views of device buffers
     # are read-only and the fallback below splices rows in place
     packed = np.array(packed[:n_q, :k] if ids_only else packed[:n_q])
     okh = np.asarray(ok[:n_q])
     CERT_STATS["batches"] += 1
     CERT_STATS["queries"] += n_q
-    if not okh.all():
+    audit = (
+        CERT_AUDIT_EVERY > 0
+        and CERT_STATS["batches"] % CERT_AUDIT_EVERY == 0
+    )
+    if not okh.all() or audit:
         bad = np.flatnonzero(~okh)
         CERT_STATS["fallback_queries"] += len(bad)
-        if len(bad) * 4 > n_q:
-            # pathological (tie-heavy / adversarial) data: the whole
-            # batch is cheaper than many bucketed reruns
+        if audit or len(bad) * 4 > n_q:
+            # audit pass, or pathological (tie-heavy / adversarial)
+            # data where the whole batch beats many bucketed reruns
             full = scan_topk_exact_l2(vecs, sqn, live, qd, k=k, pack=True)
-            packed = np.asarray(
+            full = np.asarray(
                 full[:n_q, :k] if ids_only else full[:n_q]
             )
+            if audit:
+                CERT_STATS["audits"] = CERT_STATS.get("audits", 0) + 1
+                if not np.array_equal(packed[okh], full[okh]):
+                    CERT_STATS["audit_mismatches"] = (
+                        CERT_STATS.get("audit_mismatches", 0) + 1
+                    )
+            packed = full
         else:
-            b_pad = 8
-            while b_pad < len(bad):
-                b_pad *= 2
+            b_pad = pad_pow2(len(bad))
             sel = np.zeros(b_pad, np.int32)
             sel[: len(bad)] = bad
             q_bad = jnp.take(qd, jnp.asarray(sel), axis=0)
@@ -479,8 +517,6 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
             nb = len(bad)
             packed[bad] = np.asarray(pb[:nb, :k] if ids_only else pb[:nb])
     if ids_only:
-        return packed
-    if pack:
         return packed
     ids = packed[:, :k]
     sims = np.ascontiguousarray(packed[:, k:]).view(np.float32)
@@ -536,6 +572,19 @@ def host_exact_sims(vecs_host, qs_host, ids):
     v = vecs_host[np.clip(ids, 0, len(vecs_host) - 1)]
     sims = neg_sq_rows(v, q)
     return np.where(ids >= 0, sims, NEG_INF).astype(np.float32)
+
+
+def sort_reply(ids, sims):
+    """Re-impose the (-sim, id) reply order host-side. The ids-reply
+    mode recomputes sims on the host, whose accumulation order can
+    differ from the device's exact rescore by ~1 ulp -- enough to
+    leave a near-tied reply non-monotonic if the device's order were
+    kept verbatim. -inf (invalid) slots keep trailing."""
+    order = np.lexsort((ids, -sims), axis=-1)
+    return (
+        np.take_along_axis(ids, order, -1),
+        np.take_along_axis(sims, order, -1),
+    )
 
 
 # -- host-side engine wrapper -------------------------------------------------
@@ -595,9 +644,7 @@ def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
         and reply_ids_only()
     )
     n_q = qs.shape[0]
-    b_pad = 8
-    while b_pad < n_q:
-        b_pad *= 2
+    b_pad = pad_pow2(n_q)
     qd = qs if isinstance(qs, jax.Array) else jnp.asarray(qs)
     if b_pad != n_q:
         qd = jnp.concatenate(
@@ -637,7 +684,9 @@ def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
             ids = certified_topk_l2(
                 vecs, sqn, live, qd, k=k_eff, n_q=n_q, ids_only=True
             )
-            return ids, host_exact_sims(index._vectors, host_qs, ids)
+            return sort_reply(
+                ids, host_exact_sims(index._vectors, host_qs, ids)
+            )
         ids, sims = certified_topk_l2(
             vecs, sqn, live, qd, k=k_eff, n_q=n_q
         )
@@ -649,7 +698,9 @@ def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
         )
     if ids_mode:
         ids = np.asarray(packed[:n_q, :k_eff])
-        return ids, host_exact_sims(index._vectors, host_qs, ids)
+        return sort_reply(
+            ids, host_exact_sims(index._vectors, host_qs, ids)
+        )
     packed = np.asarray(packed[:n_q])
     ids = packed[:, :k_eff]
     sims = np.ascontiguousarray(packed[:, k_eff:]).view(np.float32)

@@ -718,7 +718,7 @@ def search_batch(
             index, part, k, approx=approx, host_qs=hpart
         )
     else:
-        from .scan import host_exact_sims, reply_ids_only
+        from .scan import host_exact_sims, reply_ids_only, sort_reply
 
         pool = _pivot_pool(index, snap) if seeds > 0 else None
         graph_ids_mode = (
@@ -734,8 +734,12 @@ def search_batch(
             )
             if sims is None:
                 # ids-reply mode: sims host-rescored in exact direct
-                # form; order stays the device beam's (ops/scan.py)
-                sims = host_exact_sims(index._vectors, hpart, ids)
+                # form, then the (-sim, id) order re-imposed (host
+                # accumulation can differ from the device rescore by
+                # ~1 ulp; the reply must stay monotonic)
+                ids, sims = sort_reply(
+                    ids, host_exact_sims(index._vectors, hpart, ids)
+                )
             return ids, sims
     chunk = max_lanes_for(snap.n_pad)
     if n_q > chunk:

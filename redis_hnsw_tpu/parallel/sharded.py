@@ -57,9 +57,17 @@ def _merge_topk_over(gids, sims, k: int, axis_name: str):
     carries k per slice, not k per chip."""
     g = jax.lax.all_gather(gids, axis_name)  # [A, B, k]
     s = jax.lax.all_gather(sims, axis_name)
-    A, B, kk = g.shape
-    fs = jnp.transpose(s, (1, 0, 2)).reshape(B, A * kk)
-    fg = jnp.transpose(g, (1, 0, 2)).reshape(B, A * kk)
+    return _merge_stacked_topk(g, s, k)
+
+
+def _merge_stacked_topk(gids, sims, k: int):
+    """[S, B, kk] stacked per-shard candidates -> per-query merged
+    top-k: the one reduction every sharded engine's tail shares (the
+    in-shard_map hierarchical merge above and the host-side [S, B, k]
+    merge of the 1-D-mesh jits below)."""
+    S, B, kk = gids.shape
+    fs = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * kk)
+    fg = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * kk)
     top_sims, idx = jax.lax.top_k(fs, k)
     top_gids = jnp.take_along_axis(fg, idx, axis=1)
     return top_gids, top_sims
@@ -172,15 +180,9 @@ def _sharded_search_jit(
     if hierarchical:
         return gids, sims
 
-    # [S, B, k] -> [B, S*k]; top-k over all shards (GSPMD inserts the
+    # [S, B, k] -> per-query merged top-k (GSPMD inserts the
     # all-gather along the sharded axis here).
-    S = gids.shape[0]
-    B = queries.shape[0]
-    flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
-    flat_gids = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
-    top_sims, idx = jax.lax.top_k(flat_sims, k)
-    top_gids = jnp.take_along_axis(flat_gids, idx, axis=1)
-    return top_gids, top_sims
+    return _merge_stacked_topk(gids, sims, k)
 
 
 @partial(
@@ -242,13 +244,7 @@ def _sharded_scan_jit(
     )(table, vecs, sqn, live, tscale, queries)
     if hierarchical:
         return gids, sims
-    S = gids.shape[0]
-    B = queries.shape[0]
-    flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
-    flat_gids = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
-    top_sims, idx = jax.lax.top_k(flat_sims, k)
-    top_gids = jnp.take_along_axis(flat_gids, idx, axis=1)
-    return top_gids, top_sims
+    return _merge_stacked_topk(gids, sims, k)
 
 
 @partial(jax.jit, static_argnames=("k", "mesh"))
@@ -296,13 +292,7 @@ def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
     )(vecs, sqn, live, queries)
     if hierarchical:
         return gids, sims, ok
-    S = gids.shape[0]
-    B = queries.shape[0]
-    flat_sims = jnp.transpose(sims, (1, 0, 2)).reshape(B, S * k)
-    flat_gids = jnp.transpose(gids, (1, 0, 2)).reshape(B, S * k)
-    top_sims, idx = jax.lax.top_k(flat_sims, k)
-    top_gids = jnp.take_along_axis(flat_gids, idx, axis=1)
-    return top_gids, top_sims, ok
+    return (*_merge_stacked_topk(gids, sims, k), ok)
 
 
 class ShardedHNSW:
@@ -722,26 +712,39 @@ class ShardedHNSW:
                 and tscale is None and table is vecs
                 and SC.cert_enabled(n_pad)
             )
+            ids_mode = (
+                self.config.metric == "euclidean"
+                and SC.reply_ids_only()
+            )
             if use_cert:
                 # certified-exact per shard (ops/scan.py): byte-
                 # identical to the exact sharded scan; uncertified
-                # queries re-served below through the exact path
-                gids, sims, ok = _sharded_scan_cert_jit(
+                # queries re-served below through the exact path. In
+                # ids-reply mode only the gid block crosses the link
+                # (sims host-rescored in the shared tail below).
+                gids_d, sims_d, ok = _sharded_scan_cert_jit(
                     vecs, sqn, live, qs_dev, k=k_eff, mesh=self.mesh
                 )
-                gids = np.array(gids)  # writable: fallback splices rows
-                sims = np.array(sims)
+                # np.array (copy): the fallback splices rows in place
+                gids = np.array(gids_d[:n_q])
+                sims = None if ids_mode else np.array(sims_d[:n_q])
                 okh = np.asarray(ok[:n_q])
                 SC.CERT_STATS["batches"] += 1
                 SC.CERT_STATS["queries"] += n_q
                 if not okh.all():
                     bad = np.flatnonzero(~okh)
                     SC.CERT_STATS["fallback_queries"] += len(bad)
-                    bp = 8
-                    while bp < len(bad):
-                        bp *= 2
-                    sel = np.zeros(bp, np.intp)
-                    sel[: len(bad)] = bad
+                    if len(bad) * 4 > n_q:
+                        # tie-heavy / adversarial batch: one full exact
+                        # rerun beats many bucketed ones (same rule as
+                        # certified_topk_l2)
+                        sel = np.arange(len(qs), dtype=np.intp)
+                        bad = np.arange(n_q)
+                    else:
+                        sel = np.zeros(
+                            SC.pad_pow2(len(bad)), np.intp
+                        )
+                        sel[: len(bad)] = bad
                     q_bad = jax.device_put(
                         jnp.asarray(qs[sel]),
                         NamedSharding(self.mesh, P()),
@@ -752,7 +755,8 @@ class ShardedHNSW:
                         mesh=self.mesh, approx=False,
                     )
                     gids[bad] = np.asarray(gb[: len(bad)])
-                    sims[bad] = np.asarray(sb[: len(bad)])
+                    if sims is not None:
+                        sims[bad] = np.asarray(sb[: len(bad)])
             else:
                 gids, sims = _sharded_scan_jit(
                     table, vecs, sqn, live, tscale, qs_dev,
@@ -773,17 +777,21 @@ class ShardedHNSW:
                 mesh=self.mesh, expand=expand, iters=iters,
                 seeds=seeds_eff,
             )
-        if (
-            isinstance(gids, jax.Array)
-            and self.config.metric == "euclidean"
-            and SC_reply_ids_only()
-        ):
+        host_rescore = (
+            self.config.metric == "euclidean" and SC_reply_ids_only()
+            and (sims is None or isinstance(gids, jax.Array))
+        )
+        if host_rescore:
             # ids-only reply (ops/scan.py reply_ids_only): transfer the
             # merged [B, k] gid block alone and recompute the sims in
             # exact direct form from the per-shard HOST row tables --
             # sharded queries are always host-resident, so the mirror
-            # is free. Order stays the device merge's; invalid slots
-            # carry gid -1 in every engine's local encoding.
+            # is free. Invalid slots carry gid -1 in every engine's
+            # local encoding; the (-sim, id) order is re-imposed
+            # host-side (sort_reply) since host accumulation can differ
+            # from the device's by ~1 ulp.
+            from ..ops.scan import neg_sq_rows, sort_reply
+
             gids = np.asarray(gids[:n_q])
             valid = gids >= 0
             v = np.zeros((*gids.shape, qs.shape[1]), np.float32)
@@ -793,13 +801,12 @@ class ShardedHNSW:
                 m = valid & (shard_idx == si)
                 if m.any():
                     v[m] = shard._vectors[rows[m]]
-            from ..ops.scan import neg_sq_rows
-
             sims = np.where(
                 valid,
                 neg_sq_rows(v, qs[:n_q].astype(np.float32)),
                 -np.inf,
             ).astype(np.float32)
+            gids, sims = sort_reply(gids, sims)
         else:
             gids = np.asarray(gids[:n_q])
             sims = np.asarray(sims[:n_q])

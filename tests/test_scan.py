@@ -630,3 +630,67 @@ def test_ids_reply_graph_engine(rng, monkeypatch):
     assert [[r.name for r in row] for row in a] == [
         [r.name for r in row] for row in b
     ]
+
+
+def test_scan_certified_short_selection_not_certified(rng, monkeypatch):
+    """Soundness regression: on real TPUs approx_max_k is a bin
+    reduction and can return FEWER than k finite candidates while live
+    rows were missed (sparse-live capacity tables). The certificate
+    must not certify through the empty-k-th-slot (t == -inf) case
+    unless every live row really was selected: simulate the miss by
+    truncating the selection, and require the exact fallback to repair
+    every query."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    idx, oracle, data, _ = _build(rng, n=300)
+    queries = rng.standard_normal((8, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")
+
+    real_scan_topk = S.scan_topk
+
+    def truncating(table, sqn, live, qs, *, k, metric, approx=False,
+                   **kw):
+        ids, sims = real_scan_topk(
+            table, sqn, live, qs, k=k, metric=metric, approx=approx,
+            **kw,
+        )
+        if approx:  # the certified select: drop the tail, like a
+            ids = ids.at[:, k - 4:].set(-1)     # TPU bin-miss would
+            sims = sims.at[:, k - 4:].set(S.NEG_INF)
+        return ids, sims
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setattr(S, "scan_topk", truncating)
+    S.scan_certified_l2.clear_cache()
+    before = S.CERT_STATS["fallback_queries"]
+    try:
+        got = idx.search_batch(queries, 10, engine="scan")
+    finally:
+        S.scan_certified_l2.clear_cache()
+    # every query lost real candidates -> none may certify
+    assert S.CERT_STATS["fallback_queries"] >= before + 8
+    for b in range(8):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+
+
+def test_scan_certified_audit(rng, monkeypatch):
+    """Every CERT_AUDIT_EVERY-th certified batch is re-served through
+    the exact path and byte-compared (drift paranoia -> a counted
+    signal instead of silent wrongness)."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    idx, oracle, data, _ = _build(rng, n=400)
+    queries = rng.standard_normal((8, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setattr(S, "CERT_AUDIT_EVERY", 1)
+    audits = S.CERT_STATS.get("audits", 0)
+    got = idx.search_batch(queries, 10, engine="scan")
+    assert S.CERT_STATS["audits"] == audits + 1
+    assert S.CERT_STATS.get("audit_mismatches", 0) == 0
+    for b in range(8):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
