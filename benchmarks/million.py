@@ -244,6 +244,21 @@ def search_phase(
             "recall": round(scan_rec, 4), "qps": round(2048 / dt, 1),
         }
         log(f"scan engine: recall@{K}={scan_rec:.4f} qps={2048/dt:.0f}")
+        # ids-only reply variant (REDIS_HNSW_TPU_REPLY=ids): half the
+        # reply D2H, host exact rescore -- same results (ops/scan.py)
+        os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
+        try:
+            idx.search_batch(qd, K, engine="scan", reply="columnar",
+                             host_qs=queries)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                idx.search_batch(qd, K, engine="scan",
+                                 reply="columnar", host_qs=queries)
+            dt = (time.perf_counter() - t0) / 3
+            results["scan_engine"]["ids_reply_qps"] = round(2048 / dt, 1)
+            log(f"scan engine, ids reply: qps={2048/dt:.0f}")
+        finally:
+            os.environ.pop("REDIS_HNSW_TPU_REPLY", None)
         # and the approx-select tier (oversampled approx_max_k,
         # exactly re-reduced): 2.4-3.9x the exact scan at >= 1M rows
         # for ~0.999 recall (artifacts/scan_tiers.json)
@@ -262,6 +277,21 @@ def search_phase(
             "recall": round(a_rec, 4), "qps": round(2048 / dt, 1),
         }
         log(f"scan-approx: recall@{K}={a_rec:.4f} qps={2048/dt:.0f}")
+        os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
+        try:
+            idx.search_batch(qd, K, engine="scan-approx",
+                             reply="columnar", host_qs=queries)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                idx.search_batch(qd, K, engine="scan-approx",
+                                 reply="columnar", host_qs=queries)
+            dt = (time.perf_counter() - t0) / 3
+            results["scan_approx_engine"]["ids_reply_qps"] = round(
+                2048 / dt, 1
+            )
+            log(f"scan-approx, ids reply: qps={2048/dt:.0f}")
+        finally:
+            os.environ.pop("REDIS_HNSW_TPU_REPLY", None)
     except Exception as e:  # pragma: no cover - HBM-bound at huge N
         results.setdefault("scan_engine", {"error": repr(e)})
         results["scan_approx_engine"] = {"error": repr(e)}
