@@ -61,7 +61,15 @@ def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     rng = np.random.default_rng(0)
-    out = {"b": B, "k": K, "n_total": N_TOTAL, "dim": DIM, "rows": []}
+    out = {
+        "b": B, "k": K, "n_total": N_TOTAL, "dim": DIM,
+        # records are self-labeling: CPU-backend rows characterize the
+        # merge's SHAPE scaling only; absolute ms are only meaningful
+        # on the tpu platform rows
+        "platform": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+        "rows": [],
+    }
 
     queries = jnp.asarray(
         rng.standard_normal((B, DIM)).astype(np.float32)
