@@ -49,6 +49,7 @@ def measure(idx, qd, engine: str, truth) -> dict:
 
 
 def main() -> None:
+    import jax
     import jax.numpy as jnp
 
     from redis_hnsw_tpu.utils.checkpoint import load_index
@@ -68,7 +69,12 @@ def main() -> None:
 
     from redis_hnsw_tpu.ops import scan as SC
 
-    out = {"n": n, "dim": queries.shape[1], "b": 2048, "k": K}
+    out = {
+        "n": n, "dim": queries.shape[1], "b": 2048, "k": K,
+        # self-labeling (cpu rows = smoke runs, not tier economics:
+        # top_k is cheap on cpu so the select-bound analysis inverts)
+        "platform": jax.devices()[0].platform,
+    }
     for label, engine, dt_env, cert in (
         ("exact", "scan", "f32", "0"),
         ("certified", "scan", "f32", "1"),
