@@ -694,3 +694,16 @@ def test_scan_certified_audit(rng, monkeypatch):
         assert [(r.sim, r.name) for r in got[b]] == [
             (r.sim, r.name) for r in want[b]
         ]
+
+
+def test_cert_enabled_auto_threshold(monkeypatch):
+    """cert_enabled: auto engages exactly at CERT_MIN_ROWS; 0/1 force."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT", raising=False)
+    assert not S.cert_enabled(S.CERT_MIN_ROWS - 1)
+    assert S.cert_enabled(S.CERT_MIN_ROWS)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "0")
+    assert not S.cert_enabled(1 << 30)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    assert S.cert_enabled(8)
