@@ -1,0 +1,94 @@
+"""Batched-serving tour: everything past reference parity in one file.
+
+The reference (zhao-lang/redis_hnsw) serves one query at a time with a
+hardwired ef = ef_construction (src/hnsw/core.rs:485). This framework's
+serving surface is batch-first; this example walks the levers in the
+order a production user meets them:
+
+  1. bulk build (device-scored waves)
+  2. engine routing: auto / scan / scan-approx / graph
+  3. recall_target -- recall as a *guarantee*, not a knob
+  4. columnar replies (no per-result object churn)
+  5. ids-only replies (half the reply D2H; host exact rescore)
+  6. checkpoint round-trip
+
+Runs on whatever backend jax picks (CPU works; the engines are
+backend-agnostic):
+
+    python examples/serving.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import redis_hnsw_tpu as h  # noqa: E402
+
+
+def main() -> None:
+    rng = np.random.default_rng(7)
+    dim, n, b, k = 64, 20_000, 256, 10
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"doc{i}" for i in range(n)]
+    queries = rng.standard_normal((b, dim)).astype(np.float32)
+
+    c = h.HNSW()
+    c.create_index("docs", dim=dim, m=16, ef_construction=128,
+                   capacity=n)
+    c.add_batch("docs", names, data)             # device-scored waves
+    print(f"built {n} rows")
+
+    # -- engine routing: "auto" picks the exact MXU scan at this size
+    # (recall 1.0 by construction); "graph" forces the HNSW beam.
+    exact = c.search_batch("docs", queries, k=k)
+    beam = c.search_batch("docs", queries, k=k, engine="graph",
+                          ef_search=128)
+    agree = sum(
+        len({r.name for r in exact[i]} & {r.name for r in beam[i]})
+        for i in range(b)
+    ) / (b * k)
+    print(f"auto(=exact scan) vs graph beam overlap: {agree:.3f}")
+
+    # -- recall_target is a guarantee: above the approx tier's measured
+    # floor it pins an exact engine; at/below it rides the tier.
+    guaranteed = c.search_batch("docs", queries, k=k, recall_target=1.0)
+    fast = c.search_batch("docs", queries, k=k, recall_target=0.99)
+    assert [r.name for r in guaranteed[0]] == [r.name for r in exact[0]]
+    print(f"recall_target=0.99 answered {len(fast)} queries on the "
+          f"approx tier")
+
+    # -- columnar replies skip ~30ms of object building at B=2048
+    col_names, col_sims = c.search_batch(
+        "docs", queries, k=k, reply="columnar"
+    )
+    assert col_names.shape == col_sims.shape == (b, k)
+
+    # -- ids-only replies: transfer the id block alone, rescore sims
+    # host-side in exact direct form (halves reply D2H on real links)
+    os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
+    try:
+        ids_reply = c.search_batch("docs", queries, k=k)
+    finally:
+        os.environ.pop("REDIS_HNSW_TPU_REPLY", None)
+    assert [r.name for r in ids_reply[0]] == [r.name for r in exact[0]]
+    print("ids-only reply: identical names, host-exact sims")
+
+    # -- durability
+    c.save_index("docs", "/tmp/docs.npz")
+    c.delete_index("docs")
+    c.restore_index("/tmp/docs.npz")
+    again = c.search_batch("docs", queries[:4], k=k)
+    assert [r.name for r in again[0]] == [r.name for r in exact[0]]
+    print("checkpoint round-trip: results identical")
+    c.delete_index("docs")
+    os.remove("/tmp/docs.npz")
+    print("serving tour OK")
+
+
+if __name__ == "__main__":
+    main()
