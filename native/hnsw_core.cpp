@@ -132,10 +132,15 @@ struct Core {
         }
     }
 
-    // update_node_connections semantics (core.rs:776-822).
+    // update_node_connections semantics (core.rs:776-822). ``del`` (when
+    // non-null) generalizes ``ignored`` to a whole delete set: reverse
+    // links toward rows being deleted are left stale, exactly like the
+    // reference leaves the single deleted row's own list stale
+    // (core.rs:810-816) -- those lists are freed by the caller anyway.
     void update_connections(int32_t row, const std::vector<int32_t>& keep,
                             const std::vector<int32_t>& old, int lc,
-                            int32_t ignored) {
+                            int32_t ignored,
+                            const std::vector<uint8_t>* del = nullptr) {
         for (int32_t nb : keep) {
             add_link(row, lc, nb);
             add_link(nb, lc, row);
@@ -144,7 +149,7 @@ struct Core {
             if (std::find(keep.begin(), keep.end(), nb) != keep.end())
                 continue;
             rm_link(row, lc, nb);
-            if (nb != ignored) rm_link(nb, lc, row);
+            if (nb != ignored && !(del && (*del)[nb])) rm_link(nb, lc, row);
         }
     }
 
@@ -199,10 +204,16 @@ struct Core {
     // select_neighbors net semantics (core.rs:677-757 with both flags
     // true): top-m by (-sim, row) over candidates U their layer-lc
     // neighbors, excluding q_row and ignored. q may be a non-row vector.
+    // ``del`` (when non-null) is a whole-set generalization of
+    // ``ignored`` for bulk deletes: candidates still extend one hop
+    // THROUGH deleted rows' lists (that is how the reference's repair
+    // finds replacement links, core.rs:834-853), but no deleted row can
+    // be selected.
     void select_neighbors(const void* q, int32_t q_row,
                           const std::vector<std::pair<float, int32_t>>& cand,
                           int m, int lc, int32_t ignored,
-                          std::vector<std::pair<float, int32_t>>& out) {
+                          std::vector<std::pair<float, int32_t>>& out,
+                          const std::vector<uint8_t>* del = nullptr) {
         std::unordered_map<int32_t, float> sims;
         sims.reserve(cand.size() * 4);
         for (auto& [s, row] : cand) sims[row] = s;
@@ -211,12 +222,18 @@ struct Core {
             if (!nl) continue;
             for (int32_t nb : *nl) {
                 if (nb == q_row || nb == ignored) continue;
+                if (del && (*del)[nb]) continue;
                 if (sims.count(nb)) continue;
                 sims[nb] = sim_rows(q, nb);
             }
         }
         sims.erase(q_row);
         sims.erase(ignored);
+        if (del) {
+            for (auto it = sims.begin(); it != sims.end();) {
+                it = (*del)[it->first] ? sims.erase(it) : std::next(it);
+            }
+        }
         std::vector<std::pair<float, int32_t>> ranked;
         ranked.reserve(sims.size());
         for (auto& [row, s] : sims) ranked.push_back({s, row});
@@ -317,6 +334,59 @@ struct Core {
         adj[row].clear();
         level[row] = -1;
         mark_dirty(row);
+    }
+
+    // bulk delete with one-shot survivor repair (delete_batch in
+    // models/hnsw.py -- semantics kept in lockstep). The reference has
+    // no bulk delete; this generalizes its single-delete repair
+    // (core.rs:824-863) to a whole delete set: each affected SURVIVOR
+    // is re-selected once per layer with every deleted row excluded,
+    // instead of once per deleted ex-neighbor. Repair order: layer
+    // ascending, survivor row ascending (deterministic; matches the
+    // Python twin). The caller frees names / layer sets / enterpoint.
+    void delete_batch(const int32_t* rows_in, int n) {
+        std::vector<uint8_t> del(adj.size(), 0);
+        int max_layers = 0;
+        for (int i = 0; i < n; ++i) {
+            del[rows_in[i]] = 1;
+            max_layers = std::max(max_layers, (int)adj[rows_in[i]].size());
+        }
+        std::vector<int32_t> survivors, keep_ids, old;
+        std::vector<std::pair<float, int32_t>> nconn, keep;
+        for (int lc = 0; lc < max_layers; ++lc) {
+            survivors.clear();
+            for (int i = 0; i < n; ++i) {
+                auto& lists = adj[rows_in[i]];
+                if (lc >= (int)lists.size()) continue;
+                for (int32_t nb : lists[lc])
+                    if (!del[nb]) survivors.push_back(nb);
+            }
+            std::sort(survivors.begin(), survivors.end());
+            survivors.erase(
+                std::unique(survivors.begin(), survivors.end()),
+                survivors.end());
+            int cap_deg = lc == 0 ? m_max0 : m_max;
+            for (int32_t n_row : survivors) {
+                auto* nl = nbrs(n_row, lc);
+                if (!nl || nl->empty()) continue;
+                old.assign(nl->begin(), nl->end());
+                const void* n_vec = metric == 0 ? (const void*)frow(n_row)
+                                                : (const void*)hrow(n_row);
+                nconn.clear();
+                for (int32_t r : old)
+                    nconn.push_back({sim_rows(n_vec, r), r});
+                select_neighbors(n_vec, n_row, nconn, cap_deg, lc, -1,
+                                 keep, &del);
+                keep_ids.clear();
+                for (auto& [s, r] : keep) keep_ids.push_back(r);
+                update_connections(n_row, keep_ids, old, lc, -1, &del);
+            }
+        }
+        for (int i = 0; i < n; ++i) {
+            adj[rows_in[i]].clear();
+            level[rows_in[i]] = -1;
+            mark_dirty(rows_in[i]);
+        }
     }
 
     // bulk-wave surgery (redis_hnsw_tpu/ops/construct.py step 3): apply
@@ -451,6 +521,10 @@ void hnsw_insert(void* h, int row, int lvl, const void* q, int ep,
 
 void hnsw_delete(void* h, int row) {
     static_cast<Core*>(h)->delete_repair(row);
+}
+
+void hnsw_delete_batch(void* h, const int32_t* rows, int n) {
+    static_cast<Core*>(h)->delete_batch(rows, n);
 }
 
 // sequential search (core.rs:865-892); returns result count, descending

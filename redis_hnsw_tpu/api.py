@@ -229,6 +229,17 @@ class HNSW:
             else:
                 idx.add_batch(names, data, batch_size=batch_size)
 
+    def delete_batch(self, index: str, nodes) -> int:
+        """Bulk delete (the delete-side counterpart of ``add_batch``;
+        the reference only deletes one node per HNSW.NODE.DEL call).
+        Validates every name before mutating; survivors are repaired
+        once per layer with the whole delete set excluded."""
+        nodes = list(nodes)
+        idx, lk = self._entry(index)
+        with lk:
+            idx.delete_batch(nodes)
+        return len(nodes)
+
     def search_batch(
         self,
         index: str,

@@ -198,6 +198,21 @@ class FlatIndex:
         self._valid[row] = False
         self._epoch += 1
 
+    def delete_batch(self, names) -> None:
+        """Bulk delete: validate-all-first (nothing mutates on error),
+        then one epoch bump for the whole batch."""
+        names = list(names)
+        seen: set[str] = set()
+        for n in names:
+            if n not in self._names or n in seen:
+                raise NodeNotFound(n)
+            seen.add(n)
+        if not names:
+            return
+        for n in names:
+            self._valid[self._names.free(n)] = False
+        self._epoch += 1
+
     def _device(self):
         """Device tables: (table, sqn, valid, tscale).
 

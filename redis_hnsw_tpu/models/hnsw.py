@@ -287,12 +287,17 @@ class HNSWIndex:
         m: int,
         lc: int,
         ignored: int = -1,
+        ignored_set: frozenset[int] | set[int] | None = None,
     ) -> list[tuple[float, int]]:
         """Top-m by sim over candidates U their layer-lc neighbors.
 
         Exact net semantics of the reference select_neighbors with both
         flags true (see module docstring). ``q_row``/``ignored`` rows are
-        excluded (core.rs:704-707, :728-731). Returns descending by sim.
+        excluded (core.rs:704-707, :728-731). ``ignored_set`` generalizes
+        ``ignored`` to a whole delete set for ``delete_batch``: candidates
+        still extend one hop THROUGH deleted rows' lists (that is how the
+        reference's repair finds replacement links, core.rs:834-853), but
+        no deleted row can be selected. Returns descending by sim.
         """
         sims: dict[int, float] = {}
         for s, row in cand:
@@ -304,6 +309,8 @@ class HNSWIndex:
             for nb in self._nbrs(row, lc):
                 if nb == q_row or nb == ignored or nb in sims:
                     continue
+                if ignored_set is not None and nb in ignored_set:
+                    continue
                 sims[nb] = None  # placeholder; scored below
                 ext.append(nb)
         if ext:
@@ -311,6 +318,9 @@ class HNSWIndex:
                 sims[row] = float(s)
         sims.pop(q_row, None)
         sims.pop(ignored, None)
+        if ignored_set is not None:
+            for r in ignored_set:
+                sims.pop(r, None)
         ranked = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))
         return [(s, row) for row, s in ranked[:m]]
 
@@ -331,13 +341,15 @@ class HNSWIndex:
         old_ids: list[int],
         lc: int,
         ignored: int = -1,
+        ignored_set: frozenset[int] | set[int] | None = None,
     ) -> None:
         """update_node_connections semantics (core.rs:776-822).
 
         Bidirectionally add every new link, then bidirectionally remove the
         old links not re-selected -- except that the ``ignored`` row (a node
         being deleted) keeps its own stale outgoing list (core.rs:810-816),
-        which the deleter is about to free anyway.
+        which the deleter is about to free anyway. ``ignored_set`` is the
+        whole-set generalization used by ``delete_batch``.
         """
         new_set = set(new_ids)
         for nb in new_ids:
@@ -347,7 +359,9 @@ class HNSWIndex:
             if nb in new_set:
                 continue
             self._rm_link(row, lc, nb)
-            if nb != ignored:
+            if nb != ignored and (
+                ignored_set is None or nb not in ignored_set
+            ):
                 self._rm_link(nb, lc, row)
 
     # -- public API: add (core.rs:383-412, :489-599) ---------------------------
@@ -521,6 +535,120 @@ class HNSWIndex:
         if slot is not None:
             self._upper_free.append(slot)
             self._freed_slots_pending.append(slot)
+        self._bump()
+
+    def delete_batch(self, names) -> None:
+        """Bulk delete with one-shot survivor repair (TPU-first extension;
+        the delete-side counterpart of ``add_batch``).
+
+        The reference deletes one node at a time, repairing every
+        ex-neighbor per delete (core.rs:414-475, :824-863). A sequential
+        loop over a large delete set therefore (a) repairs rows that are
+        themselves about to be deleted and (b) re-repairs the same
+        survivor once per deleted neighbor. ``delete_batch`` instead:
+
+        * validates every name up front -- nothing mutates on error;
+        * repairs each affected SURVIVOR exactly once per layer, with the
+          whole delete set excluded (the reference's single-row
+          ``ignored`` generalized to a set; candidates still extend one
+          hop through the deleted rows' own lists, which is how the
+          repair finds replacement links);
+        * then frees all rows, re-elects the enterpoint once, and bumps
+          one snapshot epoch.
+
+        Like ``add_batch``, this is a documented approximation of the
+        sequential loop (the surviving graph can differ from N single
+        deletes; graph invariants and recall floors are pinned by tests).
+        Repair order is deterministic: layer ascending, survivor row
+        ascending -- kept in lockstep with native/hnsw_core.cpp
+        ``delete_batch``.
+        """
+        names = list(names)
+        rows: list[int] = []
+        seen: set[int] = set()
+        for name in names:
+            row = self._names.get(name)
+            if row is None or row in seen:
+                raise NodeNotFound(name)
+            seen.add(row)
+            rows.append(row)
+        if not rows:
+            return
+        dset = frozenset(rows)
+
+        # Layer-set removal (delete_node order; core.rs:426-430).
+        for row in rows:
+            for lc in range(self.max_layer, -1, -1):
+                if (
+                    lc < len(self._layer_sets)
+                    and row in self._layer_sets[lc]
+                ):
+                    self._layer_sets[lc].discard(row)
+                    break
+
+        if self._native is not None:
+            self._native.delete_batch(rows)
+        else:
+            # Affected survivors per layer, from the delete set's lists.
+            affected: dict[int, set[int]] = {}
+            for d in rows:
+                for lc, lst in enumerate(self._neighbors[d] or []):
+                    for nb in lst:
+                        if nb not in dset:
+                            affected.setdefault(lc, set()).add(nb)
+            for lc in sorted(affected):
+                m_cap = (
+                    self.config.m_max_0 if lc == 0 else self.config.m_max
+                )
+                for n_row in sorted(affected[lc]):
+                    n_nbrs = list(self._nbrs(n_row, lc))
+                    if not n_nbrs:
+                        continue
+                    n_vec = self._vectors[n_row]
+                    n_sims = self._sims_to(n_vec, n_nbrs)
+                    nconn = [
+                        (float(s), r) for s, r in zip(n_sims, n_nbrs)
+                    ]
+                    nnew = self._select_neighbors(
+                        n_vec, n_row, nconn, m_cap, lc, ignored_set=dset
+                    )
+                    self._update_connections(
+                        n_row,
+                        [r for _, r in nnew],
+                        n_nbrs,
+                        lc,
+                        ignored_set=dset,
+                    )
+
+        # Free every row (core.rs:419-424 bookkeeping, batched).
+        for name, row in zip(names, rows):
+            self._names.free(name)
+            self._levels[row] = -1
+            self._neighbors[row] = None
+            if self._native is None:
+                self._dirty_adj.add(row)
+            slot = self._upper_slot.pop(row, None)
+            if slot is not None:
+                self._upper_free.append(slot)
+                self._freed_slots_pending.append(slot)
+        self.node_count -= len(rows)
+
+        # Enterpoint re-election + empty-top-layer popping, once
+        # (core.rs:449-472).
+        if self.enterpoint in dset:
+            new_ep = -1
+            for lc in range(self.max_layer, -1, -1):
+                if (
+                    lc < len(self._layer_sets)
+                    and self._layer_sets[lc]
+                ):
+                    new_ep = min(self._layer_sets[lc])
+                    break
+                if lc < len(self._layer_sets):
+                    self._layer_sets.pop()
+                if self.max_layer > 0:
+                    self.max_layer -= 1
+            self.enterpoint = new_ep
         self._bump()
 
     # -- public API: search (core.rs:477-486, :865-892) --------------------------

@@ -49,6 +49,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.hnsw_set_neighbors.argtypes = [P, I, I, _I32P, I]
     lib.hnsw_insert.argtypes = [P, I, I, ctypes.c_void_p, I, I]
     lib.hnsw_delete.argtypes = [P, I]
+    lib.hnsw_delete_batch.argtypes = [P, _I32P, I]
     lib.hnsw_search.argtypes = [
         P, ctypes.c_void_p, I, I, I, I, _I32P, _F32P,
     ]
@@ -75,24 +76,29 @@ def load() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            src_dir = os.path.dirname(_LIB_PATH)
-            if not os.path.exists(
-                os.path.join(src_dir, "hnsw_core.cpp")
-            ):
+        src_dir = os.path.dirname(_LIB_PATH)
+        src = os.path.join(src_dir, "hnsw_core.cpp")
+        stale = os.path.exists(_LIB_PATH) and (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
+            if not os.path.exists(src):
                 return None
             try:
                 subprocess.run(
-                    ["make", "-C", src_dir, "-s"],
+                    ["make", "-C", src_dir, "-s"]
+                    + (["-B"] if stale else []),
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
             except Exception:
-                return None
+                return None  # a stale .so may lack newly bound symbols
         try:
             _lib = _bind(ctypes.CDLL(_LIB_PATH))
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: a stale .so missing a newly bound symbol
             _lib = None
         return _lib
 
@@ -157,6 +163,10 @@ class NativeGraph:
 
     def delete(self, row: int) -> None:
         self._lib.hnsw_delete(self._h, row)
+
+    def delete_batch(self, rows) -> None:
+        arr = np.ascontiguousarray(rows, np.int32)
+        self._lib.hnsw_delete_batch(self._h, arr, arr.size)
 
     def search(self, q: np.ndarray, k, ef, ep, l_max):
         cap = max(int(ef), int(k))

@@ -30,6 +30,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import IndexConfig
+from ..errors import NodeNotFound
 from ..models.hnsw import HNSWIndex, SearchResult
 from ..ops.search import search_pipeline
 from .mesh import DATA_AXIS, make_mesh
@@ -338,6 +339,22 @@ class ShardedHNSW:
 
     def delete_node(self, name: str) -> None:
         self._shard(name).delete_node(name)
+
+    def delete_batch(self, names) -> None:
+        """Bulk delete, hashed to shards; validate everywhere first so
+        nothing mutates when any name is missing (per-shard
+        ``delete_batch`` repairs each shard's survivors once)."""
+        names = list(names)
+        buckets: dict[int, list[str]] = {}
+        seen: set[str] = set()
+        for n in names:
+            shard = self._shard(n)
+            if shard._names.get(n) is None or n in seen:
+                raise NodeNotFound(n)
+            seen.add(n)
+            buckets.setdefault(_shard_of(n, self.n_shards), []).append(n)
+        for s, ns in sorted(buckets.items()):
+            self.shards[s].delete_batch(ns)
 
     def get_node(self, name: str) -> dict:
         return self._shard(name).get_node(name)

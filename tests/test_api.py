@@ -270,3 +270,28 @@ def test_per_index_locking_concurrent_ops(rng):
     assert c.get_index("b")["node_count"] == 40
     res = c.search("a", data[0], k=5)
     assert len(res) == 5
+
+
+def test_delete_batch_client_all_kinds(rng):
+    """delete_batch on every index kind through the client API:
+    validate-first (nothing mutates on error), survivors searchable,
+    deleted names gone."""
+    client = HNSW()
+    data = rng.standard_normal((60, 8)).astype(np.float32)
+    names = [f"n{i}" for i in range(60)]
+    victims = names[::3]
+    for kind in ("hnsw", "flat"):
+        iname = f"bd-{kind}"
+        client.create_index(iname, dim=8, m=4, ef_construction=32,
+                            kind=kind)
+        client.add_batch(iname, names, data)
+        with pytest.raises(NodeNotFound):
+            client.delete_batch(iname, ["n1", "nope"])
+        assert client.get_index(iname)["node_count"] == 60
+        assert client.delete_batch(iname, victims) == len(victims)
+        assert client.get_index(iname)["node_count"] == 40
+        res = client.search(iname, data[1], k=5)
+        assert res[0].name == "n1"
+        assert not {r.name for r in res} & set(victims)
+        with pytest.raises(NodeNotFound):
+            client.get_node(iname, victims[0])

@@ -361,3 +361,93 @@ def test_hint_exact_padding(rng):
     assert snap2.n_pad >= 1400 and snap2.n_pad % 128 == 0
     res = idx.search_batch(data[:4], k=3, engine="graph")
     assert res[0][0].name == "n0"
+
+
+# -- delete_batch: the bulk delete extension (delete-side add_batch) --------
+
+
+def test_delete_batch_invariants_and_membership(rng):
+    idx = HNSWIndex(
+        "bd", IndexConfig(dim=8, m=4, ef_construction=32, seed=3)
+    )
+    data = rng.standard_normal((200, 8)).astype(np.float32)
+    for i in range(200):
+        idx.add_node(f"n{i}", data[i])
+    victims = [f"n{i}" for i in range(0, 120, 2)]
+    idx.delete_batch(victims)
+    assert idx.node_count == 140
+    graph_invariants(idx)
+    for v in victims:
+        assert idx._names.get(v) is None
+    # deleted rows never come back from search; survivors still found
+    res = idx.search_knn(data[1], 5)
+    names = [r.name for r in res]
+    assert res[0].name == "n1"
+    assert not set(names) & set(victims)
+    # freed rows are reusable
+    idx.add_node("n0", data[0])
+    graph_invariants(idx)
+    assert idx.search_knn(data[0], 1)[0].name == "n0"
+
+
+def test_delete_batch_validates_before_mutating(rng):
+    idx = HNSWIndex(
+        "bdv", IndexConfig(dim=4, m=4, ef_construction=16, seed=1)
+    )
+    data = rng.standard_normal((20, 4)).astype(np.float32)
+    for i in range(20):
+        idx.add_node(f"n{i}", data[i])
+    before = [idx._layer_lists(r) for r in range(20)]
+    with pytest.raises(NodeNotFound):
+        idx.delete_batch(["n3", "missing", "n5"])
+    with pytest.raises(NodeNotFound):
+        idx.delete_batch(["n3", "n3"])  # duplicate in the batch
+    assert idx.node_count == 20
+    assert [idx._layer_lists(r) for r in range(20)] == before
+
+
+def test_delete_batch_everything_and_enterpoint():
+    idx = lattice_index(n=30)
+    ep_name = idx._names.name(idx.enterpoint)
+    # delete a batch containing the enterpoint: it must be re-elected
+    idx.delete_batch([ep_name, "node3", "node4"])
+    assert idx.enterpoint != -1
+    assert idx.node_count == 27
+    graph_invariants(idx)
+    # delete the rest in one batch
+    rest = [n for n in idx._names.names()]
+    idx.delete_batch(rest)
+    assert idx.node_count == 0
+    assert idx.enterpoint == -1
+    assert idx.search_knn(np.zeros(4, np.float32), 3) == []
+    idx.add_node("fresh", np.ones(4, np.float32))
+    assert idx.search_knn(np.ones(4, np.float32), 1)[0].name == "fresh"
+
+
+def test_delete_batch_recall_after_repair(rng):
+    """Bulk-deleting half the index leaves a well-connected survivor
+    graph: recall vs the exact oracle on survivors stays at build-level
+    floors (the repair re-links THROUGH the deleted rows' lists)."""
+    n, dim = 400, 8
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(
+        "bdr", IndexConfig(dim=dim, m=8, ef_construction=64, seed=5)
+    )
+    names = [f"n{i}" for i in range(n)]
+    for i in range(n):
+        idx.add_node(names[i], data[i])
+    victims = [f"n{i}" for i in range(0, n, 2)]
+    idx.delete_batch(victims)
+    graph_invariants(idx)
+
+    survivors = np.array([i for i in range(n) if i % 2 == 1])
+    oracle = FlatIndex("obdr", IndexConfig(dim=dim))
+    oracle.add_batch([f"n{i}" for i in survivors], data[survivors])
+    queries = rng.standard_normal((50, dim)).astype(np.float32)
+    k = 5
+    hits = 0
+    for q in queries:
+        truth = {r.name for r in oracle.search_batch(q[None, :], k)[0]}
+        got = {r.name for r in idx.search_knn(q, k)}
+        hits += len(truth & got)
+    assert hits / (k * len(queries)) >= 0.9

@@ -157,3 +157,23 @@ def test_native_hamming():
         idx.add_node(f"n{i}", data[i])
     res = idx.search_knn(data[9], 1)
     assert res[0].name == "n9" and res[0].sim == 0.0
+
+
+def test_delete_batch_identical_graphs():
+    """Bulk delete must produce IDENTICAL survivor graphs on both
+    backends (the delete-side analog of the build parity tests; repair
+    order is pinned to layer-ascending, survivor-row-ascending)."""
+    a, _ = build("py")
+    b, _ = build("native")
+    victims = [
+        f"n{i}"
+        for i in sorted(set(range(0, 120, 7)) | set(range(1, 40, 3)))
+    ]
+    a.delete_batch(victims)
+    b.delete_batch(victims)
+    assert a.node_count == b.node_count
+    assert a.enterpoint == b.enterpoint
+    assert a.max_layer == b.max_layer
+    assert adjacency_of(a, 120) == adjacency_of(b, 120)
+    graph_invariants(a)
+    graph_invariants(b)

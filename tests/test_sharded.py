@@ -3,9 +3,10 @@
 import numpy as np
 import pytest
 
-from redis_hnsw_tpu import IndexConfig
+from redis_hnsw_tpu import IndexConfig, NodeNotFound
 from redis_hnsw_tpu.models.flat import FlatIndex
 from redis_hnsw_tpu.parallel import ShardedHNSW, make_mesh
+from tests.test_core import graph_invariants
 
 
 @pytest.fixture(scope="module")
@@ -427,3 +428,18 @@ def test_sharded_ids_reply_mode(rng, monkeypatch):
             )
         nm, sims = idx.search_batch(queries, k, reply="columnar", **kw)
         assert nm.shape == sims.shape == (12, k)
+
+
+def test_sharded_delete_batch(sharded_built):
+    idx, _, data, _ = sharded_built
+    victims = [f"n{i}" for i in range(0, 100, 2)]
+    with pytest.raises(NodeNotFound):
+        idx.delete_batch(victims + ["ghost"])
+    assert idx.node_count == 800  # validate-first: nothing mutated
+    idx.delete_batch(victims)
+    assert idx.node_count == 750
+    res = idx.search_batch(data[:4], k=5)
+    assert not {r.name for row in res for r in row} & set(victims)
+    assert res[1][0].name == "n1"  # odd survivors still exact
+    for s in idx.shards:
+        graph_invariants(s)
