@@ -396,13 +396,19 @@ def certified_local(vecs, sqn, live, queries, *, k: int):
     """Traced core of the certified path: approx select + counting
     certificate + exact direct-form rescore. Returns
     ``(ids, sims, ok)`` with the rescored (-sim, id)-ordered reply and
-    the [B] bool certificate verdicts. Shared by the single-chip jit
-    below and the per-shard ``shard_map`` local
-    (parallel/sharded.py:_sharded_scan_cert_jit), so both certify over
-    the identical score formulation."""
+    the [B] bool certificate verdicts. Used per shard under
+    ``shard_map`` (parallel/sharded.py:_sharded_scan_cert_jit), where
+    each shard's table is 1/S of the rows so the one-program peak is
+    fine; the single-chip path below splits the two passes into two
+    programs instead (see :func:`scan_certified_l2`)."""
     ids, sims = scan_topk(
         vecs, sqn, live, queries, k=k, metric="euclidean", approx=True
     )
+    return _cert_verify(vecs, sqn, live, queries, ids, sims)
+
+
+def _cert_verify(vecs, sqn, live, queries, ids, sims):
+    """Certificate + exact rescore over an approx selection (traced)."""
     t = sims[:, -1]
     s_gt = jnp.sum(sims > t[:, None], axis=1, dtype=jnp.int32)
     s_eq = jnp.sum(sims == t[:, None], axis=1, dtype=jnp.int32)
@@ -425,7 +431,24 @@ def certified_local(vecs, sqn, live, queries, *, k: int):
     return ids, sims, ok
 
 
-@partial(jax.jit, static_argnames=("k",))
+@jax.jit
+def _cert_verify_l2(vecs, sqn, live, queries, ids, sims):
+    """The certificate/rescore pass as its OWN program (packed reply).
+
+    Kept separate from the approx-select program deliberately: at 1M
+    rows each pass's chunk score tiles peak at ~8GB ([2048, 2^19] f32
+    x 2 overlapped unrolled chunks), and the fused one-program form
+    OOMed the 16GB chip (measured, artifacts/scan_tiers.json r3 run)
+    while the exact-scan program of the same peak fits. Two programs
+    executed back-to-back never have both passes' tiles co-resident
+    in one buffer assignment."""
+    ids, sims, ok = _cert_verify(vecs, sqn, live, queries, ids, sims)
+    packed = jnp.concatenate(
+        [ids, jax.lax.bitcast_convert_type(sims, jnp.int32)], axis=1
+    )
+    return packed, ok
+
+
 def scan_certified_l2(vecs, sqn, live, queries, *, k: int):
     """Approx-selected, certificate-checked euclidean top-k.
 
@@ -436,12 +459,24 @@ def scan_certified_l2(vecs, sqn, live, queries, *, k: int):
     matmul-form top-k (see the certificate above); False = the caller
     must rerun it through the exact path. Queries with fewer than k
     live rows certify through the c_gt equality (every live row
-    selected)."""
-    ids, sims, ok = certified_local(vecs, sqn, live, queries, k=k)
-    packed = jnp.concatenate(
-        [ids, jax.lax.bitcast_convert_type(sims, jnp.int32)], axis=1
+    selected).
+
+    Host-level composition of two device programs (approx select,
+    then certificate+rescore) -- see :func:`_cert_verify_l2` for why
+    they must not fuse. ``scan_topk`` is looked up at call time so
+    tests can monkeypatch the selection."""
+    ids, sims = scan_topk(
+        vecs, sqn, live, queries, k=k, metric="euclidean", approx=True
     )
-    return packed, ok
+    return _cert_verify_l2(vecs, sqn, live, queries, ids, sims)
+
+
+def _scan_certified_clear_cache() -> None:
+    _cert_verify_l2.clear_cache()
+
+
+# jit-like cache control for tests that reshape CHUNK_N mid-run
+scan_certified_l2.clear_cache = _scan_certified_clear_cache
 
 
 def pad_pow2(n: int, floor: int = 8) -> int:
