@@ -249,27 +249,47 @@ def _sharded_scan_jit(
 
 
 @partial(jax.jit, static_argnames=("k", "mesh"))
-def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
-    """Certified-exact sharded scan: per-shard approx select + counting
-    certificate (ops/scan.py:certified_local) + the same all-gather
-    top-k merge as :func:`_sharded_scan_jit`.
+def _sharded_cert_select_jit(vecs, sqn, live, queries, *, k: int, mesh):
+    """Program 1 of the split certified sharded scan: per-shard approx
+    select only. Returns the stacked per-shard LOCAL selections
+    ([S, B, k] matmul-form sims + local row ids, sharded over the
+    mesh); no collective runs here."""
+    from ..ops.scan import scan_topk
 
-    Returns ``(gids, sims, ok)``. The merged top-k of exact per-shard
-    top-ks is the exact global top-k, so ``ok`` (the AND of every
-    shard's per-query verdict, one psum per mesh axis) certifies the
-    MERGED result: True rows are byte-identical to the exact sharded
-    scan; False rows must be re-served by the caller
-    (ShardedHNSW.search_batch). f32 euclidean only, like the
-    single-chip path."""
-    from ..ops.scan import certified_local
+    axes = mesh.axis_names
+
+    def local(vecs, sqn, live, queries):
+        ids, sims = scan_topk(
+            vecs[0], sqn[0], live[0], queries, k=k,
+            metric="euclidean", approx=True,
+        )
+        return ids[None], sims[None]
+
+    spec = P(axes)
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec, P()),
+        out_specs=(spec, spec),
+        check_vma=not len(axes) > 1,  # see _sharded_search_jit
+    )(vecs, sqn, live, queries)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_cert_verify_jit(
+    vecs, sqn, live, queries, ids, sims, *, k: int, mesh
+):
+    """Program 2: per-shard counting certificate over the program-1
+    selections (ops/scan.py:_cert_verify) + exact rescore + the same
+    all-gather top-k merge as :func:`_sharded_scan_jit`; per-shard
+    verdicts AND across the mesh (one psum per axis)."""
+    from ..ops.scan import _cert_verify
 
     n_pad = vecs.shape[1]
     axes = mesh.axis_names
     hierarchical = len(axes) > 1
 
-    def local(vecs, sqn, live, queries):
-        ids, sims, ok = certified_local(
-            vecs[0], sqn[0], live[0], queries, k=k
+    def local(vecs, sqn, live, queries, ids, sims):
+        ids, sims, ok = _cert_verify(
+            vecs[0], sqn[0], live[0], queries, ids[0], sims[0]
         )
         s = _shard_index(mesh)
         gids = jnp.where(ids >= 0, s * n_pad + ids, -1)
@@ -287,13 +307,39 @@ def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
     out_spec = P() if hierarchical else spec
     gids, sims, ok = shard_map(
         local, mesh=mesh,
-        in_specs=(spec, spec, spec, P()),
+        in_specs=(spec, spec, spec, P(), spec, spec),
         out_specs=(out_spec, out_spec, P()),
         check_vma=not hierarchical,  # see _sharded_search_jit
-    )(vecs, sqn, live, queries)
+    )(vecs, sqn, live, queries, ids, sims)
     if hierarchical:
         return gids, sims, ok
     return (*_merge_stacked_topk(gids, sims, k), ok)
+
+
+def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
+    """Certified-exact sharded scan: per-shard approx select + counting
+    certificate + the same all-gather top-k merge as
+    :func:`_sharded_scan_jit`.
+
+    Returns ``(gids, sims, ok)``. The merged top-k of exact per-shard
+    top-ks is the exact global top-k, so ``ok`` (the AND of every
+    shard's per-query verdict) certifies the MERGED result: True rows
+    are byte-identical to the exact sharded scan; False rows must be
+    re-served by the caller (ShardedHNSW.search_batch). f32 euclidean
+    only, like the single-chip path.
+
+    Host-level composition of TWO device programs (select, then
+    certificate/rescore/merge), mirroring the single-chip split
+    (ops/scan.py:_cert_verify_l2): each pass's chunk score tiles peak
+    at ~8GB per device at ~1M rows/shard, and a fused one-program form
+    OOMs a 16GB chip exactly at the per-shard scale multi-chip exists
+    for (measured single-chip, artifacts/scan_tiers.json r3 run)."""
+    ids, sims = _sharded_cert_select_jit(
+        vecs, sqn, live, queries, k=k, mesh=mesh
+    )
+    return _sharded_cert_verify_jit(
+        vecs, sqn, live, queries, ids, sims, k=k, mesh=mesh
+    )
 
 
 class ShardedHNSW:
