@@ -560,20 +560,25 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
 
 # -- ids-only replies (host exact rescore) ------------------------------------
 #
-# On high-latency links the reply D2H dominates the batch wall at high
-# qps (measured: the [B, 2k] packed reply is 160KB ~= 53ms of a 109ms
-# B=2048 search over this box's ~3MB/s tunnel). Hamming already packs
-# one int32 per result because its distance is a small integer; the
-# euclidean analog is to transfer ONLY the [B, k] id block and
-# recompute the k sims on the host in exact direct form -- the
-# reference's own kernel formulation (metrics.rs:79-84) over the f32
-# rows the host already holds (index._vectors). Result ORDER is still
-# decided by the device's exact rescore (unchanged); only the sims
-# bytes drop off the wire. B=2048 x k=10 is 20k rows x D flops on the
-# host -- ~2ms via torch at 128d, noise next to the transfer saved.
-# Opt-in: REDIS_HNSW_TPU_REPLY=ids, honored when the caller can supply
-# host-resident queries for free (numpy input, or the host_qs mirror
-# serving paths hold anyway).
+# Transfer ONLY the [B, k] id block and recompute the k sims on the
+# host in exact direct form -- the reference's own kernel formulation
+# (metrics.rs:79-84) over the f32 rows the host already holds
+# (index._vectors). Result ORDER is still decided by the device's
+# exact rescore (unchanged); only the sims bytes drop off the wire.
+# Hamming already packs one int32 per result because its distance is a
+# small integer; this is the euclidean analog.
+#
+# MEASURED A LOSS on this box and kept opt-in-off: the dev tunnel's
+# D2H turns out to be LATENCY-bound, not bandwidth-bound, at reply
+# sizes -- halving the [2048, 2k] packed reply saves only ~2.3ms
+# (ids-D2H 27.9ms vs full-D2H 30.2ms, measured uncontended) while the
+# host gather+rescore+resort costs ~9.3ms at 128d (more at 960d: the
+# row gather is 78MB), so ids mode is 0.58x the full reply end-to-end
+# (59.2ms vs 34.4ms at B=2048, 10k rows). The mode remains for
+# genuinely bandwidth-starved links where reply bytes, not round
+# trips, dominate. Opt-in: REDIS_HNSW_TPU_REPLY=ids, honored when the
+# caller can supply host-resident queries for free (numpy input, or
+# the host_qs mirror serving paths hold anyway).
 
 
 def reply_ids_only() -> bool:
