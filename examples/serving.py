@@ -69,7 +69,10 @@ def main() -> None:
     assert col_names.shape == col_sims.shape == (b, k)
 
     # -- ids-only replies: transfer the id block alone, rescore sims
-    # host-side in exact direct form (halves reply D2H on real links)
+    # host-side in exact direct form. For bandwidth-starved reply
+    # links only: on this box's latency-bound tunnel it measured a
+    # 0.58x LOSS (bytes saved ~2.3ms < host rescore ~9.3ms), so it
+    # stays opt-in-off.
     os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
     try:
         ids_reply = c.search_batch("docs", queries, k=k)
