@@ -115,16 +115,11 @@ class HNSW:
             return idx
 
     def get_index(self, name: str) -> dict:
-        """HNSW.GET -- index metadata reply (src/types.rs:122-155)."""
-        idx = self.index(name)
-        if isinstance(idx, FlatIndex):
-            return {
-                "name": idx.name,
-                "metric": idx.config.metric.capitalize(),
-                "data_dim": idx.config.dim,
-                "node_count": idx.node_count,
-            }
-        return idx.info()  # HNSWIndex and ShardedHNSW
+        """HNSW.GET -- index metadata reply (src/types.rs:122-155).
+
+        All three kinds return the reference's full 9-field shape;
+        FlatIndex.info() fills graph-only fields with honest nulls."""
+        return self.index(name).info()
 
     def delete_index(self, name: str) -> int:
         """HNSW.DEL -- drops the index and all nodes; returns 1."""

@@ -114,6 +114,24 @@ class FlatIndex:
     def node_count(self) -> int:
         return len(self._names)
 
+    def info(self) -> dict:
+        """HNSW.GET reply with the reference's full 9-field shape
+        (src/types.rs:122-155). The flat kind has no graph, so the
+        graph-only fields (m, ef_construction, level_mult, max_layer,
+        enterpoint) are honest nulls rather than absent keys -- a
+        client iterating the reference's field list sees every key."""
+        return {
+            "name": self.name,
+            "metric": self.config.metric.capitalize(),
+            "data_dim": self.config.dim,
+            "m": None,
+            "ef_construction": None,
+            "level_mult": None,
+            "node_count": self.node_count,
+            "max_layer": None,
+            "enterpoint": None,
+        }
+
     def __len__(self) -> int:
         return self.node_count
 

@@ -208,16 +208,25 @@ class Dispatcher:
             return OK
         if cmd == "hnsw.get":
             info = c.get_index(args[0])
+            # Full 9-field reply for every kind (types.rs:122-155).
+            # kind=flat has no graph: its graph-only fields come back
+            # None from info() and encode as RESP nulls ($-1); the
+            # graph kinds keep their established shapes (enterpoint ""
+            # when unset, matching the reference's empty enterpoint).
+            def fld(key, cast):
+                v = info[key]
+                return None if v is None else cast(v)
             return [
                 "name", info["name"],
                 "metric", info["metric"],
                 "data_dim", int(info["data_dim"]),
-                "m", int(info["m"]),
-                "ef_construction", int(info["ef_construction"]),
-                "level_mult", float(info["level_mult"]),
+                "m", fld("m", int),
+                "ef_construction", fld("ef_construction", int),
+                "level_mult", fld("level_mult", float),
                 "node_count", int(info["node_count"]),
-                "max_layer", int(info["max_layer"]),
-                "enterpoint", info["enterpoint"] or "",
+                "max_layer", fld("max_layer", int),
+                "enterpoint", (info["enterpoint"] or ""
+                               if info.get("m") is not None else None),
             ]
         if cmd == "hnsw.del":
             return c.delete_index(args[0])

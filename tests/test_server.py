@@ -265,6 +265,22 @@ def test_flat_kind_over_wire(server):
     assert res[0] == 3
     first = dict(zip(res[1][::2], res[1][1::2]))
     assert first["name"] == "n0"
+    # HNSW.GET keeps the reference's full 9-field reply shape on
+    # kind=flat (types.rs:122-155): graph-only fields are RESP nulls,
+    # not absent keys.
+    raw = c.cmd("HNSW.GET", "fw")
+    info = dict(zip(raw[::2], raw[1::2]))
+    assert list(info) == [
+        "name", "metric", "data_dim", "m", "ef_construction",
+        "level_mult", "node_count", "max_layer", "enterpoint",
+    ]
+    assert info["name"] == "fw"
+    assert info["metric"] == "Euclidean"
+    assert int(info["data_dim"]) == 4
+    assert int(info["node_count"]) == 3
+    for graph_only in ("m", "ef_construction", "level_mult",
+                       "max_layer", "enterpoint"):
+        assert info[graph_only] is None, graph_only
     assert c.cmd("HNSW.DEL", "fw") == 1
     c.close()
 
