@@ -266,19 +266,32 @@ def _bench_one(
     # results; measured separately so the delta is the wire bytes.
     ids_qps = None
     if idx.config.metric == "euclidean":
+        from redis_hnsw_tpu.ops.scan import reply_ids_engaged
+
         os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
         try:
-            idx.search_batch(q_dev, k, reply="columnar",
-                             host_qs=queries)
-            t0 = time.perf_counter()
-            for _ in range(reps):
+            if not reply_ids_engaged(idx.config.dim):
+                # guarded mode declined (est. host rescore > est.
+                # bytes saved on this link); nothing to measure --
+                # the reply path is the full one above.
+                log(f"[{name}] ids-only reply: guard auto-disabled "
+                    f"at dim={idx.config.dim} (host rescore > bytes "
+                    f"saved; ids-force overrides)")
+            else:
                 idx.search_batch(q_dev, k, reply="columnar",
                                  host_qs=queries)
-            ids_qps = n_queries / ((time.perf_counter() - t0) / reps)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    idx.search_batch(q_dev, k, reply="columnar",
+                                     host_qs=queries)
+                ids_qps = n_queries / (
+                    (time.perf_counter() - t0) / reps
+                )
+                log(f"[{name}] auto engine, ids-only reply: "
+                    f"{ids_qps:.0f} qps "
+                    f"({ids_qps / auto_qps:.2f}x the full reply)")
         finally:
             os.environ.pop("REDIS_HNSW_TPU_REPLY", None)
-        log(f"[{name}] auto engine, ids-only reply: {ids_qps:.0f} qps "
-            f"({ids_qps / auto_qps:.2f}x the full reply)")
 
     # -- approx-select tier (oversampled approx_max_k, exact re-reduce;
     # the 2.4-3.9x lever at >=1M rows, artifacts/scan_tiers.json --

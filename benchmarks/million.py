@@ -244,9 +244,10 @@ def search_phase(
             "recall": round(scan_rec, 4), "qps": round(2048 / dt, 1),
         }
         log(f"scan engine: recall@{K}={scan_rec:.4f} qps={2048/dt:.0f}")
-        # ids-only reply variant (REDIS_HNSW_TPU_REPLY=ids): half the
-        # reply D2H, host exact rescore -- same results (ops/scan.py)
-        os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
+        # ids-only reply variant, ids-force so the sweep measures the
+        # path even where the serving guard would decline it (the
+        # sweep's job is to characterize, ops/scan.py reply_ids_engaged)
+        os.environ["REDIS_HNSW_TPU_REPLY"] = "ids-force"
         try:
             idx.search_batch(qd, K, engine="scan", reply="columnar",
                              host_qs=queries)
@@ -277,7 +278,7 @@ def search_phase(
             "recall": round(a_rec, 4), "qps": round(2048 / dt, 1),
         }
         log(f"scan-approx: recall@{K}={a_rec:.4f} qps={2048/dt:.0f}")
-        os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
+        os.environ["REDIS_HNSW_TPU_REPLY"] = "ids-force"
         try:
             idx.search_batch(qd, K, engine="scan-approx",
                              reply="columnar", host_qs=queries)

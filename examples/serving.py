@@ -73,7 +73,7 @@ def main() -> None:
     # links only: on this box's latency-bound tunnel it measured a
     # 0.58x LOSS (bytes saved ~2.3ms < host rescore ~9.3ms), so it
     # stays opt-in-off.
-    os.environ["REDIS_HNSW_TPU_REPLY"] = "ids"
+    os.environ["REDIS_HNSW_TPU_REPLY"] = "ids-force"
     try:
         ids_reply = c.search_batch("docs", queries, k=k)
     finally:

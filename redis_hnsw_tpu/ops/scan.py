@@ -583,9 +583,103 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
 
 def reply_ids_only() -> bool:
     v = os.environ.get("REDIS_HNSW_TPU_REPLY", "full")
-    if v not in ("full", "ids"):
+    if v not in ("full", "ids", "ids-force"):
         raise ValueError(f"REDIS_HNSW_TPU_REPLY={v!r}")
-    return v == "ids"
+    return v != "full"
+
+
+# -- ids-reply guard ----------------------------------------------------------
+#
+# The r3 measurement above showed "halve the reply bytes" can be a
+# LOSS (0.58x here) when the link is latency-bound, and at high D the
+# host gather+rescore grows with dim while the bytes saved do not: at
+# 960d the ids path measured a 100x pathology (73 qps vs 46.8k full,
+# BENCH_r03). A knob that can silently cost 100x needs a guard, not a
+# doc note: REDIS_HNSW_TPU_REPLY=ids now auto-disables (once-logged)
+# when the estimated host-rescore time exceeds the estimated bytes
+# saved. Both sides of the estimate are calibrated once per process on
+# the live link/host:
+#
+#   saved   = (n_q * k * 4 bytes of sims dropped) * d2h_sec_per_byte
+#   rescore = (n_q * k * dim elements)            * host_sec_per_elem
+#
+# n_q * k cancels, so the verdict depends only on dim: engage iff
+# 4 * d2h_sec_per_byte > dim * host_sec_per_elem. d2h_sec_per_byte is
+# the MARGINAL transfer cost (slope between a 64KB and a 4MB D2H --
+# fixed per-transfer latency, the thing that fooled the original
+# estimate, cancels out). REDIS_HNSW_TPU_REPLY=ids-force skips the
+# guard entirely (tests pin the path with it; operators of genuinely
+# bandwidth-starved links may too).
+
+_IDS_GUARD: dict = {}  # "cal": (d2h_sec_per_byte, host_sec_per_elem)
+
+
+def _ids_guard_calibrate() -> tuple[float, float]:
+    if "cal" in _IDS_GUARD:
+        return _IDS_GUARD["cal"]
+    import time
+
+    base_s = jnp.zeros((2048, 8), jnp.int32)    # 64KB reply-sized
+    base_b = jnp.zeros((2048, 512), jnp.int32)  # 4MB
+
+    def best_d2h(base) -> float:
+        best = float("inf")
+        for i in range(1, 4):
+            # fresh result each rep: jax.Array caches its first host
+            # copy (_npy_value), so re-converting the same array would
+            # time a no-op. Same program every i (device scalar).
+            a = base + jnp.int32(i)
+            np_t0 = time.perf_counter()
+            np.asarray(a)
+            best = min(best, time.perf_counter() - np_t0)
+        return best
+
+    np.asarray(base_s + jnp.int32(0))  # warm compile + first transfer
+    np.asarray(base_b + jnp.int32(0))
+    spb = max(
+        (best_d2h(base_b) - best_d2h(base_s))
+        / (base_b.nbytes - base_s.nbytes),
+        0.0,
+    )
+    v = np.random.default_rng(0).standard_normal(
+        (1024, 10, 128)
+    ).astype(np.float32)
+    q = np.zeros((1024, 128), np.float32)
+    t0 = time.perf_counter()
+    neg_sq_rows(v, q)
+    spe = (time.perf_counter() - t0) / v.size
+    _IDS_GUARD["cal"] = (spb, spe)
+    return _IDS_GUARD["cal"]
+
+
+def reply_ids_engaged(dim: int) -> bool:
+    """Should this reply use ids-only transfer + host rescore? False
+    unless REDIS_HNSW_TPU_REPLY opts in; "ids" is guarded by the
+    calibrated estimate above, "ids-force" is unconditional."""
+    v = os.environ.get("REDIS_HNSW_TPU_REPLY", "full")
+    if v not in ("full", "ids", "ids-force"):
+        raise ValueError(f"REDIS_HNSW_TPU_REPLY={v!r}")
+    if v == "full":
+        return False
+    if v == "ids-force":
+        return True
+    verdict = _IDS_GUARD.get(dim)
+    if verdict is None:
+        spb, spe = _ids_guard_calibrate()
+        verdict = 4.0 * spb > dim * spe
+        _IDS_GUARD[dim] = verdict
+        if not verdict:
+            import logging
+
+            logging.getLogger("redis_hnsw_tpu").warning(
+                "REDIS_HNSW_TPU_REPLY=ids auto-disabled at dim=%d: "
+                "est. host rescore %.1f ns/result-row > est. bytes "
+                "saved %.1f ns/result-row on this link (marginal D2H "
+                "%.3g s/byte, host rescore %.3g s/elem). Use "
+                "REDIS_HNSW_TPU_REPLY=ids-force to override.",
+                dim, dim * spe * 1e9, 4.0 * spb * 1e9, spb, spe,
+            )
+    return verdict
 
 
 def neg_sq_rows(v, q):
@@ -681,7 +775,7 @@ def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
         host_qs = qs
     ids_mode = (
         metric == "euclidean" and host_qs is not None
-        and reply_ids_only()
+        and reply_ids_engaged(int(qs.shape[1]))
     )
     n_q = qs.shape[0]
     b_pad = pad_pow2(n_q)

@@ -718,12 +718,12 @@ def search_batch(
             index, part, k, approx=approx, host_qs=hpart
         )
     else:
-        from .scan import host_exact_sims, reply_ids_only, sort_reply
+        from .scan import host_exact_sims, reply_ids_engaged, sort_reply
 
         pool = _pivot_pool(index, snap) if seeds > 0 else None
         graph_ids_mode = (
             cfg.metric == "euclidean" and hq is not None
-            and reply_ids_only()
+            and reply_ids_engaged(cfg.dim)
         )
 
         def run(part, hpart=None):

@@ -726,7 +726,7 @@ class ShardedHNSW:
         API parity with the single-chip path but unused: sharded
         queries are always normalized host-side, so the ids-only reply
         mode (REDIS_HNSW_TPU_REPLY=ids) needs no mirror here."""
-        from ..ops.scan import reply_ids_only as SC_reply_ids_only
+        from ..ops.scan import reply_ids_engaged as SC_reply_ids
         from ..ops.search import SCAN_MAX_ROWS, resolve_engine
 
         engine = resolve_engine(engine, recall_target)
@@ -777,7 +777,7 @@ class ShardedHNSW:
             )
             ids_mode = (
                 self.config.metric == "euclidean"
-                and SC.reply_ids_only()
+                and SC.reply_ids_engaged(self.config.dim)
             )
             if use_cert:
                 # certified-exact per shard (ops/scan.py): byte-
@@ -841,7 +841,8 @@ class ShardedHNSW:
                 seeds=seeds_eff,
             )
         host_rescore = (
-            self.config.metric == "euclidean" and SC_reply_ids_only()
+            self.config.metric == "euclidean"
+            and SC_reply_ids(self.config.dim)
             and (sims is None or isinstance(gids, jax.Array))
         )
         if host_rescore:

@@ -563,7 +563,7 @@ def test_ids_reply_mode(rng, monkeypatch):
     idx, oracle, data, _ = _build(rng, n=400)
     queries = rng.standard_normal((16, 24)).astype(np.float32)
     want = idx.search_batch(queries, 10, engine="scan")
-    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids")
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids-force")
     got = idx.search_batch(queries, 10, engine="scan")
     for b in range(16):
         assert [r.name for r in got[b]] == [r.name for r in want[b]]
@@ -614,7 +614,7 @@ def test_ids_reply_graph_engine(rng, monkeypatch):
     idx, oracle, data, _ = _build(rng, n=500)
     queries = rng.standard_normal((16, 24)).astype(np.float32)
     want = idx.search_batch(queries, 10, engine="graph", ef_search=96)
-    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids")
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids-force")
     got = idx.search_batch(queries, 10, engine="graph", ef_search=96)
     for b in range(16):
         assert [r.name for r in got[b]] == [r.name for r in want[b]]
@@ -707,3 +707,47 @@ def test_cert_enabled_auto_threshold(monkeypatch):
     assert not S.cert_enabled(1 << 30)
     monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
     assert S.cert_enabled(8)
+
+
+def test_ids_reply_guard(rng, monkeypatch, caplog):
+    """reply_ids_engaged: REPLY=ids is GUARDED -- it auto-disables
+    (with a logged reason) when the calibrated host-rescore estimate
+    exceeds the estimated bytes saved, and the verdict is
+    dim-dependent (the r3 pathology: ids mode cost 100x at 960d).
+    ids-force bypasses the guard; full never engages."""
+    import logging
+
+    import redis_hnsw_tpu.ops.scan as S
+
+    monkeypatch.delenv("REDIS_HNSW_TPU_REPLY", raising=False)
+    assert S.reply_ids_engaged(128) is False
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids-force")
+    assert S.reply_ids_engaged(960) is True  # no calibration needed
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "bogus")
+    with pytest.raises(ValueError, match="REPLY"):
+        S.reply_ids_engaged(128)
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids")
+    # injected calibration: 1us/byte link, 10ns/elem host rescore
+    # -> engage iff 4 * 1e-6 > dim * 1e-8, i.e. dim < 400
+    monkeypatch.setattr(S, "_IDS_GUARD", {"cal": (1e-6, 1e-8)})
+    assert S.reply_ids_engaged(128) is True
+    with caplog.at_level(logging.WARNING, "redis_hnsw_tpu"):
+        assert S.reply_ids_engaged(960) is False
+    assert "auto-disabled at dim=960" in caplog.text
+    assert "ids-force" in caplog.text
+    # verdicts cache per dim
+    assert S._IDS_GUARD[128] is True and S._IDS_GUARD[960] is False
+
+    # latency-bound link (zero marginal D2H): always declines, and the
+    # ids path is genuinely not taken end-to-end
+    monkeypatch.setattr(S, "_IDS_GUARD", {"cal": (0.0, 1e-8)})
+    assert S.reply_ids_engaged(2) is False
+
+    def boom(*a, **kw):  # the ids path would call this
+        raise AssertionError("ids path taken despite guard")
+
+    monkeypatch.setattr(S, "host_exact_sims", boom)
+    idx, _, data, _ = _build(rng, n=64)
+    res = idx.search_batch(data[:4], 3, engine="scan")
+    assert [r.name for r in res[0]][0] == "n0"

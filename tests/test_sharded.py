@@ -416,7 +416,7 @@ def test_sharded_ids_reply_mode(rng, monkeypatch):
     for kw in (dict(engine="scan"), dict(engine="graph", ef_search=48)):
         monkeypatch.delenv("REDIS_HNSW_TPU_REPLY", raising=False)
         want = idx.search_batch(queries, k, **kw)
-        monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids")
+        monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids-force")
         got = idx.search_batch(queries, k, **kw)
         for b in range(12):
             assert [r.name for r in got[b]] == [
