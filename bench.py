@@ -84,6 +84,30 @@ def _init_devices_or_die():
     return devs
 
 
+def _timed_med(fn, reps: int, label: str):
+    """Median seconds per call over ``reps`` calls, per-rep list logged.
+
+    The tunnel's device wall has heavy one-sided spikes (measured r4:
+    back-to-back reps of the SAME compiled search alternate ~125ms and
+    ~235-400ms -- a 2-3x hiccup on ~30% of reps). A mean over a single
+    timed block lets two spiked reps halve the reported qps: that is
+    exactly the r2->r3 "graph regression" (12.8k -> 6.7k qps), which
+    bisection showed was no code change at all (r2 and r3 code measure
+    126.4ms vs 127.4ms MEDIAN back-to-back;
+    artifacts/graph_regression_bisect.json). Every engine timing here
+    therefore reports the median rep, with the rep list on stderr."""
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        vals.append(time.perf_counter() - t0)
+    med = statistics.median(vals)
+    spread = (max(vals) - min(vals)) / med
+    log(f"    [{label}] rep ms: "
+        f"{[round(v * 1e3, 1) for v in vals]} (spread {spread:.2f}x)")
+    return med
+
+
 def _recall_fn(truth, k):
     truth_sets = [{r.name for r in t} for t in truth]
 
@@ -198,7 +222,10 @@ def _bench_one(
     recall_tie = _recall_tie_fn(truth, k)
 
     q_dev = jnp.asarray(queries)  # one upload, reused
-    reps = 5
+    # 9 reps/engine: the median tolerates 4 tunnel-spiked reps (spike
+    # rate measured ~30%, see _timed_med); each rep is 30-400ms so the
+    # extra reps cost ~2s per engine.
+    reps = 9
 
     # -- graph engine: smallest work hitting recall >= 0.95 on the full
     # batch (the reference hardwires ef = efcon and has no such knobs)
@@ -218,13 +245,13 @@ def _bench_one(
         chosen = (*sweep[-1], r)
     ef, iters, graph_recall = chosen
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        idx.search_batch(
+    dt = _timed_med(
+        lambda: idx.search_batch(
             q_dev, k, ef_search=ef, expand=expand, iters=iters,
             engine="graph",
-        )
-    dt = (time.perf_counter() - t0) / reps
+        ),
+        reps, "graph",
+    )
     graph_qps = n_queries / dt
     log(
         f"[{name}] graph engine: ef={ef} iters={iters} "
@@ -242,10 +269,10 @@ def _bench_one(
     # ops/scan.py) with the columnar serving reply
     auto_recall = recall(idx.search_batch(q_dev, k))
     idx.search_batch(q_dev, k, reply="columnar")
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        idx.search_batch(q_dev, k, reply="columnar")
-    dt_auto = (time.perf_counter() - t0) / reps
+    dt_auto = _timed_med(
+        lambda: idx.search_batch(q_dev, k, reply="columnar"),
+        reps, "auto",
+    )
     auto_qps = n_queries / dt_auto
     snap = idx.device_snapshot()
     table_bytes = (
@@ -280,13 +307,13 @@ def _bench_one(
             else:
                 idx.search_batch(q_dev, k, reply="columnar",
                                  host_qs=queries)
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    idx.search_batch(q_dev, k, reply="columnar",
-                                     host_qs=queries)
-                ids_qps = n_queries / (
-                    (time.perf_counter() - t0) / reps
+                dt_ids = _timed_med(
+                    lambda: idx.search_batch(
+                        q_dev, k, reply="columnar", host_qs=queries
+                    ),
+                    reps, "ids-reply",
                 )
+                ids_qps = n_queries / dt_ids
                 log(f"[{name}] auto engine, ids-only reply: "
                     f"{ids_qps:.0f} qps "
                     f"({ids_qps / auto_qps:.2f}x the full reply)")
@@ -300,11 +327,11 @@ def _bench_one(
         idx.search_batch(q_dev, k, engine="scan-approx")
     )
     idx.search_batch(q_dev, k, engine="scan-approx", reply="columnar")
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        idx.search_batch(q_dev, k, engine="scan-approx",
-                         reply="columnar")
-    ap_qps = n_queries / ((time.perf_counter() - t0) / reps)
+    ap_qps = n_queries / _timed_med(
+        lambda: idx.search_batch(q_dev, k, engine="scan-approx",
+                                 reply="columnar"),
+        reps, "scan-approx",
+    )
     log(f"[{name}] scan-approx tier: tie-aware recall@{k}="
         f"{ap_recall:.4f} {ap_qps:.0f} qps (big-N tier: at bench "
         f"scale the exact scan already wins; see artifacts/"
