@@ -24,6 +24,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (compile-heavy; the full "
+        "suite is ~15 min on this 1-core box, the default tier ~3)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get(
+        "REDIS_HNSW_TPU_TEST_SLOW"
+    ):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: run with --slow (or "
+        "REDIS_HNSW_TPU_TEST_SLOW=1)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

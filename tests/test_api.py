@@ -178,6 +178,7 @@ def test_sharded_index_kind(tmp_path, rng):
     assert [r.name for r in res2] == [r.name for r in res]
 
 
+@pytest.mark.slow
 def test_high_dim_gist_style(rng):
     """960-d vectors (GIST regime, BASELINE config 3): distance-bound
     shapes must work through build and batched search."""

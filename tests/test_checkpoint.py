@@ -250,6 +250,7 @@ def test_delta_refresh_after_upper_slot_reuse():
         assert nonempty, "all reused rows had empty adjacency (vacuous)"
 
 
+@pytest.mark.slow
 def test_restore_then_continue_bulk_build(tmp_path, rng):
     """Staged builds: checkpoint mid-build, restore, keep bulk-building
     (benchmarks/million.py's loop), ending at full recall health."""
@@ -290,6 +291,7 @@ def test_restore_then_continue_bulk_build(tmp_path, rng):
     assert hits / (k * len(queries)) >= 0.9
 
 
+@pytest.mark.slow
 def test_autosave_crash_restore_continue(tmp_path, rng):
     """Incremental durability (VERDICT r1 item 6): autosave lands
     periodic atomic checkpoints during a bulk build; after a "crash"

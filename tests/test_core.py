@@ -203,6 +203,7 @@ def test_level_distribution(rng):
     assert abs(frac1 - 0.16) < 0.02
 
 
+@pytest.mark.slow
 def test_bulk_build_recall(rng):
     """Device-scored wave construction (ops/construct.py) reaches the
     recall of the sequential reference-semantics build at equal M/efcon."""
@@ -230,6 +231,7 @@ def test_bulk_build_recall(rng):
     assert recall >= 0.88, f"bulk recall@{k} = {recall}"
 
 
+@pytest.mark.slow
 def test_bulk_build_graph_invariants(rng):
     """Wave construction preserves the reference graph invariants:
     symmetric links, degree caps, no dangling ids, single layer set."""
@@ -260,6 +262,7 @@ def test_bulk_build_graph_invariants(rng):
     assert len(seen) == n
 
 
+@pytest.mark.slow
 def test_bulk_vs_sequential_equivalence_small(rng):
     """A bulk build with batch_size=1 follows the same per-insert order
     as sequential insertion and must produce a searchable graph with the
@@ -341,6 +344,7 @@ def test_flat_duplicate_names_within_batch(rng):
     assert idx.node_count == 3
 
 
+@pytest.mark.slow
 def test_hint_exact_padding(rng):
     """Snapshot rows pad to the capacity hint rounded to 128 (not pow2)
     when a hint is declared -- the 2M-rows-per-chip capacity fix -- and

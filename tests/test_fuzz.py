@@ -23,6 +23,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_randomized_op_sequence_differential(seed):
     rng = np.random.default_rng(seed)
     dim, m, efcon = 12, 5, 40
@@ -98,6 +99,7 @@ def test_randomized_op_sequence_differential(seed):
         assert hits / (5 * len(queries)) >= 0.85, b
 
 
+@pytest.mark.slow
 def test_hamming_bulk_build_and_batched_search(rng):
     """Hamming end to end through the bulk wave engine + device search
     (the reference only declares Hamming, Readme.md:8)."""

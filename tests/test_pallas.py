@@ -7,6 +7,7 @@ Mirrors the reference's kernel-equivalence strategy: AVX2 vs scalar
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from redis_hnsw_tpu import IndexConfig
 from redis_hnsw_tpu.models.flat import FlatIndex
@@ -66,6 +67,7 @@ def test_flat_index_pallas_path(rng):
         assert [r.name for r in ra] == [r.name for r in rb]
 
 
+@pytest.mark.slow
 def test_fused_block_score_matches_xla(rng):
     """Fused DMA block-gather+score kernel (ops/pallas_gather.py) vs the
     XLA blocked path, interpret mode (the TPU path is exercised by

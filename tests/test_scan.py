@@ -37,6 +37,7 @@ def test_scan_matches_oracle_euclidean(rng):
         assert sims == sorted(sims, reverse=True)
 
 
+@pytest.mark.slow
 def test_scan_matches_oracle_hamming(rng):
     """The int8 +-1 matmul formulation must reproduce popcount hamming
     EXACTLY: hamming(a, b) = (D - dot(pm1(a), pm1(b))) / 2."""
@@ -52,6 +53,7 @@ def test_scan_matches_oracle_hamming(rng):
         ]
 
 
+@pytest.mark.slow
 def test_scan_respects_deletes(rng):
     idx, _, data, names = _build(rng, n=300)
     for i in range(0, 300, 2):
@@ -67,6 +69,7 @@ def test_scan_respects_deletes(rng):
     assert all(item.name != "n1" for item in res[0])
 
 
+@pytest.mark.slow
 def test_scan_k_exceeds_live_rows(rng):
     idx, _, data, _ = _build(rng, n=12)
     res = idx.search_batch(data[:2], 40, engine="scan")
@@ -173,6 +176,7 @@ def test_scan_after_checkpoint_restore(rng, tmp_path):
         assert [r.name for r in got[b]] == [r.name for r in want[b]]
 
 
+@pytest.mark.slow
 def test_scan_approx_mode(rng):
     """scan-approx: near-exact results (here, small N: usually exactly
     equal), exact reported sims, both metrics."""

@@ -144,6 +144,7 @@ def test_device_hamming_no_duplicates_and_recall():
     assert hits / (k * len(queries)) >= 0.95
 
 
+@pytest.mark.slow
 def test_quantized_high_dim_path(monkeypatch, built=None):
     """int8 coarse scoring (byte-bound high-D regime) forced on via
     REDIS_HNSW_TPU_QUANT=1: recall stays high and reported sims remain
@@ -179,6 +180,7 @@ def test_quantized_high_dim_path(monkeypatch, built=None):
     assert hits / (k * len(queries)) >= 0.93
 
 
+@pytest.mark.slow
 def test_int8_blocked_tier(monkeypatch):
     """Forced int8 nbrvec blocks (the over-budget low-D tier): recall
     matches the f32 blocked path within noise, reported sims exact."""
@@ -272,6 +274,7 @@ def test_seeded_beam_lifts_recall(built):
     ]
 
 
+@pytest.mark.slow
 def test_seeded_beam_hamming(built):
     """Seeds work for the hamming metric (pm1 pivot scan) and the
     self-query still ranks first."""

@@ -97,6 +97,7 @@ def test_sharded_checkpoint_roundtrip(tmp_path, sharded_built):
     assert back.node_count == sharded.node_count + 1
 
 
+@pytest.mark.slow
 def test_sharded_hamming():
     """Hamming metric across the mesh: per-shard blocked XOR+popcount
     beams + the all-gather merge."""
@@ -127,6 +128,7 @@ def test_sharded_hamming():
         assert len(names_list) == len(set(names_list))
 
 
+@pytest.mark.slow
 def test_sharded_autosave(tmp_path):
     """Per-shard autosave: a crash loses at most every_ops mutations
     per shard; shards restore individually."""
@@ -314,6 +316,7 @@ def test_sharded_seeded_beam(sharded_built):
     ]
 
 
+@pytest.mark.slow
 def test_hierarchical_2d_mesh_matches_1d(rng):
     """A (slice, data) 2-D mesh (make_mesh2d) runs the SAME stacked
     tables with the hierarchical in-shard_map merge (intra-slice ICI

@@ -1,12 +1,14 @@
 """Streaming 50/50 insert+query mix (BASELINE.json config 4)."""
 
 import numpy as np
+import pytest
 
 from redis_hnsw_tpu import HNSWIndex, IndexConfig
 from redis_hnsw_tpu.models.flat import FlatIndex
 from redis_hnsw_tpu.utils.streaming import run_mixed
 
 
+@pytest.mark.slow
 def test_mixed_stream_visibility_and_recall(rng):
     n, dim, k = 1200, 16, 5
     data = rng.standard_normal((n, dim)).astype(np.float32)
