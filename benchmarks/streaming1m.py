@@ -10,7 +10,7 @@ between stages), so a runner can drive it to any N:
 
 arguments: N_total, stage_size, checkpoint path, stats path. Each
 invocation streams one stage (insert waves interleaved with query
-batches, graph engine, incremental snapshot deltas), appends the
+batches on the serving engine, incremental snapshot deltas), appends the
 stage's stats as one JSON line, checkpoints, and exits. When the index
 reaches N_total it prints the aggregate summary JSON and exits 0.
 """
@@ -32,6 +32,12 @@ DIM, K = 96, 10
 N_CENTERS, SIGMA = 4096, 0.8
 EF, EXPAND, ITERS = 128, 16, 20
 WAVE = 2048
+# Serving engine for the stream's query batches. "auto" routes to the
+# exact MXU scan at config-4 scale (recall 1.0 -- the r3 harness
+# served the graph beam at ef=128 and measured 0.81-0.86, below the
+# north star's 0.95 serving bar); REDIS_HNSW_TPU_STREAM_ENGINE=graph
+# re-runs the traversal-under-mutation variant.
+ENGINE = os.environ.get("REDIS_HNSW_TPU_STREAM_ENGINE", "auto")
 
 
 def log(*a):
@@ -94,22 +100,30 @@ def main() -> None:
         idx, names, data, queries, k=K,
         insert_wave=WAVE, query_batch=WAVE,
         ef_search=EF, expand=EXPAND, iters=ITERS,
-        validate_every=16, capacity_hint=n_total,
+        validate_every=16, capacity_hint=n_total, engine=ENGINE,
     )
     s = stats.summary()
     s["start"], s["end"] = start, hi
-    # recall of the stream's operating point vs the exact scan engine
+    s["engine"] = ENGINE
+    # recall of the stream's serving path vs the exact scan engine
     try:
         probe = queries[:256]
         nm, _ = idx.search_batch(probe, K, engine="scan",
                                  reply="columnar")
         truth = [set(r) for r in nm]
         res = idx.search_batch(probe, K, ef_search=EF, expand=EXPAND,
-                               iters=ITERS, engine="graph")
+                               iters=ITERS, engine=ENGINE)
         s["recall"] = round(sum(
             len({r.name for r in rr} & truth[b])
             for b, rr in enumerate(res)
         ) / (K * len(res)), 4)
+        # the graph's recall at the stream ef budget, for context
+        res_g = idx.search_batch(probe, K, ef_search=EF, expand=EXPAND,
+                                 iters=ITERS, engine="graph")
+        s["graph_recall_at_ef"] = round(sum(
+            len({r.name for r in rr} & truth[b])
+            for b, rr in enumerate(res_g)
+        ) / (K * len(res_g)), 4)
     except Exception as e:  # pragma: no cover
         s["recall_error"] = repr(e)
     with open(stats_path, "a") as f:
@@ -132,6 +146,7 @@ def summarize(stats_path: str, n_total: int) -> None:
     out = {
         "config": "4-streaming-50-50",
         "dim": DIM, "n": n_total, "stages": len(rows),
+        "engine": rows[-1].get("engine", "graph"),
         "elapsed_s": round(el, 1),
         "inserts_per_s": round(ins / el, 1),
         "qps": round(qs / el, 1),
@@ -141,6 +156,10 @@ def summarize(stats_path: str, n_total: int) -> None:
         "first_stage_inserts_per_s": rows[0]["inserts_per_s"],
         "last_stage_inserts_per_s": rows[-1]["inserts_per_s"],
         "last_stage_qps": rows[-1]["qps"],
+        "recall_min": min(
+            (r["recall"] for r in rows if "recall" in r), default=None
+        ),
+        "graph_recall_at_ef_last": rows[-1].get("graph_recall_at_ef"),
     }
     log("AGGREGATE " + json.dumps(out))
 

@@ -63,6 +63,7 @@ def run_mixed(
     iters: int | None = None,
     validate_every: int = 0,
     capacity_hint: int | None = None,
+    engine: str = "auto",
 ) -> MixedStats:
     """Interleave insert waves and query batches 50/50 until ``data`` is
     exhausted; queries cycle through ``queries``. Each query batch runs
@@ -72,6 +73,14 @@ def run_mixed(
     ``validate_every`` > 0 asserts every Nth query batch returns the
     freshly-inserted wave's own vectors as top-1 self-hits (sanity that
     search really sees the new writes).
+
+    ``engine`` picks the serving engine for the stream's query batches
+    (ops/search.py search_batch). The default "auto" routes to the
+    exact MXU scan below the crossover -- at config-4 scale (<= 2M
+    rows) that serves every query at recall 1.0, while the graph beam
+    at the stream's tight ef budget measured 0.81-0.86 (r3
+    streaming1m.jsonl); pass "graph" to exercise the traversal
+    under mutation instead.
     """
     data = np.atleast_2d(np.asarray(data, dtype=index._vectors.dtype))
     n_total = data.shape[0]
@@ -108,7 +117,7 @@ def run_mixed(
         t0 = time.perf_counter()
         res = index.search_batch(
             qb, k, ef_search=ef_search, expand=expand, iters=iters,
-            engine="graph",  # the mixed workload exercises the graph
+            engine=engine,
         )
         query_ms.append((time.perf_counter() - t0) * 1e3)
         n_queries += len(res)
