@@ -414,7 +414,15 @@ def _cert_verify(vecs, sqn, live, queries, ids, sims):
     s_eq = jnp.sum(sims == t[:, None], axis=1, dtype=jnp.int32)
     qf = queries.astype(jnp.float32)
     qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
-    c_gt, c_eq = _count_vs_threshold(vecs, sqn, live, qf, qq, t)
+    from .pallas_count import TILE_N, cert_kernel_enabled, count_gt_eq
+
+    if cert_kernel_enabled() and vecs.shape[0] % TILE_N == 0:
+        # fused matmul+count kernel: the [B, chunk] score tile stays in
+        # VMEM instead of round-tripping HBM (pallas_count.py)
+        sq_masked = jnp.where(live, sqn, jnp.inf)
+        c_gt, c_eq = count_gt_eq(vecs, sq_masked, qf, qq[:, 0], t)
+    else:
+        c_gt, c_eq = _count_vs_threshold(vecs, sqn, live, qf, qq, t)
     # c_gt == s_gt must hold even when t == -inf: there it asserts that
     # EVERY live row (all score finite, so all > -inf) is among the
     # selected -- i.e. the k-th slot is empty because fewer than k live

@@ -89,3 +89,51 @@ def test_fused_block_score_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-3
     )
+
+
+def test_count_kernel_matches_blocked_counts(rng):
+    """pallas_count.count_gt_eq == counts over identically-blocked XLA
+    scores: pins the kernel's grid accumulation, dead-row (+inf sqnorm)
+    masking, and the t == -inf escape. The reference scores are
+    computed in the kernel's own [B, TILE_N] panel shape because dot
+    rounding is shape-dependent at the ulp level on CPU (the TPU-side
+    bit-identity of the kernel vs the selection pass is pinned by the
+    forced-audit run in artifacts/cert_breakdown.json and the
+    every-256th-batch audit in production)."""
+    from redis_hnsw_tpu.ops.pallas_count import TILE_N, count_gt_eq
+
+    B, N, dim = 16, 2 * TILE_N, 32
+    q = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
+    # duplicate a block of rows so == ties actually occur, and kill
+    # some rows so masking matters
+    v = v.at[100:110].set(v[0:10])
+    live = jnp.asarray(rng.random(N) > 0.2)
+    sqn = jnp.sum(v * v, axis=1)
+    qq = jnp.sum(q * q, axis=1, keepdims=True)
+
+    def blocked_scores(panel):
+        lo = panel * TILE_N
+        dots = jax.lax.dot_general(
+            q, v[lo : lo + TILE_N],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        raw = 2.0 * dots - qq - sqn[None, lo : lo + TILE_N]
+        return jnp.where(live[None, lo : lo + TILE_N], raw, -jnp.inf)
+
+    scores = jnp.concatenate(
+        [blocked_scores(p) for p in range(N // TILE_N)], axis=1
+    )
+    # thresholds: real scores of random live rows (so == fires), plus
+    # one -inf lane (the fewer-than-k-live-rows escape)
+    t = scores[jnp.arange(B), jnp.asarray(rng.integers(0, N, B))]
+    t = t.at[3].set(-jnp.inf)
+    want_gt = jnp.sum(scores > t[:, None], axis=1, dtype=jnp.int32)
+    want_eq = jnp.sum(scores == t[:, None], axis=1, dtype=jnp.int32)
+    got_gt, got_eq = count_gt_eq(
+        v, jnp.where(live, sqn, jnp.inf), q, qq[:, 0], t,
+        interpret=True,
+    )
+    assert (np.asarray(got_gt) == np.asarray(want_gt)).all()
+    assert (np.asarray(got_eq) == np.asarray(want_eq)).all()
