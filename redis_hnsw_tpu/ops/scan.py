@@ -439,8 +439,9 @@ def _cert_verify(vecs, sqn, live, queries, ids, sims):
     return ids, sims, ok
 
 
-@jax.jit
-def _cert_verify_l2(vecs, sqn, live, queries, ids, sims):
+@partial(jax.jit, static_argnames=("ids_only",))
+def _cert_verify_l2(vecs, sqn, live, queries, ids, sims,
+                    *, ids_only: bool = False):
     """The certificate/rescore pass as its OWN program (packed reply).
 
     Kept separate from the approx-select program deliberately: at 1M
@@ -449,25 +450,37 @@ def _cert_verify_l2(vecs, sqn, live, queries, ids, sims):
     OOMed the 16GB chip (measured, artifacts/scan_tiers.json r3 run)
     while the exact-scan program of the same peak fits. Two programs
     executed back-to-back never have both passes' tiles co-resident
-    in one buffer assignment."""
+    in one buffer assignment.
+
+    The per-query certificate verdict rides the reply as a trailing
+    int32 column instead of its own output array: the tunnel's D2H is
+    LATENCY-bound (~28ms per transfer regardless of bytes, CLAUDE.md),
+    so a second [B] bool fetch would cost as much as the whole reply --
+    measured, it was ~45%% of the certified path's end-to-end wall at
+    1M rows (artifacts/cert_breakdown.json)."""
     ids, sims, ok = _cert_verify(vecs, sqn, live, queries, ids, sims)
-    packed = jnp.concatenate(
-        [ids, jax.lax.bitcast_convert_type(sims, jnp.int32)], axis=1
+    okcol = ok.astype(jnp.int32)[:, None]
+    if ids_only:
+        return jnp.concatenate([ids, okcol], axis=1)
+    return jnp.concatenate(
+        [ids, jax.lax.bitcast_convert_type(sims, jnp.int32), okcol],
+        axis=1,
     )
-    return packed, ok
 
 
-def scan_certified_l2(vecs, sqn, live, queries, *, k: int):
+def scan_certified_l2(vecs, sqn, live, queries, *, k: int,
+                      ids_only: bool = False):
     """Approx-selected, certificate-checked euclidean top-k.
 
-    Returns ``(packed, ok)`` where ``packed`` is the [B, 2k] int32
-    reply matching :func:`scan_topk_exact_l2`'s packed contract (exact
-    direct-form rescored sims, (-sim, id) order) and ``ok`` is a [B]
-    bool: True = that query's selection is PROVABLY the exact
-    matmul-form top-k (see the certificate above); False = the caller
-    must rerun it through the exact path. Queries with fewer than k
-    live rows certify through the c_gt equality (every live row
-    selected).
+    Returns a [B, 2k+1] int32 block: :func:`scan_topk_exact_l2`'s
+    packed reply contract (exact direct-form rescored sims, (-sim, id)
+    order) with the certificate verdict appended as the last column
+    (1 = that query's selection is PROVABLY the exact matmul-form
+    top-k, see the certificate above; 0 = the caller must rerun it
+    through the exact path). ``ids_only`` narrows the block to
+    [B, k+1] (ids + verdict; the ids-reply mode's host rescore
+    recomputes sims). Queries with fewer than k live rows certify
+    through the c_gt equality (every live row selected).
 
     Host-level composition of two device programs (approx select,
     then certificate+rescore) -- see :func:`_cert_verify_l2` for why
@@ -476,7 +489,9 @@ def scan_certified_l2(vecs, sqn, live, queries, *, k: int):
     ids, sims = scan_topk(
         vecs, sqn, live, queries, k=k, metric="euclidean", approx=True
     )
-    return _cert_verify_l2(vecs, sqn, live, queries, ids, sims)
+    return _cert_verify_l2(
+        vecs, sqn, live, queries, ids, sims, ids_only=ids_only
+    )
 
 
 def _scan_certified_clear_cache() -> None:
@@ -521,11 +536,15 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
     count. Returns ``(ids, sims)`` numpy arrays, or just the [n_q, k]
     ids (``ids_only`` -- the ids-reply mode: half the D2H bytes,
     caller rescores sims host-side via :func:`host_exact_sims`)."""
-    packed, ok = scan_certified_l2(vecs, sqn, live, qd, k=k)
+    block = scan_certified_l2(
+        vecs, sqn, live, qd, k=k, ids_only=ids_only
+    )
+    # ONE device->host transfer: reply + verdict column together (the
+    # link is latency-bound; a separate ok fetch doubles the wall).
     # np.array (copy), not asarray: zero-copy views of device buffers
-    # are read-only and the fallback below splices rows in place
-    packed = np.array(packed[:n_q, :k] if ids_only else packed[:n_q])
-    okh = np.asarray(ok[:n_q])
+    # are read-only and the fallback below splices rows in place.
+    block = np.array(block[:n_q])
+    packed, okh = block[:, :-1], block[:, -1] != 0
     CERT_STATS["batches"] += 1
     CERT_STATS["queries"] += n_q
     audit = (

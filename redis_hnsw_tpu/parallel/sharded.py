@@ -280,7 +280,10 @@ def _sharded_cert_verify_jit(
     """Program 2: per-shard counting certificate over the program-1
     selections (ops/scan.py:_cert_verify) + exact rescore + the same
     all-gather top-k merge as :func:`_sharded_scan_jit`; per-shard
-    verdicts AND across the mesh (one psum per axis)."""
+    verdicts AND across the mesh (one psum per axis). Returns one
+    [B, 2k+1] int32 block (gids | sims bits | verdict column) so the
+    caller pays ONE latency-bound D2H transfer, mirroring
+    ops/scan.py:_cert_verify_l2."""
     from ..ops.scan import _cert_verify
 
     n_pad = vecs.shape[1]
@@ -311,9 +314,16 @@ def _sharded_cert_verify_jit(
         out_specs=(out_spec, out_spec, P()),
         check_vma=not hierarchical,  # see _sharded_search_jit
     )(vecs, sqn, live, queries, ids, sims)
-    if hierarchical:
-        return gids, sims, ok
-    return (*_merge_stacked_topk(gids, sims, k), ok)
+    if not hierarchical:
+        gids, sims = _merge_stacked_topk(gids, sims, k)
+    return jnp.concatenate(
+        [
+            gids,
+            jax.lax.bitcast_convert_type(sims, jnp.int32),
+            ok.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
 
 
 def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
@@ -321,12 +331,14 @@ def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
     certificate + the same all-gather top-k merge as
     :func:`_sharded_scan_jit`.
 
-    Returns ``(gids, sims, ok)``. The merged top-k of exact per-shard
-    top-ks is the exact global top-k, so ``ok`` (the AND of every
-    shard's per-query verdict) certifies the MERGED result: True rows
-    are byte-identical to the exact sharded scan; False rows must be
-    re-served by the caller (ShardedHNSW.search_batch). f32 euclidean
-    only, like the single-chip path.
+    Returns the packed [B, 2k+1] int32 block of
+    :func:`_sharded_cert_verify_jit` (gids | sims bits | verdict). The
+    merged top-k of exact per-shard top-ks is the exact global top-k,
+    so the verdict column (the AND of every shard's per-query verdict)
+    certifies the MERGED result: 1-rows are byte-identical to the
+    exact sharded scan; 0-rows must be re-served by the caller
+    (ShardedHNSW.search_batch). f32 euclidean only, like the
+    single-chip path.
 
     Host-level composition of TWO device programs (select, then
     certificate/rescore/merge), mirroring the single-chip split
@@ -782,16 +794,22 @@ class ShardedHNSW:
             if use_cert:
                 # certified-exact per shard (ops/scan.py): byte-
                 # identical to the exact sharded scan; uncertified
-                # queries re-served below through the exact path. In
-                # ids-reply mode only the gid block crosses the link
-                # (sims host-rescored in the shared tail below).
-                gids_d, sims_d, ok = _sharded_scan_cert_jit(
+                # queries re-served below through the exact path. ONE
+                # packed D2H (gids | sims bits | verdict): the link is
+                # latency-bound, so separate gid/sim/ok fetches each
+                # cost a full round trip. In ids-reply mode the sims
+                # columns are ignored host-side (rescored in the
+                # shared tail below).
+                block = np.array(_sharded_scan_cert_jit(
                     vecs, sqn, live, qs_dev, k=k_eff, mesh=self.mesh
-                )
-                # np.array (copy): the fallback splices rows in place
-                gids = np.array(gids_d[:n_q])
-                sims = None if ids_mode else np.array(sims_d[:n_q])
-                okh = np.asarray(ok[:n_q])
+                )[:n_q])
+                # slices of the np.array copy stay writable: the
+                # fallback splices rows in place
+                gids = block[:, :k_eff]
+                sims = None if ids_mode else np.ascontiguousarray(
+                    block[:, k_eff:2 * k_eff]
+                ).view(np.float32)
+                okh = block[:, -1] != 0
                 SC.CERT_STATS["batches"] += 1
                 SC.CERT_STATS["queries"] += n_q
                 if not okh.all():
