@@ -9,7 +9,7 @@ order a production user meets them:
   2. engine routing: auto / scan / scan-approx / graph
   3. recall_target -- recall as a *guarantee*, not a knob
   4. columnar replies (no per-result object churn)
-  5. ids-only replies (half the reply D2H; host exact rescore)
+  5. ids-only replies (for bandwidth-starved links; host exact rescore)
   6. checkpoint round-trip
 
 Runs on whatever backend jax picks (CPU works; the engines are

@@ -468,6 +468,46 @@ def _cert_verify_l2(vecs, sqn, live, queries, ids, sims,
     )
 
 
+@partial(jax.jit, static_argnames=("k", "ids_only"))
+def _scan_certified_fused(vecs, sqn, live, queries, *, k: int,
+                          ids_only: bool = False):
+    """Select + certificate + rescore as ONE device program.
+
+    Only safe when the count pass runs the fused Pallas kernel
+    (pallas_count.py): with the XLA count pass, select and count each
+    peak ~8GB of [2048, 2^19] score tiles and the one-program buffer
+    assignment OOMed a 16GB chip at 1M rows (r3, scan_tiers.json);
+    the kernel's score panels live in VMEM, so the fused program
+    peaks like the select program alone. Saves one dispatch round
+    trip per batch over the two-program split."""
+    ids, sims, ok = certified_local(vecs, sqn, live, queries, k=k)
+    okcol = ok.astype(jnp.int32)[:, None]
+    if ids_only:
+        return jnp.concatenate([ids, okcol], axis=1)
+    return jnp.concatenate(
+        [ids, jax.lax.bitcast_convert_type(sims, jnp.int32), okcol],
+        axis=1,
+    )
+
+
+def _cert_fuse_enabled(n_rows: int) -> bool:
+    """REDIS_HNSW_TPU_CERT_FUSE=0/1/auto: one-program certified scan.
+
+    auto = exactly when the count kernel is engaged (TPU backend,
+    panel-aligned table) -- the memory-safety condition in
+    :func:`_scan_certified_fused`'s docstring."""
+    from .pallas_count import TILE_N, cert_kernel_enabled
+
+    v = os.environ.get("REDIS_HNSW_TPU_CERT_FUSE", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    if v == "auto":
+        return cert_kernel_enabled() and n_rows % TILE_N == 0
+    raise ValueError(f"REDIS_HNSW_TPU_CERT_FUSE={v!r}")
+
+
 def scan_certified_l2(vecs, sqn, live, queries, *, k: int,
                       ids_only: bool = False):
     """Approx-selected, certificate-checked euclidean top-k.
@@ -482,10 +522,16 @@ def scan_certified_l2(vecs, sqn, live, queries, *, k: int,
     recomputes sims). Queries with fewer than k live rows certify
     through the c_gt equality (every live row selected).
 
-    Host-level composition of two device programs (approx select,
-    then certificate+rescore) -- see :func:`_cert_verify_l2` for why
-    they must not fuse. ``scan_topk`` is looked up at call time so
-    tests can monkeypatch the selection."""
+    One fused device program when the Pallas count kernel is engaged
+    (:func:`_scan_certified_fused`); otherwise a host-level
+    composition of two programs (approx select, then
+    certificate+rescore) -- see :func:`_cert_verify_l2` for why the
+    XLA-count form must not fuse. ``scan_topk`` is looked up at call
+    time so tests can monkeypatch the selection."""
+    if _cert_fuse_enabled(vecs.shape[0]):
+        return _scan_certified_fused(
+            vecs, sqn, live, queries, k=k, ids_only=ids_only
+        )
     ids, sims = scan_topk(
         vecs, sqn, live, queries, k=k, metric="euclidean", approx=True
     )
@@ -496,6 +542,7 @@ def scan_certified_l2(vecs, sqn, live, queries, *, k: int,
 
 def _scan_certified_clear_cache() -> None:
     _cert_verify_l2.clear_cache()
+    _scan_certified_fused.clear_cache()
 
 
 # jit-like cache control for tests that reshape CHUNK_N mid-run

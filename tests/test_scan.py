@@ -416,6 +416,34 @@ def test_scan_certified_matches_exact(rng, monkeypatch):
         idx.search_batch(queries, 10, engine="scan")
 
 
+def test_scan_certified_fused_matches_exact(rng, monkeypatch):
+    """REDIS_HNSW_TPU_CERT_FUSE=1 routes through the one-program
+    certified scan (_scan_certified_fused); results stay byte-identical
+    to the exact path and to the two-program split. (On TPU the fused
+    form engages automatically with the count kernel; this pins the
+    fused trace's semantics with the XLA count pass at small N, where
+    the r3 OOM condition does not apply.)"""
+    import redis_hnsw_tpu.ops.scan as S
+
+    idx, oracle, data, _ = _build(rng, n=700)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_FUSE", "1")
+    S.scan_certified_l2.clear_cache()
+    try:
+        got = idx.search_batch(queries, 10, engine="scan")
+    finally:
+        S.scan_certified_l2.clear_cache()
+    for b in range(16):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_FUSE", "2")
+    with pytest.raises(ValueError, match="CERT_FUSE"):
+        idx.search_batch(queries, 10, engine="scan")
+
+
 def test_scan_certified_tie_fallback(rng, monkeypatch):
     """Adversarial ties (every row duplicated 8x): the tie-class count
     in the certificate must refuse to certify truncated tie classes and
