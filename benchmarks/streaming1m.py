@@ -162,6 +162,12 @@ def summarize(stats_path: str, n_total: int) -> None:
         "graph_recall_at_ef_last": rows[-1].get("graph_recall_at_ef"),
     }
     log("AGGREGATE " + json.dumps(out))
+    agg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "artifacts", "streaming1m_aggregate.json",
+    )
+    with open(agg, "w") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
