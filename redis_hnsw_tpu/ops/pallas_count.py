@@ -82,11 +82,23 @@ def count_gt_eq(vecs, sq_masked, q, qq, t, *, interpret: bool = False):
     with +inf on dead rows (so their score is exactly -inf, matching
     the XLA pass's where-mask); ``q`` [B, D] f32; ``qq`` [B] query
     sqnorms; ``t`` [B] thresholds. Returns (c_gt, c_eq) [B] int32.
-    N must be a multiple of TILE_N (capacity tables are pow2-padded).
+
+    Tables whose row count is not a TILE_N multiple (hint-exact
+    snapshots pad to 128-multiples, ops/snapshot.py) are zero-padded
+    to the next panel boundary with +inf sqnorms -- the same dead-row
+    encoding, so the padding rows score -inf and cannot count. The pad
+    is one HBM copy of the table per batch (~1ms at 1M x 128d), small
+    next to the ~20ms HBM tax of the XLA count pass it keeps off.
     """
     B, D = q.shape
     N = vecs.shape[0]
-    assert N % TILE_N == 0, (N, TILE_N)
+    pad = -N % TILE_N
+    if pad:
+        vecs = jnp.pad(vecs, ((0, pad), (0, 0)))
+        sq_masked = jnp.pad(
+            sq_masked, (0, pad), constant_values=jnp.inf
+        )
+        N += pad
     grid = (N // TILE_N,)
     c_gt, c_eq = pl.pallas_call(
         _count_kernel,

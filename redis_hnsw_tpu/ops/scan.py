@@ -414,11 +414,12 @@ def _cert_verify(vecs, sqn, live, queries, ids, sims):
     s_eq = jnp.sum(sims == t[:, None], axis=1, dtype=jnp.int32)
     qf = queries.astype(jnp.float32)
     qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
-    from .pallas_count import TILE_N, cert_kernel_enabled, count_gt_eq
+    from .pallas_count import cert_kernel_enabled, count_gt_eq
 
-    if cert_kernel_enabled() and vecs.shape[0] % TILE_N == 0:
+    if cert_kernel_enabled():
         # fused matmul+count kernel: the [B, chunk] score tile stays in
-        # VMEM instead of round-tripping HBM (pallas_count.py)
+        # VMEM instead of round-tripping HBM (pallas_count.py; self-
+        # pads non-panel-aligned tables with +inf-sqnorm dead rows)
         sq_masked = jnp.where(live, sqn, jnp.inf)
         c_gt, c_eq = count_gt_eq(vecs, sq_masked, qf, qq[:, 0], t)
     else:
@@ -493,10 +494,10 @@ def _scan_certified_fused(vecs, sqn, live, queries, *, k: int,
 def _cert_fuse_enabled(n_rows: int) -> bool:
     """REDIS_HNSW_TPU_CERT_FUSE=0/1/auto: one-program certified scan.
 
-    auto = exactly when the count kernel is engaged (TPU backend,
-    panel-aligned table) -- the memory-safety condition in
-    :func:`_scan_certified_fused`'s docstring."""
-    from .pallas_count import TILE_N, cert_kernel_enabled
+    auto = exactly when the count kernel is engaged -- the
+    memory-safety condition in :func:`_scan_certified_fused`'s
+    docstring (the kernel self-pads non-panel-aligned tables)."""
+    from .pallas_count import cert_kernel_enabled
 
     v = os.environ.get("REDIS_HNSW_TPU_CERT_FUSE", "auto")
     if v == "0":
@@ -504,7 +505,7 @@ def _cert_fuse_enabled(n_rows: int) -> bool:
     if v == "1":
         return True
     if v == "auto":
-        return cert_kernel_enabled() and n_rows % TILE_N == 0
+        return cert_kernel_enabled()
     raise ValueError(f"REDIS_HNSW_TPU_CERT_FUSE={v!r}")
 
 

@@ -91,18 +91,22 @@ def test_fused_block_score_matches_xla(rng):
     )
 
 
-def test_count_kernel_matches_blocked_counts(rng):
+@pytest.mark.parametrize("n_extra", [0, -724])
+def test_count_kernel_matches_blocked_counts(rng, n_extra):
     """pallas_count.count_gt_eq == counts over identically-blocked XLA
     scores: pins the kernel's grid accumulation, dead-row (+inf sqnorm)
-    masking, and the t == -inf escape. The reference scores are
-    computed in the kernel's own [B, TILE_N] panel shape because dot
-    rounding is shape-dependent at the ulp level on CPU (the TPU-side
-    bit-identity of the kernel vs the selection pass is pinned by the
-    forced-audit run in artifacts/cert_breakdown.json and the
-    every-256th-batch audit in production)."""
+    masking, the t == -inf escape, and (n_extra < 0) the self-padding
+    of non-panel-aligned tables -- hint-exact snapshots pad rows to
+    128-multiples, not TILE_N-multiples. The reference scores are
+    computed in the kernel's own [B, TILE_N] panel shape (padding rows
+    dead) because dot rounding is shape-dependent at the ulp level on
+    CPU (the TPU-side bit-identity of the kernel vs the selection pass
+    is pinned by the bitwise check in
+    artifacts/cert_kernel_check.json and the every-256th-batch audit
+    in production)."""
     from redis_hnsw_tpu.ops.pallas_count import TILE_N, count_gt_eq
 
-    B, N, dim = 16, 2 * TILE_N, 32
+    B, N, dim = 16, 2 * TILE_N + n_extra, 32
     q = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
     # duplicate a block of rows so == ties actually occur, and kill
@@ -112,18 +116,25 @@ def test_count_kernel_matches_blocked_counts(rng):
     sqn = jnp.sum(v * v, axis=1)
     qq = jnp.sum(q * q, axis=1, keepdims=True)
 
+    # reference over the kernel's own padded panel domain (padding
+    # rows dead, exactly the kernel's self-pad encoding)
+    n_panels = -(-N // TILE_N)
+    vp = jnp.pad(v, ((0, n_panels * TILE_N - N), (0, 0)))
+    livep = jnp.pad(live, (0, n_panels * TILE_N - N))
+    sqnp = jnp.pad(sqn, (0, n_panels * TILE_N - N))
+
     def blocked_scores(panel):
         lo = panel * TILE_N
         dots = jax.lax.dot_general(
-            q, v[lo : lo + TILE_N],
+            q, vp[lo : lo + TILE_N],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        raw = 2.0 * dots - qq - sqn[None, lo : lo + TILE_N]
-        return jnp.where(live[None, lo : lo + TILE_N], raw, -jnp.inf)
+        raw = 2.0 * dots - qq - sqnp[None, lo : lo + TILE_N]
+        return jnp.where(livep[None, lo : lo + TILE_N], raw, -jnp.inf)
 
     scores = jnp.concatenate(
-        [blocked_scores(p) for p in range(N // TILE_N)], axis=1
+        [blocked_scores(p) for p in range(n_panels)], axis=1
     )
     # thresholds: real scores of random live rows (so == fires), plus
     # one -inf lane (the fewer-than-k-live-rows escape)
