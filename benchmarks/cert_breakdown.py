@@ -69,7 +69,11 @@ def main() -> None:
     qd = jnp.asarray(qs)
 
     out = {"n": n, "n_pad": n_pad, "b": b, "k": k, "reps": reps,
-           "platform": jax.devices()[0].platform}
+           "platform": jax.devices()[0].platform,
+           "cert_kernel": os.environ.get(
+               "REDIS_HNSW_TPU_CERT_KERNEL", "auto"),
+           "cert_fuse": os.environ.get(
+               "REDIS_HNSW_TPU_CERT_FUSE", "auto")}
 
     # warm every program first (shared compile server; cache persists)
     sel = S.scan_topk(vecs, sqn, live, qd, k=k, metric="euclidean",
