@@ -587,6 +587,29 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
     block = scan_certified_l2(
         vecs, sqn, live, qd, k=k, ids_only=ids_only
     )
+    return certified_finish(
+        vecs, sqn, live, qd, block, k=k, n_q=n_q, ids_only=ids_only
+    )
+
+
+def certified_finish(vecs, sqn, live, qd, block, *, k: int, n_q: int,
+                     ids_only: bool = False, rerun_sink=None):
+    """Host half of :func:`certified_topk_l2`: fetch the packed
+    reply+verdict block of an already-dispatched
+    :func:`scan_certified_l2` program, then re-serve any uncertified
+    queries through the exact path. Split from the dispatch so a
+    pipelined serving loop (ops/search.py) can enqueue the next
+    batches' device programs before paying this batch's D2H round
+    trip.
+
+    ``rerun_sink`` (a :class:`CertRerunSink`) defers the per-batch
+    exact fallback rerun: uncertified rows are registered with the
+    sink and patched when the caller flushes it, so a multi-batch
+    window pays ONE rerun round trip instead of one per batch (at
+    ~1%% uncertified queries nearly every 2048-query batch has at
+    least one). Audit batches and the pathological whole-batch
+    fallback stay immediate; ids-only replies never defer (the host
+    rescore needs final ids at return time)."""
     # ONE device->host transfer: reply + verdict column together (the
     # link is latency-bound; a separate ok fetch doubles the wall).
     # np.array (copy), not asarray: zero-copy views of device buffers
@@ -599,6 +622,7 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
         CERT_AUDIT_EVERY > 0
         and CERT_STATS["batches"] % CERT_AUDIT_EVERY == 0
     )
+    deferred_bad = None
     if not okh.all() or audit:
         bad = np.flatnonzero(~okh)
         CERT_STATS["fallback_queries"] += len(bad)
@@ -616,7 +640,9 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
                         CERT_STATS.get("audit_mismatches", 0) + 1
                     )
             packed = full
-        else:
+        elif rerun_sink is not None and not ids_only and len(bad):
+            deferred_bad = bad
+        elif len(bad):
             b_pad = pad_pow2(len(bad))
             sel = np.zeros(b_pad, np.int32)
             sel[: len(bad)] = bad
@@ -630,7 +656,64 @@ def certified_topk_l2(vecs, sqn, live, qd, *, k: int, n_q: int,
         return packed
     ids = packed[:, :k]
     sims = np.ascontiguousarray(packed[:, k:]).view(np.float32)
+    if deferred_bad is not None:
+        rerun_sink.add(
+            (vecs, sqn, live), qd, deferred_bad, ids, sims, k
+        )
     return ids, sims
+
+
+class CertRerunSink:
+    """Coalesces certified-scan fallback reruns across a serving loop.
+
+    Each registered batch contributes its uncertified rows; ``flush``
+    serves the union in ONE exact program + ONE fetch and splices the
+    rows back into the already-returned (ids, sims) arrays in place.
+    Callers MUST flush before reading the replies (ops/search.py
+    flushes after the pipelined drain, before assembly). Per-item
+    gathers and the combined rerun block bucket-pad to pow2 so device
+    program shapes stay few."""
+
+    def __init__(self) -> None:
+        self._tables = None
+        self._items: list = []
+
+    def add(self, tables, qd, bad, ids, sims, k: int) -> None:
+        if self._tables is None:
+            self._tables = tables
+        self._items.append((qd, np.asarray(bad), ids, sims, int(k)))
+
+    def flush(self) -> None:
+        if not self._items:
+            return
+        vecs, sqn, live = self._tables
+        k = self._items[0][4]
+        parts, spans, off = [], [], 0
+        for qd, bad, _ids, _sims, _k in self._items:
+            p = pad_pow2(len(bad))
+            sel = np.zeros(p, np.int32)
+            sel[: len(bad)] = bad
+            parts.append(jnp.take(qd, jnp.asarray(sel), axis=0))
+            spans.append((off, len(bad)))
+            off += p
+        q_bad = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        t_pad = pad_pow2(off)
+        if t_pad != off:
+            q_bad = jnp.concatenate([
+                q_bad,
+                jnp.zeros((t_pad - off, q_bad.shape[1]), q_bad.dtype),
+            ])
+        pb = np.asarray(
+            scan_topk_exact_l2(vecs, sqn, live, q_bad, k=k, pack=True)
+        )
+        for (qd, bad, ids, sims, kk), (lo, nb) in zip(self._items, spans):
+            rows = pb[lo : lo + nb]
+            ids[bad] = rows[:, :kk]
+            sims[bad] = np.ascontiguousarray(
+                rows[:, kk:]
+            ).view(np.float32)
+        self._items.clear()
+        self._tables = None
 
 
 # -- ids-only replies (host exact rescore) ------------------------------------
@@ -834,12 +917,33 @@ def _scan_state(index):
     return state
 
 
-def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
-    """Batched k-NN via the scan engine; same (ids, sims) numpy
-    contract as ops/search._run_search. ``approx=True`` swaps the
-    per-chunk exact top_k for oversampled jax.lax.approx_max_k
-    (measured ~0.999 recall, several-fold faster at big N); reported
-    sims stay exact either way.
+def pipeline_depth() -> int:
+    """REDIS_HNSW_TPU_PIPELINE: how many dispatched-but-unfetched
+    batches a multi-batch serving loop may keep in flight (0
+    serializes every batch -- the pre-r4 behavior). TPU programs
+    execute one at a time, so in-flight batches only queue (their
+    buffers are a few MB of queries + a [B, ~2k] reply each); what
+    pipelining buys is that the ~28ms-per-fetch dispatch+D2H round
+    trip of this latency-bound tunnel (CLAUDE.md) overlaps the next
+    batches' device compute instead of serializing with it."""
+    return max(0, int(os.environ.get("REDIS_HNSW_TPU_PIPELINE", "2")))
+
+
+def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
+                  cert_sink=None):
+    """Enqueue one scan batch; returns a zero-arg ``finish()`` that
+    yields the (ids, sims) numpy reply. All device work is dispatched
+    (asynchronously) before this returns; ``finish()`` pays the single
+    device->host fetch plus any host-side rescore / certified
+    fallback. A serving loop over many batches dispatches ahead and
+    finishes in order (ops/search.py), hiding each batch's fetch
+    round trip behind the following batches' compute. ``cert_sink``
+    (a :class:`CertRerunSink` the caller later flushes) coalesces the
+    certified path's fallback reruns across the loop.
+
+    ``approx=True`` swaps the per-chunk exact top_k for oversampled
+    jax.lax.approx_max_k (measured ~0.999 recall, several-fold faster
+    at big N); reported sims stay exact either way.
 
     With REDIS_HNSW_TPU_REPLY=ids and host-resident queries available
     (numpy ``qs``, or a ``host_qs`` mirror from the caller), euclidean
@@ -872,12 +976,16 @@ def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
                 table, sqn, live, qd, k=k_eff, metric="hamming",
                 pack=True, pack_bits=id_bits, approx=approx,
             )
-            word = np.asarray(word[:n_q])
-            ids = (word & ((1 << id_bits) - 1)).astype(np.int32)
-            sims = -(word >> id_bits).astype(np.float32)
-            ids[word < 0] = -1
-            sims[word < 0] = NEG_INF
-            return ids, sims
+
+            def finish_word():
+                w = np.asarray(word[:n_q])
+                ids = (w & ((1 << id_bits) - 1)).astype(np.int32)
+                sims = -(w >> id_bits).astype(np.float32)
+                ids[w < 0] = -1
+                sims[w < 0] = NEG_INF
+                return ids, sims
+
+            return finish_word
         packed = scan_topk(
             table, sqn, live, qd, k=k_eff, metric="hamming", pack=True,
             approx=approx,
@@ -889,28 +997,44 @@ def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
         # certified-exact: approx select + counting certificate + exact
         # fallback for uncertified queries -- byte-identical results,
         # several-fold cheaper select at capacity scale (see above)
-        if ids_mode:
-            ids = certified_topk_l2(
-                vecs, sqn, live, qd, k=k_eff, n_q=n_q, ids_only=True
-            )
-            return sort_reply(
-                ids, host_exact_sims(index._vectors, host_qs, ids)
-            )
-        ids, sims = certified_topk_l2(
-            vecs, sqn, live, qd, k=k_eff, n_q=n_q
+        block = scan_certified_l2(
+            vecs, sqn, live, qd, k=k_eff, ids_only=ids_mode
         )
-        return ids, sims
+
+        def finish_cert():
+            out = certified_finish(
+                vecs, sqn, live, qd, block, k=k_eff, n_q=n_q,
+                ids_only=ids_mode, rerun_sink=cert_sink,
+            )
+            if ids_mode:
+                return sort_reply(
+                    out, host_exact_sims(index._vectors, host_qs, out)
+                )
+            return out
+
+        return finish_cert
     else:
         packed = scan_topk_exact_l2(
             vecs, sqn, live, qd, k=k_eff, pack=True, approx=approx,
             table=None if table is vecs else table, tscale=tscale,
         )
-    if ids_mode:
-        ids = np.asarray(packed[:n_q, :k_eff])
-        return sort_reply(
-            ids, host_exact_sims(index._vectors, host_qs, ids)
-        )
-    packed = np.asarray(packed[:n_q])
-    ids = packed[:, :k_eff]
-    sims = np.ascontiguousarray(packed[:, k_eff:]).view(np.float32)
-    return ids, sims
+
+    def finish_packed():
+        if ids_mode:
+            ids = np.asarray(packed[:n_q, :k_eff])
+            return sort_reply(
+                ids, host_exact_sims(index._vectors, host_qs, ids)
+            )
+        p = np.asarray(packed[:n_q])
+        ids = p[:, :k_eff]
+        sims = np.ascontiguousarray(p[:, k_eff:]).view(np.float32)
+        return ids, sims
+
+    return finish_packed
+
+
+def scan_batch(index, qs, k: int, approx: bool = False, host_qs=None):
+    """Batched k-NN via the scan engine; same (ids, sims) numpy
+    contract as ops/search._run_search. One dispatch + one fetch --
+    see :func:`scan_dispatch` for the pipelined multi-batch form."""
+    return scan_dispatch(index, qs, k, approx=approx, host_qs=host_qs)()

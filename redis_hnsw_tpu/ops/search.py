@@ -33,6 +33,8 @@ inside the loop loses ~1e-3 to cancellation, fine for ordering).
 
 from __future__ import annotations
 
+from collections import deque
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -548,11 +550,16 @@ def _seed_ids_for(pool, qd, seeds: int):
     return jnp.where(local >= 0, ids_dev[jnp.maximum(local, 0)], -1)
 
 
-def _run_search(
+def _dispatch_search(
     snap, qs, ef: int, k: int, expand: int, iters=None,
     seeds: int = 0, pool=None, ids_only: bool = False,
 ):
-    """One padded device call; returns trimmed (ids, sims) numpy.
+    """Enqueue one padded beam-traversal program; returns a zero-arg
+    ``finish()`` yielding trimmed (ids, sims) numpy. The beam is a
+    single device program (search_batch_jit), so like the scan engines
+    it dispatches asynchronously and only ``finish()`` pays the D2H
+    round trip -- the pipelined chunk loop in :func:`search_batch`
+    relies on that split.
 
     ``qs`` may already live on device (jax.Array): callers that reuse a
     query batch should upload once with jnp.asarray and pass the device
@@ -578,12 +585,28 @@ def _run_search(
         nbrvec=snap.nbrvec, nbrsqn=snap.nbrsqn,
         qrows=snap.qrows, pack=True, seed_ids=seed_ids,
     )
-    k_eff = packed.shape[1] // 2
-    if ids_only:
-        return np.asarray(packed[:n_q, :k_eff]), None
-    packed = np.asarray(packed[:n_q])
-    sims = np.ascontiguousarray(packed[:, k_eff:]).view(np.float32)
-    return packed[:, :k_eff], sims
+
+    def finish():
+        k_eff = packed.shape[1] // 2
+        if ids_only:
+            return np.asarray(packed[:n_q, :k_eff]), None
+        p = np.asarray(packed[:n_q])
+        sims = np.ascontiguousarray(p[:, k_eff:]).view(np.float32)
+        return p[:, :k_eff], sims
+
+    return finish
+
+
+def _run_search(
+    snap, qs, ef: int, k: int, expand: int, iters=None,
+    seeds: int = 0, pool=None, ids_only: bool = False,
+):
+    """One padded device call; returns trimmed (ids, sims) numpy.
+    Dispatch + immediate fetch -- see :func:`_dispatch_search`."""
+    return _dispatch_search(
+        snap, qs, ef, k, expand, iters, seeds=seeds, pool=pool,
+        ids_only=ids_only,
+    )()
 
 
 # Auto-engine crossover: below this many (padded) rows the exact MXU
@@ -711,12 +734,15 @@ def search_batch(
     )
     hq = host_qs if isinstance(qs, jax.Array) else qs
     if use_scan:
-        from .scan import scan_batch
+        from .scan import scan_dispatch
 
         approx = engine == "scan-approx"
-        run = lambda part, hpart=None: scan_batch(
-            index, part, k, approx=approx, host_qs=hpart
-        )
+
+        def dispatch(part, hpart=None, sink=None):
+            return scan_dispatch(
+                index, part, k, approx=approx, host_qs=hpart,
+                cert_sink=sink,
+            )
     else:
         from .scan import host_exact_sims, reply_ids_engaged, sort_reply
 
@@ -726,35 +752,71 @@ def search_batch(
             and reply_ids_engaged(cfg.dim)
         )
 
-        def run(part, hpart=None):
+        def dispatch(part, hpart=None, sink=None):
             only = graph_ids_mode and hpart is not None
-            ids, sims = _run_search(
+            fin = _dispatch_search(
                 snap, part, ef, k, expand, iters, seeds=seeds,
                 pool=pool, ids_only=only,
             )
-            if sims is None:
-                # ids-reply mode: sims host-rescored in exact direct
-                # form, then the (-sim, id) order re-imposed (host
-                # accumulation can differ from the device rescore by
-                # ~1 ulp; the reply must stay monotonic)
-                ids, sims = sort_reply(
-                    ids, host_exact_sims(index._vectors, hpart, ids)
-                )
-            return ids, sims
+
+            def finish():
+                ids, sims = fin()
+                if sims is None:
+                    # ids-reply mode: sims host-rescored in exact
+                    # direct form, then the (-sim, id) order
+                    # re-imposed (host accumulation can differ from
+                    # the device rescore by ~1 ulp; the reply must
+                    # stay monotonic)
+                    ids, sims = sort_reply(
+                        ids, host_exact_sims(index._vectors, hpart, ids)
+                    )
+                return ids, sims
+
+            return finish
     chunk = max_lanes_for(snap.n_pad)
     if n_q > chunk:
+        # Pipelined drain: up to pipeline_depth() chunks stay
+        # dispatched-but-unfetched, so each chunk's dispatch+D2H round
+        # trip (~28ms on this latency-bound tunnel, CLAUDE.md) hides
+        # behind the following chunks' device compute. TPU programs
+        # execute serially, so in-flight chunks only QUEUE -- device
+        # peak memory is per-program, unchanged. Replies drain in
+        # order; depth=0 reproduces the serialized pre-r4 loop.
+        from .scan import CertRerunSink, pipeline_depth
+
+        depth = pipeline_depth()
+        # certified-path fallback reruns coalesce across the whole
+        # loop into ONE exact program + fetch (CertRerunSink): with
+        # ~1% of queries uncertified nearly every 2048-query chunk
+        # has a fallback, and an immediate per-chunk rerun would
+        # re-serialize a ~28ms round trip into every finish().
+        sink = CertRerunSink() if use_scan else None
+        pending: deque = deque()
         id_parts, sim_parts = [], []
-        for lo in range(0, n_q, chunk):
-            i_p, s_p = run(
-                qs[lo : lo + chunk],
-                None if hq is None else hq[lo : lo + chunk],
-            )
+
+        def drain_one():
+            i_p, s_p = pending.popleft()()
             id_parts.append(i_p)
             sim_parts.append(s_p)
+
+        for lo in range(0, n_q, chunk):
+            pending.append(
+                dispatch(
+                    qs[lo : lo + chunk],
+                    None if hq is None else hq[lo : lo + chunk],
+                    sink=sink,
+                )
+            )
+            while len(pending) > depth:
+                drain_one()
+        while pending:
+            drain_one()
+        if sink is not None:
+            sink.flush()  # patches id_parts/sim_parts rows in place
         ids = np.concatenate(id_parts)
         sims = np.concatenate(sim_parts)
     else:
-        ids, sims = run(qs, hq)
+        ids, sims = dispatch(qs, hq)()
 
     # Assemble replies. Like the reference's search reply (src/lib.rs:
     # 484-495, types.rs:445-457) batch results carry (similarity, name)

@@ -783,3 +783,119 @@ def test_ids_reply_guard(rng, monkeypatch, caplog):
     idx, _, data, _ = _build(rng, n=64)
     res = idx.search_batch(data[:4], 3, engine="scan")
     assert [r.name for r in res[0]][0] == "n0"
+
+
+def test_pipelined_multichunk_matches_serial(rng, monkeypatch):
+    """The pipelined chunk loop (REDIS_HNSW_TPU_PIPELINE in-flight
+    dispatches, ops/search.py) must return byte-identical replies to
+    the serialized loop (depth 0) on every engine, including an odd
+    tail chunk. MAX_LANES is shrunk so a small query set spans many
+    chunks."""
+    import redis_hnsw_tpu.ops.search as SE
+
+    idx, oracle, data, _ = _build(rng, n=500)
+    monkeypatch.setattr(SE, "MAX_LANES", 64)
+    queries = rng.standard_normal((210, 24)).astype(np.float32)  # 3 full + 1 odd chunk
+    for engine in ("scan", "scan-approx", "graph"):
+        monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "3")
+        n_pipe, s_pipe = idx.search_batch(
+            queries, 10, engine=engine, reply="columnar"
+        )
+        monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "0")
+        n_ser, s_ser = idx.search_batch(
+            queries, 10, engine=engine, reply="columnar"
+        )
+        assert (n_pipe == n_ser).all(), engine
+        assert np.array_equal(s_pipe, s_ser), engine
+    # exact-scan replies also match the oracle
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "2")
+    got = idx.search_batch(queries, 10, engine="scan")
+    want = oracle.search_batch(queries, 10)
+    for b in range(len(queries)):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+
+
+def test_pipelined_certified_with_fallback(rng, monkeypatch):
+    """Certified scan under the pipelined loop: adversarial ties force
+    per-batch exact fallbacks INSIDE finish() while later batches are
+    already dispatched -- results must stay byte-identical to the
+    exact path, and CERT_STATS must count every chunk."""
+    import redis_hnsw_tpu.ops.scan as S
+    import redis_hnsw_tpu.ops.search as SE
+
+    base = rng.standard_normal((40, 24)).astype(np.float32)
+    data = np.repeat(base, 8, axis=0)  # heavy tie classes
+    names = [f"n{i}" for i in range(len(data))]
+    idx = HNSWIndex(
+        "p", IndexConfig(dim=24, m=8, ef_construction=48, seed=5)
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = np.repeat(base[:10], 13, axis=0)  # 130 tie-heavy queries
+    want = idx.search_batch(queries, 12, engine="scan", reply="columnar")
+    monkeypatch.setattr(SE, "MAX_LANES", 32)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "4")
+    before = dict(S.CERT_STATS)
+    got = idx.search_batch(queries, 12, engine="scan", reply="columnar")
+    assert S.CERT_STATS["batches"] == before["batches"] + 5  # ceil(130/32)
+    assert S.CERT_STATS["queries"] == before["queries"] + 130
+    assert (got[0] == want[0]).all()
+    assert np.array_equal(got[1], want[1])
+
+
+def test_pipeline_depth_env(monkeypatch):
+    from redis_hnsw_tpu.ops.scan import pipeline_depth
+
+    monkeypatch.delenv("REDIS_HNSW_TPU_PIPELINE", raising=False)
+    assert pipeline_depth() == 2
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "0")
+    assert pipeline_depth() == 0
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "-3")
+    assert pipeline_depth() == 0
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "7")
+    assert pipeline_depth() == 7
+
+
+def test_cert_rerun_sink_coalesces(rng, monkeypatch):
+    """With the pipelined loop, per-chunk certified fallbacks must
+    coalesce into ONE exact rerun program (CertRerunSink) instead of
+    one per chunk, and the spliced results must stay byte-identical
+    to the exact path. Spurious uncertified verdicts are injected so
+    every chunk has a (correct) selection that fails its proof."""
+    import redis_hnsw_tpu.ops.scan as S
+    import redis_hnsw_tpu.ops.search as SE
+
+    idx, oracle, data, _ = _build(rng, n=400)
+    queries = rng.standard_normal((128, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 5, engine="scan", reply="columnar")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setattr(SE, "MAX_LANES", 32)
+    monkeypatch.setattr(S, "CERT_AUDIT_EVERY", 0)
+    real_cert = S.scan_certified_l2
+
+    def spoiled(vecs, sqn, live, qd, *, k, ids_only=False):
+        block = np.array(
+            real_cert(vecs, sqn, live, qd, k=k, ids_only=ids_only)
+        )
+        block[::17, -1] = 0  # a few spurious "uncertified" rows/chunk
+        return block
+
+    monkeypatch.setattr(S, "scan_certified_l2", spoiled)
+    calls = []
+    real_exact = S.scan_topk_exact_l2
+
+    def counting_exact(vecs, sqn, live, qd, **kw):
+        calls.append(int(qd.shape[0]))
+        return real_exact(vecs, sqn, live, qd, **kw)
+
+    monkeypatch.setattr(S, "scan_topk_exact_l2", counting_exact)
+    before = dict(S.CERT_STATS)
+    got = idx.search_batch(queries, 5, engine="scan", reply="columnar")
+    assert calls and len(calls) == 1  # ONE coalesced rerun, 4 chunks
+    assert S.CERT_STATS["fallback_queries"] - before[
+        "fallback_queries"
+    ] == 8  # ceil(32/17)=2 per chunk x 4 chunks
+    assert (got[0] == want[0]).all()
+    assert np.array_equal(got[1], want[1])
