@@ -286,6 +286,34 @@ def _bench_one(
         f"{scan_gbps:.0f} GB/s)"
     )
 
+    # -- pipelined serving: one 8x-batch query set through
+    # search_batch's chunked loop (2048-lane chunks, up to
+    # REDIS_HNSW_TPU_PIPELINE dispatched-but-unfetched): each chunk's
+    # ~28ms fetch round trip hides behind the next chunks' compute
+    # (ops/search.py; measured 1.3-1.5x at 1M rows,
+    # artifacts/pipeline_ab.json). Serving systems drain result
+    # streams exactly this way; reported alongside the single-batch
+    # number, which pays one full round trip per call.
+    n_serve = n_queries * 8
+    if metric == "hamming":
+        sq = rng.integers(
+            0, 2**32, (n_serve, dim // 32), dtype=np.uint32
+        )
+    else:
+        sq = rng.standard_normal((n_serve, dim)).astype(np.float32)
+    sq_dev = jnp.asarray(sq)  # one upload, reused
+    idx.search_batch(sq_dev, k, reply="columnar")
+    dt_serve = _timed_med(
+        lambda: idx.search_batch(sq_dev, k, reply="columnar"),
+        5, "auto-serve-8batch",
+    )
+    serve_qps = n_serve / dt_serve
+    log(
+        f"[{name}] auto engine, pipelined serving ({n_serve} queries "
+        f"in 2048-lane chunks): {serve_qps:.0f} qps "
+        f"({serve_qps / auto_qps:.2f}x the single-batch rate)"
+    )
+
     # -- ids-only reply (REDIS_HNSW_TPU_REPLY=ids): transfer the [B, k]
     # id block alone, rescore sims host-side in exact direct form --
     # the euclidean analog of the hamming one-word reply, aimed at the
@@ -342,6 +370,7 @@ def _bench_one(
         f"{auto_qps / base_qps:.2f}x, graph {graph_qps / base_qps:.2f}x")
     return {
         "qps": auto_qps, "recall": auto_recall,
+        "serve_qps": serve_qps,
         "graph_qps": graph_qps, "graph_recall": graph_recall,
         "ids_reply_qps": ids_qps,
         "scan_approx_qps": ap_qps, "scan_approx_recall": ap_recall,
@@ -436,6 +465,7 @@ def main():
             "value": round(r["qps"], 1),
             "unit": "qps/chip",
             "vs_baseline": round(r["qps"] / r["base_qps"], 2),
+            "serve_qps": round(r["serve_qps"], 1),
             "graph_qps": round(r["graph_qps"], 1),
             "graph_recall": round(r["graph_recall"], 4),
             "scan_approx_qps": round(r["scan_approx_qps"], 1),
@@ -468,7 +498,8 @@ def main():
                 "metric": (
                     f"batched qps/chip at recall@10={r['recall']:.3f} "
                     f"(10k x 128d, M=16, efcon=200; auto engine = exact "
-                    f"MXU scan, columnar reply; graph engine "
+                    f"MXU scan, columnar reply; pipelined 8-batch "
+                    f"serving {r['serve_qps']:.0f} qps; graph engine "
                     f"{r['graph_qps']:.0f} qps at "
                     f"recall {r['graph_recall']:.3f} ef={r['ef']}; "
                     f"steady build {r['build_s']:.0f}s, first-compile "
@@ -478,6 +509,7 @@ def main():
                 "value": round(r["qps"], 1),
                 "unit": "qps/chip",
                 "vs_baseline": round(r["qps"] / r["base_qps"], 2),
+                "serve_qps": round(r["serve_qps"], 1),
                 "graph_qps": round(r["graph_qps"], 1),
                 "graph_recall": round(r["graph_recall"], 4),
                 "scan_approx_qps": round(r["scan_approx_qps"], 1),
