@@ -30,47 +30,105 @@ from ..utils.names import NameTable
 from .hnsw import SearchResult
 
 
-def _scan_topk(index, vecs, sqn, valid, queries, *, k: int, metric: str,
-               approx: bool = False):
-    """Shared exact scan engine (ops/scan.py): chunked matmul top-k;
-    hamming rides the MXU via the int8 +-1 table (the popcount
-    formulation this replaced collapses past ~100k rows). The hamming
-    table is cached per mutation epoch on the index. ``approx`` opts
-    into the oversampled approx_max_k selection (ops/scan.py) -- the
-    flat index stays the exact oracle by DEFAULT; the tier is for
-    capacity-scale serving where the select dominates. The bf16 tier
-    (REDIS_HNSW_TPU_SCAN_DTYPE=bf16) applies here exactly as on the
-    HNSW scan engine: selection rides the bf16 copy (cached per
-    epoch), the final k rescored exact-f32 on device. The int8 tier is
-    RESIDENT for the flat kind -- handled before this helper
-    (search_batch): only the int8 table goes to the device, rescore
-    runs on the host."""
+def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
+                   metric: str, approx: bool = False, tscale=None,
+                   host_part=None, cert_sink=None):
+    """Enqueue one flat-scan chunk; returns a zero-arg ``finish()``
+    yielding (ids, sims) numpy. Shared scan engine (ops/scan.py):
+    chunked matmul top-k; hamming rides the MXU via the int8 +-1
+    table (cached per mutation epoch). ``approx`` opts into the
+    oversampled approx_max_k selection -- the flat index stays the
+    exact oracle by DEFAULT. The bf16 tier
+    (REDIS_HNSW_TPU_SCAN_DTYPE=bf16) selects on the cached bf16 copy,
+    final k rescored exact-f32 on device. ``tscale`` marks the
+    int8-RESIDENT tier: selection on the device int8 table, exact f32
+    rescore HOST-side in finish() (the f32 rows only exist there).
+
+    Mirrors ops/scan.py ``scan_dispatch``: all device work dispatches
+    asynchronously before return, finish() pays ONE device->host
+    fetch (every reply is packed into a single array -- on a
+    latency-bound link a second fetch costs a full ~28ms round trip),
+    and the pipelined chunk loop in ``search_batch`` below overlaps
+    that fetch with the next chunks' compute. ``cert_sink`` coalesces
+    certified fallback reruns across the loop (ops/scan.py
+    CertRerunSink)."""
     from ..ops import scan as SC
 
+    n_q = int(part.shape[0])
+    b_pad = SC.pad_pow2(n_q)
+    pd = part if isinstance(part, jax.Array) else jnp.asarray(part)
+    if b_pad != n_q:
+        pd = jnp.concatenate(
+            [pd, jnp.zeros((b_pad - n_q, pd.shape[1]), pd.dtype)]
+        )
+    if tscale is not None:
+        ids_dev, _ = SC.scan_topk(
+            vecs, sqn, valid, pd, k=k, metric="euclidean",
+            tscale=tscale, approx=approx,
+        )
+
+        def finish_int8():
+            # only the id block crosses the link: invalid slots carry
+            # id -1 (scan_topk), and the sims are recomputed host-side
+            # anyway -- the [B, k] f32 selection sims and (with a
+            # host mirror) the query block stay on device
+            ids = np.asarray(ids_dev[:n_q])
+            invalid = ids < 0
+            qs_np = np.asarray(
+                part if host_part is None else host_part, np.float32
+            )
+            ids_safe = np.where(invalid, 0, ids)
+            exact = SC.neg_sq_rows(index._vectors[ids_safe], qs_np)
+            sims = np.where(
+                invalid, np.float32(-np.inf), exact.astype(np.float32)
+            )
+            return SC.sort_reply(ids, sims)
+
+        return finish_int8
     if metric == "hamming":
         cached = index._pm1_cache
         if cached is None or cached[0] != index._epoch:
             cached = (index._epoch, SC._build_pm1(vecs))
             index._pm1_cache = cached
-        return SC.scan_topk(cached[1], sqn, valid, queries, k=k,
-                            metric="hamming", approx=approx)
-    table = None
-    if SC.scan_dtype() == "bf16":
-        cached = getattr(index, "_tier_cache", None)
-        if cached is None or cached[0] != index._epoch:
-            cached = (index._epoch, SC._to_bf16(vecs))
-            index._tier_cache = cached
-        table = cached[1]
-    if table is None and not approx and SC.cert_enabled(
-        int(vecs.shape[0])
-    ):
-        # certified-exact select (ops/scan.py): byte-identical to the
-        # exact top_k path, several-fold cheaper at capacity scale
-        return SC.certified_topk_l2(
-            vecs, sqn, valid, queries, k=k, n_q=int(queries.shape[0])
+        packed = SC.scan_topk(
+            cached[1], sqn, valid, pd, k=k, metric="hamming",
+            pack=True, approx=approx,
         )
-    return SC.scan_topk_exact_l2(vecs, sqn, valid, queries, k=k,
-                                 approx=approx, table=table)
+    else:
+        table = None
+        if SC.scan_dtype() == "bf16":
+            cached = getattr(index, "_tier_cache", None)
+            if cached is None or cached[0] != index._epoch:
+                cached = (index._epoch, SC._to_bf16(vecs))
+                index._tier_cache = cached
+            table = cached[1]
+        if table is None and not approx and SC.cert_enabled(
+            int(vecs.shape[0])
+        ):
+            # certified-exact select (ops/scan.py): byte-identical to
+            # the exact top_k path, several-fold cheaper at capacity
+            # scale
+            block = SC.scan_certified_l2(vecs, sqn, valid, pd, k=k)
+
+            def finish_cert():
+                return SC.certified_finish(
+                    vecs, sqn, valid, pd, block, k=k, n_q=n_q,
+                    rerun_sink=cert_sink,
+                )
+
+            return finish_cert
+        packed = SC.scan_topk_exact_l2(
+            vecs, sqn, valid, pd, k=k, pack=True, approx=approx,
+            table=table,
+        )
+
+    def finish_packed():
+        p = np.asarray(packed[:n_q])
+        ids = p[:, :k]
+        sims = np.ascontiguousarray(p[:, k:]).view(np.float32)
+        return ids, sims
+
+    return finish_packed
 
 
 def _scan_topk_pallas(vecs, sqn, valid, queries, *, k: int, metric: str):
@@ -331,34 +389,7 @@ class FlatIndex:
             return [[] for _ in range(qs.shape[0])]
         vecs, sqn, valid, tscale = self._device()
         k_eff = min(int(k), int(vecs.shape[0]))
-        if tscale is not None:
-            # int8-resident mode: selection on the device int8 table,
-            # exact f32 rescore HOST-side (the f32 vectors only exist
-            # here -- that is the point: the device holds a quarter the
-            # bytes). Reported sims stay direct-form f32-exact and ties
-            # re-sort by (-sim, id), identical to the device rescore.
-            from ..ops import scan as SC
-
-            ids, sims = SC.scan_topk(
-                vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
-                metric="euclidean", tscale=tscale, approx=approx,
-            )
-            # only the id block crosses the link: invalid slots carry
-            # id -1 (scan_topk), and the sims are recomputed host-side
-            # below anyway -- the [B, k] f32 selection sims and (with a
-            # host_qs mirror) the query block stay on device
-            ids = np.asarray(ids)
-            invalid = ids < 0
-            qs_np = np.asarray(
-                qs if host_qs is None else host_qs, np.float32
-            )
-            ids_safe = np.where(invalid, 0, ids)
-            exact = SC.neg_sq_rows(self._vectors[ids_safe], qs_np)
-            sims = np.where(
-                invalid, np.float32(-np.inf), exact.astype(np.float32)
-            )
-            ids, sims = SC.sort_reply(ids, sims)
-        elif use_pallas:
+        if use_pallas:
             ids, sims = _scan_topk_pallas(
                 vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
                 metric=self.config.metric,
@@ -366,12 +397,53 @@ class FlatIndex:
             ids = np.asarray(ids)
             sims = np.asarray(sims)
         else:
-            ids, sims = _scan_topk(
-                self, vecs, sqn, valid, jnp.asarray(qs), k=k_eff,
-                metric=self.config.metric, approx=approx,
-            )
-            ids = np.asarray(ids)
-            sims = np.asarray(sims)
+            # Chunked pipelined drain, like ops/search.py: query sets
+            # larger than one 2048-lane chunk keep pipeline_depth()
+            # chunks dispatched-but-unfetched so each chunk's fetch
+            # round trip hides behind the next chunks' device compute;
+            # certified fallback reruns coalesce across the loop
+            # (CertRerunSink). Single-chunk calls behave as before.
+            from collections import deque
+
+            from ..ops import scan as SC
+            from ..ops.search import max_lanes_for
+
+            n_q = qs.shape[0]
+            chunk = max_lanes_for(int(vecs.shape[0]))
+            depth = SC.pipeline_depth()
+            sink = SC.CertRerunSink()
+            hq = host_qs if isinstance(qs, jax.Array) else qs
+            if not isinstance(qs, jax.Array) and n_q > chunk:
+                # one H2D for the whole block (H2D pays ~0.5-1s of
+                # per-transfer latency on this tunnel); chunks below
+                # are then free device-side slices
+                qs = jnp.asarray(qs)
+            pending: deque = deque()
+            id_parts, sim_parts = [], []
+
+            def drain_one():
+                i_p, s_p = pending.popleft()()
+                id_parts.append(i_p)
+                sim_parts.append(s_p)
+
+            for lo in range(0, n_q, chunk):
+                pending.append(_dispatch_flat(
+                    self, vecs, sqn, valid, qs[lo : lo + chunk],
+                    k=k_eff, metric=self.config.metric, approx=approx,
+                    tscale=tscale,
+                    host_part=None if hq is None else hq[lo : lo + chunk],
+                    cert_sink=sink,
+                ))
+                while len(pending) > depth:
+                    drain_one()
+            while pending:
+                drain_one()
+            sink.flush()  # patches id_parts/sim_parts rows in place
+            if len(id_parts) == 1:
+                ids, sims = id_parts[0], sim_parts[0]
+            else:
+                ids = np.concatenate(id_parts)
+                sims = np.concatenate(sim_parts)
         # Batch replies carry (sim, name) only, like the HNSW batch path
         # (the reference's search reply shape, src/types.rs:445-457);
         # names resolve via one object-array fancy-index. Slots scored

@@ -899,3 +899,37 @@ def test_cert_rerun_sink_coalesces(rng, monkeypatch):
     ] == 8  # ceil(32/17)=2 per chunk x 4 chunks
     assert (got[0] == want[0]).all()
     assert np.array_equal(got[1], want[1])
+
+
+def test_flat_pipelined_multichunk_matches_serial(rng, monkeypatch):
+    """FlatIndex's chunked pipelined drain (every tier: f32 exact,
+    certified, int8-resident, hamming packed) must match the
+    single-chunk reply element-for-element, odd tail included."""
+    import redis_hnsw_tpu.ops.search as SE
+
+    def pairs(res):
+        return [[(r.sim, r.name) for r in row] for row in res]
+
+    data = rng.standard_normal((500, 24)).astype(np.float32)
+    idx = FlatIndex("fp", IndexConfig(dim=24))
+    idx.add_batch([f"n{i}" for i in range(500)], data)
+    queries = rng.standard_normal((210, 24)).astype(np.float32)
+    want = pairs(idx.search_batch(queries, 7))
+    monkeypatch.setattr(SE, "MAX_LANES", 64)
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "3")
+    assert pairs(idx.search_batch(queries, 7)) == want
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    assert pairs(idx.search_batch(queries, 7)) == want
+    monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "int8")
+    i8_chunked = pairs(idx.search_batch(queries, 7))
+    monkeypatch.setattr(SE, "MAX_LANES", 2048)
+    assert pairs(idx.search_batch(queries, 7)) == i8_chunked
+
+    hdata = rng.integers(0, 2**32, (300, 8), dtype=np.uint32)
+    hidx = FlatIndex("fph", IndexConfig(dim=256, metric="hamming"))
+    hidx.add_batch([f"h{i}" for i in range(300)], hdata)
+    hq = rng.integers(0, 2**32, (130, 8), dtype=np.uint32)
+    hwant = pairs(hidx.search_batch(hq, 6))
+    monkeypatch.setattr(SE, "MAX_LANES", 32)
+    assert pairs(hidx.search_batch(hq, 6)) == hwant
