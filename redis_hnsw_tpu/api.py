@@ -177,8 +177,11 @@ class HNSW:
 
     def save_index(self, index: str, path: str) -> None:
         """Checkpoint an index to disk (reference: RDB save callbacks,
-        src/types.rs:157-284). HNSW indexes save to one npz file; sharded
-        indexes save to a directory (one npz per shard + manifest)."""
+        src/types.rs:157-284). HNSW and flat indexes save to one npz
+        file (same version-gated envelope, utils/checkpoint.py);
+        sharded indexes save to a directory (one npz per shard +
+        manifest)."""
+        from .models.flat import FlatIndex
         from .parallel.sharded import ShardedHNSW
         from .utils.checkpoint import save_index as _save
 
@@ -186,10 +189,13 @@ class HNSW:
         with lk:
             if isinstance(idx, ShardedHNSW):
                 idx.save(path)
-            elif isinstance(idx, HNSWIndex):
+            elif isinstance(idx, (HNSWIndex, FlatIndex)):
                 _save(idx, path)
             else:
-                raise HNSWError("only hnsw indexes support checkpointing")
+                raise HNSWError(
+                    f"index kind {type(idx).__name__} does not support "
+                    f"checkpointing"
+                )
 
     def restore_index(self, path: str, name: str | None = None):
         """Restore an index from a checkpoint and register it (reference:

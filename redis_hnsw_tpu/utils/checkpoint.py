@@ -27,21 +27,101 @@ from ..errors import HNSWError
 FORMAT_VERSION = 1
 
 
-def save_index(index, path: str, compress: bool = True) -> None:
-    """Serialize a host HNSWIndex to ``path`` (npz, atomic rename).
+def _config_meta(index) -> dict:
+    return {
+        "dim": index.config.dim,
+        "m": index.config.m,
+        "ef_construction": index.config.ef_construction,
+        "metric": index.config.metric,
+        "capacity": index.config.capacity,
+        "fixed_capacity": index.config.fixed_capacity,
+        "seed": index.config.seed,
+    }
 
-    ``compress=False`` trades file size for speed (large indexes,
-    staged builds)."""
-    h = index._names.high_water
-    n_layers = index.max_layer + 1
 
-    names = np.array(
+def _names_array(index, h: int):
+    return np.array(
         [
-            index._names._name_of[r] if index._names._name_of[r] is not None else ""
+            index._names._name_of[r]
+            if index._names._name_of[r] is not None else ""
             for r in range(h)
         ],
         dtype="U",
     )
+
+
+def save_flat_index(index, path: str, compress: bool = True) -> None:
+    """Serialize a FlatIndex to ``path`` (npz, atomic rename): the
+    same version-gated envelope as the graph checkpoint with
+    ``kind="flat"`` and (vectors, valid) instead of the adjacency --
+    the flat kind has no graph to persist (models/flat.py). Restores
+    through the same :func:`load_index` / client ``restore_index``."""
+    h = index._names.high_water
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "flat",
+        "name": index.name,
+        "config": _config_meta(index),
+        "node_count": index.node_count,
+    }
+    tmp = path + ".tmp"
+    writer = np.savez_compressed if compress else np.savez
+    with open(tmp, "wb") as f:
+        writer(
+            f,
+            meta=np.frombuffer(
+                json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            ),
+            names=_names_array(index, h),
+            vectors=index._vectors[:h],
+            valid=index._valid[:h],
+        )
+    os.replace(tmp, path)
+
+
+def _load_flat(meta: dict, z) -> "object":
+    from ..models.flat import FlatIndex
+
+    names = z["names"]
+    vectors = z["vectors"]
+    valid = z["valid"]
+    cfg = IndexConfig(**meta["config"])
+    index = FlatIndex(meta["name"], cfg)
+    h = len(names)
+    if h > index._vectors.shape[0]:
+        grown = np.zeros((h, index._vectors.shape[1]), vectors.dtype)
+        grown[:h] = vectors
+        index._vectors = grown
+        index._valid = np.zeros(h, bool)
+    index._vectors[:h] = vectors
+    index._valid[:h] = valid
+    nt = index._names
+    for row in range(h):
+        live = bool(valid[row])
+        name = str(names[row])
+        nt._name_of.append(name if live else None)
+        if live:
+            nt._id_of[name] = row
+        else:
+            nt._free.append(row)
+    index._epoch += 1
+    return index
+
+
+def save_index(index, path: str, compress: bool = True) -> None:
+    """Serialize a host HNSWIndex to ``path`` (npz, atomic rename).
+
+    ``compress=False`` trades file size for speed (large indexes,
+    staged builds). FlatIndexes route to :func:`save_flat_index`
+    (same envelope, ``kind="flat"``)."""
+    from ..models.flat import FlatIndex
+
+    if isinstance(index, FlatIndex):
+        return save_flat_index(index, path, compress=compress)
+    h = index._names.high_water
+    n_layers = index.max_layer + 1
+
+    names = _names_array(index, h)
     if index._native is not None:
         counts, flat = index._native.export_all(h, n_layers)
     else:
@@ -58,16 +138,9 @@ def save_index(index, path: str, compress: bool = True) -> None:
 
     meta = {
         "format_version": FORMAT_VERSION,
+        "kind": "hnsw",
         "name": index.name,
-        "config": {
-            "dim": index.config.dim,
-            "m": index.config.m,
-            "ef_construction": index.config.ef_construction,
-            "metric": index.config.metric,
-            "capacity": index.config.capacity,
-            "fixed_capacity": index.config.fixed_capacity,
-            "seed": index.config.seed,
-        },
+        "config": _config_meta(index),
         "node_count": index.node_count,
         "max_layer": index.max_layer,
         "enterpoint": int(index.enterpoint),
@@ -107,6 +180,9 @@ def load_index(path: str):
                 f"cannot load checkpoint format version "
                 f"{meta['format_version']} (supported: {FORMAT_VERSION})"
             )
+        # pre-"kind" checkpoints (same format version) are all hnsw
+        if meta.get("kind", "hnsw") == "flat":
+            return _load_flat(meta, z)
         names = z["names"]
         vectors = z["vectors"]
         levels = z["levels"]

@@ -341,3 +341,42 @@ def test_autosave_crash_restore_continue(tmp_path, rng):
     idx2.add_batch(names[:200], data[:200], batch_size=128)
     snap = load_index(p2)
     assert idx2.node_count - snap.node_count <= 128  # one wave behind
+
+
+def test_flat_checkpoint_roundtrip(tmp_path, rng):
+    """kind=flat checkpoints share the versioned envelope
+    (kind="flat", vectors+valid instead of adjacency) and restore
+    byte-identically through the same load path -- deletes (free-list
+    holes), post-restore mutation, and hamming included."""
+    from redis_hnsw_tpu.models.flat import FlatIndex
+
+    c = HNSW()
+    c.create_index("f", dim=16, kind="flat")
+    data = rng.standard_normal((60, 16)).astype(np.float32)
+    c.add_batch("f", [f"n{i}" for i in range(60)], data)
+    for i in range(0, 60, 3):
+        c.delete_node("f", f"n{i}")
+    ref = c.search_batch("f", data[:8], k=5)
+    p = str(tmp_path / "f.npz")
+    c.save_index("f", p)
+    c.delete_index("f")
+    idx = c.restore_index(p)
+    assert isinstance(idx, FlatIndex) and idx.node_count == 40
+    got = c.search_batch("f", data[:8], k=5)
+    for a, b in zip(ref, got):
+        assert [(r.sim, r.name) for r in a] == [(r.sim, r.name) for r in b]
+    # restored free list reuses holes; the new row is searchable
+    c.add_node("f", "fresh", data[0])
+    assert c.search_batch("f", data[:1], k=1)[0][0].name == "fresh"
+
+    c.create_index("hf", dim=256, metric="hamming", kind="flat")
+    hd = rng.integers(0, 2**32, (30, 8), dtype=np.uint32)
+    c.add_batch("hf", [f"h{i}" for i in range(30)], hd)
+    href = c.search_batch("hf", hd[:4], k=3)
+    hp = str(tmp_path / "hf.npz")
+    c.save_index("hf", hp)
+    c.delete_index("hf")
+    c.restore_index(hp)
+    hgot = c.search_batch("hf", hd[:4], k=3)
+    for a, b in zip(href, hgot):
+        assert [(r.sim, r.name) for r in a] == [(r.sim, r.name) for r in b]
