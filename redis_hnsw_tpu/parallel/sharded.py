@@ -354,6 +354,66 @@ def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
     )
 
 
+class _ShardedCertRerunSink:
+    """Coalesces the sharded certified scan's fallback reruns across a
+    chunked serving loop -- the sharded analog of ops/scan.py
+    CertRerunSink: every chunk's uncertified rows re-serve through ONE
+    exact :func:`_sharded_scan_jit` program + one fetch at flush time,
+    spliced back into the already-fetched replies in place. Sharded
+    queries are host-resident, so the rerun block assembles host-side
+    (per-item pow2 buckets, pow2 total) before the single upload."""
+
+    def __init__(self, owner, table, vecs, sqn, live, tscale,
+                 k_eff: int, ids_mode: bool) -> None:
+        self._owner = owner
+        self._args = (table, vecs, sqn, live, tscale)
+        self._k = int(k_eff)
+        self._ids_mode = ids_mode
+        self._items: list = []
+
+    def add(self, part, bad, gids, sims) -> None:
+        self._items.append((part, np.asarray(bad), gids, sims))
+
+    def flush(self) -> None:
+        if not self._items:
+            return
+        from ..ops import scan as SC
+
+        parts, spans, off = [], [], 0
+        for part, bad, _g, _s in self._items:
+            p = SC.pad_pow2(len(bad))
+            sel = np.zeros(p, np.intp)
+            sel[: len(bad)] = bad
+            parts.append(part[sel])
+            spans.append((off, len(bad)))
+            off += p
+        q_bad = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        t_pad = SC.pad_pow2(off)
+        if t_pad != off:
+            q_bad = np.concatenate([
+                q_bad,
+                np.zeros((t_pad - off, q_bad.shape[1]), q_bad.dtype),
+            ])
+        owner = self._owner
+        qd = jax.device_put(
+            jnp.asarray(q_bad), NamedSharding(owner.mesh, P())
+        )
+        table, vecs, sqn, live, tscale = self._args
+        gb_d, sb_d = _sharded_scan_jit(
+            table, vecs, sqn, live, tscale, qd, k=self._k,
+            metric=owner.config.metric, mesh=owner.mesh, approx=False,
+        )
+        gb = np.asarray(gb_d[:off])
+        # ids-reply mode never fetched sims; the shared host-rescore
+        # tail recomputes them from the final gids
+        sb = None if self._ids_mode else np.asarray(sb_d[:off])
+        for (part, bad, gids, sims), (lo, nb) in zip(self._items, spans):
+            gids[bad] = gb[lo : lo + nb]
+            if sims is not None:
+                sims[bad] = sb[lo : lo + nb]
+        self._items.clear()
+
+
 class ShardedHNSW:
     """S independent sub-indexes presented as one index."""
 
@@ -758,16 +818,10 @@ class ShardedHNSW:
             if ef_search is None
             else int(ef_search)
         )
-        b_pad = 8
-        while b_pad < n_q:
-            b_pad *= 2
-        if b_pad != n_q:
-            qs = np.concatenate(
-                [qs, np.zeros((b_pad - n_q, qs.shape[1]), qs.dtype)]
-            )
-        qs_dev = jax.device_put(
-            jnp.asarray(qs), NamedSharding(self.mesh, P())
-        )
+        from collections import deque
+
+        from ..ops import scan as SC
+
         shard_pad = max(
             s.device_snapshot().n_pad for s in self.shards
         )
@@ -775,9 +829,13 @@ class ShardedHNSW:
             engine == "auto"
             and shard_pad <= SCAN_MAX_ROWS.get(self.config.metric, 0)
         )
+        ids_mode = (
+            self.config.metric == "euclidean"
+            and SC_reply_ids(self.config.dim)
+        )
+        rerun_sink = None
+        use_cert = False
         if use_scan:
-            from ..ops import scan as SC
-
             table, vecs, sqn, live, tscale = self._scan_stack()
             n_pad = self._scan_npad
             k_eff = min(int(k), n_pad)
@@ -787,83 +845,129 @@ class ShardedHNSW:
                 and tscale is None and table is vecs
                 and SC.cert_enabled(n_pad)
             )
-            ids_mode = (
-                self.config.metric == "euclidean"
-                and SC.reply_ids_engaged(self.config.dim)
-            )
             if use_cert:
-                # certified-exact per shard (ops/scan.py): byte-
-                # identical to the exact sharded scan; uncertified
-                # queries re-served below through the exact path. ONE
-                # packed D2H (gids | sims bits | verdict): the link is
-                # latency-bound, so separate gid/sim/ok fetches each
-                # cost a full round trip. In ids-reply mode the sims
-                # columns are ignored host-side (rescored in the
-                # shared tail below).
-                block = np.array(_sharded_scan_cert_jit(
-                    vecs, sqn, live, qs_dev, k=k_eff, mesh=self.mesh
-                )[:n_q])
-                # slices of the np.array copy stay writable: the
-                # fallback splices rows in place
-                gids = block[:, :k_eff]
-                sims = None if ids_mode else np.ascontiguousarray(
-                    block[:, k_eff:2 * k_eff]
-                ).view(np.float32)
-                okh = block[:, -1] != 0
-                SC.CERT_STATS["batches"] += 1
-                SC.CERT_STATS["queries"] += n_q
-                if not okh.all():
-                    bad = np.flatnonzero(~okh)
-                    SC.CERT_STATS["fallback_queries"] += len(bad)
-                    if len(bad) * 4 > n_q:
-                        # tie-heavy / adversarial batch: one full exact
-                        # rerun beats many bucketed ones (same rule as
-                        # certified_topk_l2)
-                        sel = np.arange(len(qs), dtype=np.intp)
-                        bad = np.arange(n_q)
-                    else:
-                        sel = np.zeros(
-                            SC.pad_pow2(len(bad)), np.intp
-                        )
-                        sel[: len(bad)] = bad
-                    q_bad = jax.device_put(
-                        jnp.asarray(qs[sel]),
-                        NamedSharding(self.mesh, P()),
-                    )
-                    gb, sb = _sharded_scan_jit(
-                        table, vecs, sqn, live, tscale, q_bad,
-                        k=k_eff, metric=self.config.metric,
-                        mesh=self.mesh, approx=False,
-                    )
-                    gids[bad] = np.asarray(gb[: len(bad)])
-                    if sims is not None:
-                        sims[bad] = np.asarray(sb[: len(bad)])
-            else:
-                gids, sims = _sharded_scan_jit(
-                    table, vecs, sqn, live, tscale, qs_dev,
-                    k=k_eff, metric=self.config.metric, mesh=self.mesh,
-                    approx=engine == "scan-approx",
+                rerun_sink = _ShardedCertRerunSink(
+                    self, table, vecs, sqn, live, tscale, k_eff,
+                    ids_mode,
                 )
         else:
             stacked = self._stack()
             n_pad = self._stacked_npad
+            k_eff = int(k)
             ef_eff = max(ef, 1)
             seeds_eff = (
                 min(int(seeds), ef_eff - 1) if ef_eff > 1 else 0
             )
             pivots = self._pivot_stack() if seeds_eff > 0 else None
-            gids, sims = _sharded_search_jit(
-                *stacked, pivots, qs_dev,
-                ef=ef_eff, k=int(k), metric=self.config.metric,
-                mesh=self.mesh, expand=expand, iters=iters,
-                seeds=seeds_eff,
+
+        def dispatch(part):
+            """Enqueue one <=2048-lane chunk (pow2-padded) as one
+            shard_map program; the returned finish() pays the fetch.
+            Mirrors the single-chip dispatch/finish split
+            (ops/scan.py scan_dispatch)."""
+            pn = part.shape[0]
+            p_pad = SC.pad_pow2(pn)
+            if p_pad != pn:
+                part_p = np.concatenate([
+                    part,
+                    np.zeros((p_pad - pn, part.shape[1]), part.dtype),
+                ])
+            else:
+                part_p = part
+            pd = jax.device_put(
+                jnp.asarray(part_p), NamedSharding(self.mesh, P())
             )
-        host_rescore = (
-            self.config.metric == "euclidean"
-            and SC_reply_ids(self.config.dim)
-            and (sims is None or isinstance(gids, jax.Array))
-        )
-        if host_rescore:
+            if use_cert:
+                # certified-exact per shard (ops/scan.py): byte-
+                # identical to the exact sharded scan; uncertified
+                # queries re-served through the coalesced sink. ONE
+                # packed D2H (gids | sims bits | verdict): the link is
+                # latency-bound, so separate gid/sim/ok fetches each
+                # cost a full round trip. In ids-reply mode the sims
+                # columns are ignored host-side (rescored in the
+                # shared tail below).
+                block = _sharded_scan_cert_jit(
+                    vecs, sqn, live, pd, k=k_eff, mesh=self.mesh
+                )
+
+                def fin_cert():
+                    # np.array copy: slices stay writable, the deferred
+                    # fallback splices rows in place at flush
+                    blk = np.array(block[:pn])
+                    gids_c = blk[:, :k_eff]
+                    sims_c = None if ids_mode else np.ascontiguousarray(
+                        blk[:, k_eff:2 * k_eff]
+                    ).view(np.float32)
+                    okh = blk[:, -1] != 0
+                    SC.CERT_STATS["batches"] += 1
+                    SC.CERT_STATS["queries"] += pn
+                    if not okh.all():
+                        bad = np.flatnonzero(~okh)
+                        SC.CERT_STATS["fallback_queries"] += len(bad)
+                        if len(bad) * 4 > pn:
+                            # tie-heavy / adversarial chunk: re-serve
+                            # it whole (same rule as certified_topk_l2)
+                            bad = np.arange(pn)
+                        rerun_sink.add(part_p, bad, gids_c, sims_c)
+                    return gids_c, sims_c
+
+                return fin_cert
+            if use_scan:
+                gids_d, sims_d = _sharded_scan_jit(
+                    table, vecs, sqn, live, tscale, pd,
+                    k=k_eff, metric=self.config.metric, mesh=self.mesh,
+                    approx=engine == "scan-approx",
+                )
+            else:
+                gids_d, sims_d = _sharded_search_jit(
+                    *stacked, pivots, pd,
+                    ef=ef_eff, k=k_eff, metric=self.config.metric,
+                    mesh=self.mesh, expand=expand, iters=iters,
+                    seeds=seeds_eff,
+                )
+
+            def fin():
+                g = np.asarray(gids_d[:pn])
+                # ids-reply mode skips the sims fetch entirely: the
+                # shared tail rescores host-side from the gids
+                s = None if ids_mode else np.asarray(sims_d[:pn])
+                return g, s
+
+            return fin
+
+        # Chunked pipelined drain, mirroring the single-chip loop
+        # (ops/search.py): up to pipeline_depth() chunks stay
+        # dispatched-but-unfetched so each chunk's fetch round trip
+        # hides behind the following chunks' device compute, and the
+        # certified fallback reruns coalesce into one program.
+        from ..ops.search import max_lanes_for
+
+        chunk = max_lanes_for(shard_pad)  # single-chip lane cap (2048)
+        depth = SC.pipeline_depth()
+        pending: deque = deque()
+        g_parts, s_parts = [], []
+
+        def drain_one():
+            g_p, s_p = pending.popleft()()
+            g_parts.append(g_p)
+            s_parts.append(s_p)
+
+        for lo in range(0, n_q, chunk):
+            pending.append(dispatch(qs[lo : lo + chunk]))
+            while len(pending) > depth:
+                drain_one()
+        while pending:
+            drain_one()
+        if rerun_sink is not None:
+            rerun_sink.flush()  # patches g_parts/s_parts rows in place
+        gids = g_parts[0] if len(g_parts) == 1 else np.concatenate(g_parts)
+        sims = None
+        if s_parts[0] is not None:
+            sims = (
+                s_parts[0] if len(s_parts) == 1
+                else np.concatenate(s_parts)
+            )
+        if ids_mode:
             # ids-only reply (ops/scan.py reply_ids_only): transfer the
             # merged [B, k] gid block alone and recompute the sims in
             # exact direct form from the per-shard HOST row tables --

@@ -446,3 +446,41 @@ def test_sharded_delete_batch(sharded_built):
     assert res[1][0].name == "n1"  # odd survivors still exact
     for s in idx.shards:
         graph_invariants(s)
+
+
+def test_sharded_pipelined_multichunk_matches_serial(
+    sharded_built, monkeypatch
+):
+    """The sharded chunked pipelined drain must reproduce the
+    single-chunk reply element-for-element on every engine, certified
+    and ids-reply modes included (chunk cap shrunk so a small query
+    set spans several shard_map programs + an odd tail)."""
+    import redis_hnsw_tpu.ops.scan as S
+    import redis_hnsw_tpu.ops.search as SE
+
+    idx, oracle, data, rng = sharded_built
+    queries = rng.standard_normal((100, 16)).astype(np.float32)
+    want = {}
+    for engine in ("scan", "scan-approx", "graph"):
+        want[engine] = idx.search_batch(
+            queries, 7, engine=engine, reply="columnar"
+        )
+    monkeypatch.setattr(SE, "MAX_LANES", 32)
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "3")
+    for engine in ("scan", "scan-approx", "graph"):
+        got = idx.search_batch(queries, 7, engine=engine, reply="columnar")
+        assert (got[0] == want[engine][0]).all(), engine
+        assert np.array_equal(got[1], want[engine][1]), engine
+    # certified chunked (forced): byte-identical to the exact sharded
+    # scan, with chunk-level CERT_STATS accounting
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    before = dict(S.CERT_STATS)
+    got = idx.search_batch(queries, 7, engine="scan", reply="columnar")
+    assert S.CERT_STATS["batches"] == before["batches"] + 4  # ceil(100/32)
+    assert (got[0] == want["scan"][0]).all()
+    assert np.array_equal(got[1], want["scan"][1])
+    # ids-reply chunked: same names, host-exact sims
+    monkeypatch.setenv("REDIS_HNSW_TPU_REPLY", "ids-force")
+    got = idx.search_batch(queries, 7, engine="scan", reply="columnar")
+    assert (got[0] == want["scan"][0]).all()
+    np.testing.assert_allclose(got[1], want["scan"][1], rtol=2e-6)
