@@ -68,6 +68,52 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / 3
     out["scan"] = {"recall": round(rec, 4), "qps": round(2048 / dt, 1)}
     print(f"scan: recall={rec:.4f} qps={2048/dt:.0f}", flush=True)
+    # at 1.9M the default exact scan rides the certified selector
+    # (ops/scan.py cert_enabled); record the fallback economics
+    from redis_hnsw_tpu.ops.scan import CERT_STATS
+
+    out["cert_stats"] = dict(CERT_STATS)
+
+    # pipelined serving: 8 batches through the chunked loop -- the
+    # per-batch fetch round trip hides behind the next chunks'
+    # compute and certified fallbacks coalesce into one rerun
+    # (ops/search.py; artifacts/pipeline_ab.json)
+    qs8 = jnp.asarray(query_set(2048 * 8, "clustered"))
+    np.asarray(qs8[0])  # force the H2D before timing
+    idx.search_batch(qs8, K, reply="columnar")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        idx.search_batch(qs8, K, reply="columnar")
+    dt = (time.perf_counter() - t0) / 3
+    out["scan_serve_8batch"] = {
+        "recall": round(rec, 4), "qps": round(2048 * 8 / dt, 1),
+    }
+    print(f"scan serve 8-batch: qps={2048 * 8 / dt:.0f}", flush=True)
+
+    # approx tier, single + pipelined
+    nm_a, _ = idx.search_batch(
+        qd, K, engine="scan-approx", reply="columnar"
+    )
+    rec_a = sum(
+        len(set(nm_a[b]) & truth[b]) for b in range(256)
+    ) / (K * 256)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        idx.search_batch(qd, K, engine="scan-approx", reply="columnar")
+    dt = (time.perf_counter() - t0) / 3
+    out["scan_approx"] = {
+        "recall": round(rec_a, 4), "qps": round(2048 / dt, 1),
+    }
+    idx.search_batch(qs8, K, engine="scan-approx", reply="columnar")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        idx.search_batch(qs8, K, engine="scan-approx", reply="columnar")
+    dt = (time.perf_counter() - t0) / 3
+    out["scan_approx_serve_8batch"] = {
+        "recall": round(rec_a, 4), "qps": round(2048 * 8 / dt, 1),
+    }
+    print(f"approx: {out['scan_approx']} / serve "
+          f"{out['scan_approx_serve_8batch']}", flush=True)
 
     # graph beam on the int8 blocked tier
     res = idx.search_batch(
@@ -94,7 +140,12 @@ def main() -> None:
     save_index(idx, ckpt + ".resaved", compress=False)
     out["checkpoint_save_s"] = round(time.perf_counter() - t0, 1)
     os.remove(ckpt + ".resaved")
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out)
+    print(line, flush=True)
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "artifacts", "capacity_1900k.json")
+    with open(art, "a") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":
