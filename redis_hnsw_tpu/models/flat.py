@@ -397,20 +397,20 @@ class FlatIndex:
             ids = np.asarray(ids)
             sims = np.asarray(sims)
         else:
-            # Chunked pipelined drain, like ops/search.py: query sets
-            # larger than one 2048-lane chunk keep pipeline_depth()
-            # chunks dispatched-but-unfetched so each chunk's fetch
-            # round trip hides behind the next chunks' device compute;
-            # certified fallback reruns coalesce across the loop
-            # (CertRerunSink). Single-chunk calls behave as before.
-            from collections import deque
-
+            # Chunked pipelined drain (ops/scan.py drain_pipelined):
+            # query sets larger than one 2048-lane chunk keep
+            # pipeline_depth() chunks dispatched-but-unfetched so each
+            # chunk's fetch round trip hides behind the next chunks'
+            # device compute; certified fallback reruns coalesce
+            # across the loop (CertRerunSink). Single-chunk calls
+            # behave as before.
             from ..ops import scan as SC
             from ..ops.search import max_lanes_for
 
             n_q = qs.shape[0]
+            if n_q == 0:
+                return []
             chunk = max_lanes_for(int(vecs.shape[0]))
-            depth = SC.pipeline_depth()
             sink = SC.CertRerunSink()
             hq = host_qs if isinstance(qs, jax.Array) else qs
             if not isinstance(qs, jax.Array) and n_q > chunk:
@@ -418,27 +418,24 @@ class FlatIndex:
                 # per-transfer latency on this tunnel); chunks below
                 # are then free device-side slices
                 qs = jnp.asarray(qs)
-            pending: deque = deque()
-            id_parts, sim_parts = [], []
 
-            def drain_one():
-                i_p, s_p = pending.popleft()()
-                id_parts.append(i_p)
-                sim_parts.append(s_p)
+            def dispatch(part, hpart):
+                return _dispatch_flat(
+                    self, vecs, sqn, valid, part, k=k_eff,
+                    metric=self.config.metric, approx=approx,
+                    tscale=tscale, host_part=hpart, cert_sink=sink,
+                )
 
-            for lo in range(0, n_q, chunk):
-                pending.append(_dispatch_flat(
-                    self, vecs, sqn, valid, qs[lo : lo + chunk],
-                    k=k_eff, metric=self.config.metric, approx=approx,
-                    tscale=tscale,
-                    host_part=None if hq is None else hq[lo : lo + chunk],
-                    cert_sink=sink,
-                ))
-                while len(pending) > depth:
-                    drain_one()
-            while pending:
-                drain_one()
-            sink.flush()  # patches id_parts/sim_parts rows in place
+            parts = (
+                (
+                    qs[lo : lo + chunk],
+                    None if hq is None else hq[lo : lo + chunk],
+                )
+                for lo in range(0, n_q, chunk)
+            )
+            id_parts, sim_parts = SC.drain_pipelined(
+                parts, dispatch, sink=sink
+            )
             if len(id_parts) == 1:
                 ids, sims = id_parts[0], sim_parts[0]
             else:

@@ -926,7 +926,39 @@ def pipeline_depth() -> int:
     pipelining buys is that the ~28ms-per-fetch dispatch+D2H round
     trip of this latency-bound tunnel (CLAUDE.md) overlaps the next
     batches' device compute instead of serializing with it."""
-    return max(0, int(os.environ.get("REDIS_HNSW_TPU_PIPELINE", "2")))
+    return max(
+        0, int(os.environ.get("REDIS_HNSW_TPU_PIPELINE") or "2")
+    )
+
+
+def drain_pipelined(parts, dispatch, *, sink=None):
+    """The pipelined serving loop shared by the single-chip, flat and
+    sharded engines: call ``dispatch(*args)`` for each tuple in
+    ``parts`` (each returns a zero-arg finish), keep up to
+    :func:`pipeline_depth` batches dispatched-but-unfetched, finish in
+    order, and flush ``sink`` (deferred certified fallback reruns)
+    BEFORE returning -- callers assemble replies only from the
+    returned, already-patched parts. Returns (id_parts, sim_parts)."""
+    from collections import deque
+
+    depth = pipeline_depth()
+    pending: deque = deque()
+    id_parts, sim_parts = [], []
+
+    def drain_one():
+        i_p, s_p = pending.popleft()()
+        id_parts.append(i_p)
+        sim_parts.append(s_p)
+
+    for args in parts:
+        pending.append(dispatch(*args))
+        while len(pending) > depth:
+            drain_one()
+    while pending:
+        drain_one()
+    if sink is not None:
+        sink.flush()  # patches id_parts/sim_parts rows in place
+    return id_parts, sim_parts
 
 
 def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,

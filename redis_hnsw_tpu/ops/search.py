@@ -33,8 +33,6 @@ inside the loop loses ~1e-3 to cancellation, fine for ordering).
 
 from __future__ import annotations
 
-from collections import deque
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -775,44 +773,36 @@ def search_batch(
             return finish
     chunk = max_lanes_for(snap.n_pad)
     if n_q > chunk:
-        # Pipelined drain: up to pipeline_depth() chunks stay
-        # dispatched-but-unfetched, so each chunk's dispatch+D2H round
-        # trip (~28ms on this latency-bound tunnel, CLAUDE.md) hides
-        # behind the following chunks' device compute. TPU programs
-        # execute serially, so in-flight chunks only QUEUE -- device
-        # peak memory is per-program, unchanged. Replies drain in
-        # order; depth=0 reproduces the serialized pre-r4 loop.
-        from .scan import CertRerunSink, pipeline_depth
+        # Pipelined drain (ops/scan.py drain_pipelined): up to
+        # pipeline_depth() chunks stay dispatched-but-unfetched, so
+        # each chunk's dispatch+D2H round trip (~28ms on this
+        # latency-bound tunnel, CLAUDE.md) hides behind the following
+        # chunks' device compute. TPU programs execute serially, so
+        # in-flight chunks only QUEUE -- device peak memory is
+        # per-program, unchanged. Certified-path fallback reruns
+        # coalesce across the whole loop into ONE exact program +
+        # fetch (CertRerunSink): with ~1% of queries uncertified
+        # nearly every 2048-query chunk has a fallback, and an
+        # immediate per-chunk rerun would re-serialize a round trip
+        # into every finish().
+        from .scan import CertRerunSink, drain_pipelined
 
-        depth = pipeline_depth()
-        # certified-path fallback reruns coalesce across the whole
-        # loop into ONE exact program + fetch (CertRerunSink): with
-        # ~1% of queries uncertified nearly every 2048-query chunk
-        # has a fallback, and an immediate per-chunk rerun would
-        # re-serialize a ~28ms round trip into every finish().
         sink = CertRerunSink() if use_scan else None
-        pending: deque = deque()
-        id_parts, sim_parts = [], []
-
-        def drain_one():
-            i_p, s_p = pending.popleft()()
-            id_parts.append(i_p)
-            sim_parts.append(s_p)
-
-        for lo in range(0, n_q, chunk):
-            pending.append(
-                dispatch(
-                    qs[lo : lo + chunk],
-                    None if hq is None else hq[lo : lo + chunk],
-                    sink=sink,
-                )
+        if not isinstance(qs, jax.Array):
+            # one H2D for the whole block (H2D pays ~0.5-1s of
+            # per-transfer latency on this tunnel); chunks below are
+            # then free device-side slices. hq already mirrors the
+            # host copy for the ids-reply mode.
+            qs = jnp.asarray(qs)
+        parts = (
+            (
+                qs[lo : lo + chunk],
+                None if hq is None else hq[lo : lo + chunk],
+                sink,
             )
-            while len(pending) > depth:
-                drain_one()
-        while pending:
-            drain_one()
-        if sink is not None:
-            sink.flush()  # patches id_parts/sim_parts rows in place
+            for lo in range(0, n_q, chunk)
+        )
+        id_parts, sim_parts = drain_pipelined(parts, dispatch, sink=sink)
         ids = np.concatenate(id_parts)
         sims = np.concatenate(sim_parts)
     else:

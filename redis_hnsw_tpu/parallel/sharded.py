@@ -806,7 +806,7 @@ class ShardedHNSW:
             np.asarray(queries, dtype=self.shards[0]._vectors.dtype)
         )
         n_q = qs.shape[0]
-        if self.node_count == 0:
+        if self.node_count == 0 or n_q == 0:
             if reply == "columnar":
                 return (
                     np.full((n_q, int(k)), None, object),
@@ -818,8 +818,6 @@ class ShardedHNSW:
             if ef_search is None
             else int(ef_search)
         )
-        from collections import deque
-
         from ..ops import scan as SC
 
         shard_pad = max(
@@ -936,30 +934,17 @@ class ShardedHNSW:
             return fin
 
         # Chunked pipelined drain, mirroring the single-chip loop
-        # (ops/search.py): up to pipeline_depth() chunks stay
-        # dispatched-but-unfetched so each chunk's fetch round trip
-        # hides behind the following chunks' device compute, and the
-        # certified fallback reruns coalesce into one program.
+        # (ops/scan.py drain_pipelined): up to pipeline_depth() chunks
+        # stay dispatched-but-unfetched so each chunk's fetch round
+        # trip hides behind the following chunks' device compute, and
+        # the certified fallback reruns coalesce into one program.
         from ..ops.search import max_lanes_for
 
         chunk = max_lanes_for(shard_pad)  # single-chip lane cap (2048)
-        depth = SC.pipeline_depth()
-        pending: deque = deque()
-        g_parts, s_parts = [], []
-
-        def drain_one():
-            g_p, s_p = pending.popleft()()
-            g_parts.append(g_p)
-            s_parts.append(s_p)
-
-        for lo in range(0, n_q, chunk):
-            pending.append(dispatch(qs[lo : lo + chunk]))
-            while len(pending) > depth:
-                drain_one()
-        while pending:
-            drain_one()
-        if rerun_sink is not None:
-            rerun_sink.flush()  # patches g_parts/s_parts rows in place
+        g_parts, s_parts = SC.drain_pipelined(
+            ((qs[lo : lo + chunk],) for lo in range(0, n_q, chunk)),
+            dispatch, sink=rerun_sink,
+        )
         gids = g_parts[0] if len(g_parts) == 1 else np.concatenate(g_parts)
         sims = None
         if s_parts[0] is not None:

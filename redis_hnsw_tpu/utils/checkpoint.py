@@ -89,12 +89,12 @@ def _load_flat(meta: dict, z) -> "object":
     index = FlatIndex(meta["name"], cfg)
     h = len(names)
     if h > index._vectors.shape[0]:
-        grown = np.zeros((h, index._vectors.shape[1]), vectors.dtype)
-        grown[:h] = vectors
-        index._vectors = grown
-        index._valid = np.zeros(h, bool)
-    index._vectors[:h] = vectors
-    index._valid[:h] = valid
+        # checkpoint larger than the config capacity: adopt its arrays
+        index._vectors = np.ascontiguousarray(vectors)
+        index._valid = np.ascontiguousarray(valid)
+    else:
+        index._vectors[:h] = vectors
+        index._valid[:h] = valid
     nt = index._names
     for row in range(h):
         live = bool(valid[row])

@@ -856,6 +856,9 @@ def test_pipeline_depth_env(monkeypatch):
     assert pipeline_depth() == 0
     monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "7")
     assert pipeline_depth() == 7
+    # empty string (shell-style unset) falls back to the default
+    monkeypatch.setenv("REDIS_HNSW_TPU_PIPELINE", "")
+    assert pipeline_depth() == 2
 
 
 def test_cert_rerun_sink_coalesces(rng, monkeypatch):
@@ -933,3 +936,16 @@ def test_flat_pipelined_multichunk_matches_serial(rng, monkeypatch):
     hwant = pairs(hidx.search_batch(hq, 6))
     monkeypatch.setattr(SE, "MAX_LANES", 32)
     assert pairs(hidx.search_batch(hq, 6)) == hwant
+
+
+def test_empty_query_batch_all_kinds(rng):
+    """A [0, D] query batch returns empty replies (no crash) on every
+    index kind and engine -- the chunked drain must not reach
+    np.concatenate([]) (r4 review regression)."""
+    idx, oracle, data, _ = _build(rng, n=64)
+    empty = np.zeros((0, 24), np.float32)
+    for engine in ("scan", "graph", "auto"):
+        assert idx.search_batch(empty, 5, engine=engine) == []
+    nm, sims = idx.search_batch(empty, 5, reply="columnar")
+    assert nm.shape == (0, 5) and sims.shape == (0, 5)
+    assert oracle.search_batch(empty, 5) == []

@@ -484,3 +484,11 @@ def test_sharded_pipelined_multichunk_matches_serial(
     got = idx.search_batch(queries, 7, engine="scan", reply="columnar")
     assert (got[0] == want["scan"][0]).all()
     np.testing.assert_allclose(got[1], want["scan"][1], rtol=2e-6)
+
+
+def test_sharded_empty_query_batch(sharded_built):
+    idx, _, _, _ = sharded_built
+    empty = np.zeros((0, 16), np.float32)
+    assert idx.search_batch(empty, 5) == []
+    nm, sims = idx.search_batch(empty, 5, reply="columnar")
+    assert nm.shape == (0, 5) and sims.shape == (0, 5)
