@@ -66,13 +66,14 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
             vecs, sqn, valid, pd, k=k, metric="euclidean",
             tscale=tscale, approx=approx,
         )
+        get_ids = SC.fetch_handle(ids_dev[:n_q])
 
         def finish_int8():
             # only the id block crosses the link: invalid slots carry
             # id -1 (scan_topk), and the sims are recomputed host-side
             # anyway -- the [B, k] f32 selection sims and (with a
             # host mirror) the query block stay on device
-            ids = np.asarray(ids_dev[:n_q])
+            ids = get_ids()
             invalid = ids < 0
             qs_np = np.asarray(
                 part if host_part is None else host_part, np.float32
@@ -109,10 +110,11 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
             # the exact top_k path, several-fold cheaper at capacity
             # scale
             block = SC.scan_certified_l2(vecs, sqn, valid, pd, k=k)
+            get_block = SC.fetch_handle(block[:n_q])
 
             def finish_cert():
                 return SC.certified_finish(
-                    vecs, sqn, valid, pd, block, k=k, n_q=n_q,
+                    vecs, sqn, valid, pd, get_block, k=k, n_q=n_q,
                     rerun_sink=cert_sink,
                 )
 
@@ -122,8 +124,10 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
             table=table,
         )
 
+    get_packed = SC.fetch_handle(packed[:n_q])
+
     def finish_packed():
-        p = np.asarray(packed[:n_q])
+        p = get_packed()
         ids = p[:, :k]
         sims = np.ascontiguousarray(p[:, k:]).view(np.float32)
         return ids, sims

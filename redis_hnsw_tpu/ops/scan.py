@@ -609,12 +609,16 @@ def certified_finish(vecs, sqn, live, qd, block, *, k: int, n_q: int,
     ~1%% uncertified queries nearly every 2048-query batch has at
     least one). Audit batches and the pathological whole-batch
     fallback stay immediate; ids-only replies never defer (the host
-    rescore needs final ids at return time)."""
+    rescore needs final ids at return time).
+
+    ``block`` is the dispatched device block, or a zero-arg getter
+    over its [:n_q] slice (a :func:`fetch_handle`, so a fetch-window
+    drain loop coalesces this batch's transfer with its neighbors')."""
     # ONE device->host transfer: reply + verdict column together (the
     # link is latency-bound; a separate ok fetch doubles the wall).
-    # np.array (copy), not asarray: zero-copy views of device buffers
-    # are read-only and the fallback below splices rows in place.
-    block = np.array(block[:n_q])
+    # Writable host copy either way: the fallback below splices rows
+    # in place, and zero-copy views of device buffers are read-only.
+    block = block() if callable(block) else np.array(block[:n_q])
     packed, okh = block[:, :-1], block[:, -1] != 0
     CERT_STATS["batches"] += 1
     CERT_STATS["queries"] += n_q
@@ -931,31 +935,142 @@ def pipeline_depth() -> int:
     )
 
 
+def fetch_window() -> int:
+    """REDIS_HNSW_TPU_FETCH_WINDOW: how many batches' replies share
+    ONE device->host transfer in a multi-batch serving loop. The
+    tunnel's D2H cost is per-TRANSFER, not per-byte (~28ms round trip
+    whether the reply is 80KB or 1.3MB -- CLAUDE.md), so a window of W
+    batches concatenates their packed replies device-side and fetches
+    the blob once, paying ~28ms/W per batch instead of ~28ms. Window 1
+    keeps one fetch per batch (the r4 pipelined baseline)."""
+    try:
+        return max(
+            1, int(os.environ.get("REDIS_HNSW_TPU_FETCH_WINDOW") or "1")
+        )
+    except ValueError:
+        return 1
+
+
+# Ambient FetchGroup stack: drain_pipelined pushes one group per fetch
+# window around its dispatch calls; fetch_handle() inside a dispatcher
+# registers with the innermost group. Single-batch calls (no drain
+# loop) see an empty stack and keep their own immediate fetch.
+_ACTIVE_GROUP: list = []
+
+
+class FetchGroup:
+    """Coalesces many device-array fetches into ONE D2H transfer.
+
+    Dispatchers register their (already dispatched) device reply
+    arrays with :func:`fetch_handle` at dispatch time; the first
+    handle call materializes the group -- every registered array is
+    bitcast to a flat uint8 view, concatenated device-side (a few MB
+    of copies, trivial next to the scan programs already queued) and
+    fetched in one transfer. Each handle then returns a WRITABLE host
+    copy of its slice (the certified path splices fallback rows in
+    place). One transfer per window is the whole point: on this
+    latency-bound link every separate fetch costs a full ~28ms round
+    trip regardless of bytes (CLAUDE.md, artifacts/cert_breakdown)."""
+
+    def __init__(self) -> None:
+        self._parts: list = []
+        self._host: list | None = None
+
+    def add(self, arr):
+        if self._host is not None:
+            raise RuntimeError("FetchGroup already materialized")
+        if np.dtype(arr.dtype) == np.bool_:
+            raise TypeError("FetchGroup: bitcast of bool replies")
+        i = len(self._parts)
+        self._parts.append(arr)
+
+        def get():
+            self.materialize()
+            return self._host[i]
+
+        return get
+
+    def materialize(self) -> None:
+        if self._host is not None:
+            return
+        if len(self._parts) == 1:
+            self._host = [np.array(self._parts[0])]
+            return
+        flats = []
+        for a in self._parts:
+            if np.dtype(a.dtype) != np.uint8:
+                # always to uint8 (same-width bitcast for int8 too):
+                # jnp.concatenate would silently PROMOTE a mixed
+                # int8/uint8 list and double every byte offset
+                a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+            flats.append(a.reshape(-1))
+        blob = np.asarray(jnp.concatenate(flats))
+        host, off = [], 0
+        for a in self._parts:
+            nb = a.size * np.dtype(a.dtype).itemsize
+            host.append(
+                np.array(blob[off : off + nb].view(a.dtype)).reshape(
+                    a.shape
+                )
+            )
+            off += nb
+        self._host = host
+
+
+def fetch_handle(arr):
+    """Register a dispatched device array for fetching. Inside a
+    drain loop's fetch window this joins the window's one coalesced
+    transfer (:class:`FetchGroup`); otherwise the returned zero-arg
+    getter pays its own (deferred) fetch, preserving the dispatch/
+    finish async split. Always returns a WRITABLE numpy array."""
+    if _ACTIVE_GROUP:
+        return _ACTIVE_GROUP[-1].add(arr)
+    return lambda: np.array(arr)
+
+
 def drain_pipelined(parts, dispatch, *, sink=None):
     """The pipelined serving loop shared by the single-chip, flat and
     sharded engines: call ``dispatch(*args)`` for each tuple in
     ``parts`` (each returns a zero-arg finish), keep up to
-    :func:`pipeline_depth` batches dispatched-but-unfetched, finish in
-    order, and flush ``sink`` (deferred certified fallback reruns)
-    BEFORE returning -- callers assemble replies only from the
-    returned, already-patched parts. Returns (id_parts, sim_parts)."""
+    :func:`pipeline_depth` fetch windows dispatched-but-unfetched,
+    finish in order, and flush ``sink`` (deferred certified fallback
+    reruns) BEFORE returning -- callers assemble replies only from
+    the returned, already-patched parts. Batches are grouped into
+    fetch windows of :func:`fetch_window` batches whose replies share
+    ONE coalesced D2H transfer (:class:`FetchGroup`); window 1
+    reproduces the one-fetch-per-batch loop exactly. Returns
+    (id_parts, sim_parts)."""
     from collections import deque
 
     depth = pipeline_depth()
-    pending: deque = deque()
+    window = fetch_window()
+    pending: deque = deque()  # (FetchGroup, [finish, ...]) per window
     id_parts, sim_parts = [], []
 
-    def drain_one():
-        i_p, s_p = pending.popleft()()
-        id_parts.append(i_p)
-        sim_parts.append(s_p)
+    def drain_window():
+        group, fins = pending.popleft()
+        group.materialize()  # the window's single fetch
+        for fin in fins:
+            i_p, s_p = fin()
+            id_parts.append(i_p)
+            sim_parts.append(s_p)
 
+    group, fins = FetchGroup(), []
     for args in parts:
-        pending.append(dispatch(*args))
-        while len(pending) > depth:
-            drain_one()
+        _ACTIVE_GROUP.append(group)
+        try:
+            fins.append(dispatch(*args))
+        finally:
+            _ACTIVE_GROUP.pop()
+        if len(fins) >= window:
+            pending.append((group, fins))
+            group, fins = FetchGroup(), []
+            while len(pending) > depth:
+                drain_window()
+    if fins:
+        pending.append((group, fins))
     while pending:
-        drain_one()
+        drain_window()
     if sink is not None:
         sink.flush()  # patches id_parts/sim_parts rows in place
     return id_parts, sim_parts
@@ -1008,9 +1123,10 @@ def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
                 table, sqn, live, qd, k=k_eff, metric="hamming",
                 pack=True, pack_bits=id_bits, approx=approx,
             )
+            get_word = fetch_handle(word[:n_q])
 
             def finish_word():
-                w = np.asarray(word[:n_q])
+                w = get_word()
                 ids = (w & ((1 << id_bits) - 1)).astype(np.int32)
                 sims = -(w >> id_bits).astype(np.float32)
                 ids[w < 0] = -1
@@ -1032,10 +1148,11 @@ def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
         block = scan_certified_l2(
             vecs, sqn, live, qd, k=k_eff, ids_only=ids_mode
         )
+        get_block = fetch_handle(block[:n_q])
 
         def finish_cert():
             out = certified_finish(
-                vecs, sqn, live, qd, block, k=k_eff, n_q=n_q,
+                vecs, sqn, live, qd, get_block, k=k_eff, n_q=n_q,
                 ids_only=ids_mode, rerun_sink=cert_sink,
             )
             if ids_mode:
@@ -1051,13 +1168,17 @@ def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
             table=None if table is vecs else table, tscale=tscale,
         )
 
+    get_packed = fetch_handle(
+        packed[:n_q, :k_eff] if ids_mode else packed[:n_q]
+    )
+
     def finish_packed():
         if ids_mode:
-            ids = np.asarray(packed[:n_q, :k_eff])
+            ids = get_packed()
             return sort_reply(
                 ids, host_exact_sims(index._vectors, host_qs, ids)
             )
-        p = np.asarray(packed[:n_q])
+        p = get_packed()
         ids = p[:, :k_eff]
         sims = np.ascontiguousarray(p[:, k_eff:]).view(np.float32)
         return ids, sims

@@ -583,12 +583,17 @@ def _dispatch_search(
         nbrvec=snap.nbrvec, nbrsqn=snap.nbrsqn,
         qrows=snap.qrows, pack=True, seed_ids=seed_ids,
     )
+    from .scan import fetch_handle
+
+    k_eff = packed.shape[1] // 2
+    get_packed = fetch_handle(
+        packed[:n_q, :k_eff] if ids_only else packed[:n_q]
+    )
 
     def finish():
-        k_eff = packed.shape[1] // 2
         if ids_only:
-            return np.asarray(packed[:n_q, :k_eff]), None
-        p = np.asarray(packed[:n_q])
+            return get_packed(), None
+        p = get_packed()
         sims = np.ascontiguousarray(p[:, k_eff:]).view(np.float32)
         return p[:, :k_eff], sims
 

@@ -887,11 +887,12 @@ class ShardedHNSW:
                 block = _sharded_scan_cert_jit(
                     vecs, sqn, live, pd, k=k_eff, mesh=self.mesh
                 )
+                get_block = SC.fetch_handle(block[:pn])
 
                 def fin_cert():
-                    # np.array copy: slices stay writable, the deferred
-                    # fallback splices rows in place at flush
-                    blk = np.array(block[:pn])
+                    # writable host copy (fetch_handle guarantees it):
+                    # the deferred fallback splices rows in at flush
+                    blk = get_block()
                     gids_c = blk[:, :k_eff]
                     sims_c = None if ids_mode else np.ascontiguousarray(
                         blk[:, k_eff:2 * k_eff]
@@ -924,12 +925,13 @@ class ShardedHNSW:
                     seeds=seeds_eff,
                 )
 
+            get_gids = SC.fetch_handle(gids_d[:pn])
+            # ids-reply mode skips the sims fetch entirely: the
+            # shared tail rescores host-side from the gids
+            get_sims = None if ids_mode else SC.fetch_handle(sims_d[:pn])
+
             def fin():
-                g = np.asarray(gids_d[:pn])
-                # ids-reply mode skips the sims fetch entirely: the
-                # shared tail rescores host-side from the gids
-                s = None if ids_mode else np.asarray(sims_d[:pn])
-                return g, s
+                return get_gids(), None if get_sims is None else get_sims()
 
             return fin
 

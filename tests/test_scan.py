@@ -949,3 +949,134 @@ def test_empty_query_batch_all_kinds(rng):
     nm, sims = idx.search_batch(empty, 5, reply="columnar")
     assert nm.shape == (0, 5) and sims.shape == (0, 5)
     assert oracle.search_batch(empty, 5) == []
+
+
+def test_fetch_group_roundtrip():
+    """FetchGroup: mixed dtype/shape device arrays come back from the
+    one coalesced transfer byte-identical and WRITABLE (the certified
+    path splices fallback rows into its block in place)."""
+    import jax.numpy as jnp
+
+    from redis_hnsw_tpu.ops.scan import FetchGroup
+
+    g = FetchGroup()
+    a = jnp.arange(24, dtype=jnp.int32).reshape(4, 6)
+    b = jnp.linspace(-3.0, 9.0, 10, dtype=jnp.float32).reshape(5, 2)
+    c = jnp.array([[1, -2], [3, 4]], dtype=jnp.int8)
+    ga, gb, gc = g.add(a), g.add(b), g.add(c)
+    ha, hb, hc = ga(), gb(), gc()
+    assert np.array_equal(ha, np.asarray(a))
+    assert np.array_equal(hb, np.asarray(b)) and hb.dtype == np.float32
+    assert np.array_equal(hc, np.asarray(c)) and hc.dtype == np.int8
+    ha[0, 0] = -7  # writable
+    hb[0, 0] = 1.5
+    # single-part group skips the concat but still copies writable
+    g1 = FetchGroup()
+    h = g1.add(b)()
+    h[0, 0] = 2.5
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        g1.add(a)  # already materialized
+
+
+def test_fetch_window_env(monkeypatch):
+    from redis_hnsw_tpu.ops.scan import fetch_window
+
+    monkeypatch.delenv("REDIS_HNSW_TPU_FETCH_WINDOW", raising=False)
+    assert fetch_window() == 1
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "8")
+    assert fetch_window() == 8
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "0")
+    assert fetch_window() == 1
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "")
+    assert fetch_window() == 1
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "junk")
+    assert fetch_window() == 1
+
+
+def test_fetch_window_matches_serial(rng, monkeypatch):
+    """A fetch window > 1 coalesces several chunks' replies into ONE
+    D2H transfer (ops/scan.py FetchGroup); replies must stay
+    byte-identical to the one-fetch-per-chunk loop on every engine,
+    odd tail chunk and odd tail window included."""
+    import redis_hnsw_tpu.ops.search as SE
+
+    idx, oracle, data, _ = _build(rng, n=500)
+    monkeypatch.setattr(SE, "MAX_LANES", 64)
+    queries = rng.standard_normal((210, 24)).astype(np.float32)
+    for engine in ("scan", "scan-approx", "graph"):
+        monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "3")
+        n_w, s_w = idx.search_batch(
+            queries, 10, engine=engine, reply="columnar"
+        )
+        monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "1")
+        n_1, s_1 = idx.search_batch(
+            queries, 10, engine=engine, reply="columnar"
+        )
+        assert (n_w == n_1).all(), engine
+        assert np.array_equal(s_w, s_1), engine
+    # the hamming packed-word reply rides the same group
+    hidx, horacle, hdata, _ = _build(rng, n=300, dim=256, metric="hamming")
+    hq = rng.integers(0, 2**32, (130, 8), dtype=np.uint32)
+    monkeypatch.setattr(SE, "MAX_LANES", 32)
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "4")
+    got = hidx.search_batch(hq, 6, engine="scan", reply="columnar")
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "1")
+    want = hidx.search_batch(hq, 6, engine="scan", reply="columnar")
+    assert (got[0] == want[0]).all()
+    assert np.array_equal(got[1], want[1])
+
+
+def test_fetch_window_certified_with_fallback(rng, monkeypatch):
+    """Certified scan under a fetch window: adversarial ties force
+    exact fallbacks whose reruns coalesce through the sink while the
+    window's block transfers stay coalesced too -- results must stay
+    byte-identical to the exact path."""
+    import redis_hnsw_tpu.ops.scan as S
+    import redis_hnsw_tpu.ops.search as SE
+
+    base = rng.standard_normal((40, 24)).astype(np.float32)
+    data = np.repeat(base, 8, axis=0)  # heavy tie classes
+    names = [f"n{i}" for i in range(len(data))]
+    idx = HNSWIndex(
+        "fw", IndexConfig(dim=24, m=8, ef_construction=48, seed=5)
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = np.repeat(base[:10], 13, axis=0)  # 130 tie-heavy queries
+    want = idx.search_batch(queries, 12, engine="scan", reply="columnar")
+    monkeypatch.setattr(SE, "MAX_LANES", 32)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "3")
+    before = dict(S.CERT_STATS)
+    got = idx.search_batch(queries, 12, engine="scan", reply="columnar")
+    assert S.CERT_STATS["batches"] == before["batches"] + 5
+    assert S.CERT_STATS["queries"] == before["queries"] + 130
+    assert (got[0] == want[0]).all()
+    assert np.array_equal(got[1], want[1])
+
+
+def test_fetch_window_flat_tiers(rng, monkeypatch):
+    """FlatIndex under a fetch window: f32 exact, certified and the
+    int8-resident tier (whose finish rescores host-side from the
+    grouped id block) all match the window-1 replies."""
+    import redis_hnsw_tpu.ops.search as SE
+
+    def pairs(res):
+        return [[(r.sim, r.name) for r in row] for row in res]
+
+    data = rng.standard_normal((500, 24)).astype(np.float32)
+    idx = FlatIndex("fwf", IndexConfig(dim=24))
+    idx.add_batch([f"n{i}" for i in range(500)], data)
+    queries = rng.standard_normal((210, 24)).astype(np.float32)
+    want = pairs(idx.search_batch(queries, 7))
+    monkeypatch.setattr(SE, "MAX_LANES", 64)
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "3")
+    assert pairs(idx.search_batch(queries, 7)) == want
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    assert pairs(idx.search_batch(queries, 7)) == want
+    monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "int8")
+    i8_windowed = pairs(idx.search_batch(queries, 7))
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "1")
+    assert pairs(idx.search_batch(queries, 7)) == i8_windowed
