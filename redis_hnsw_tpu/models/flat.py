@@ -104,7 +104,7 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
                 index._tier_cache = cached
             table = cached[1]
         if table is None and not approx and SC.cert_enabled(
-            int(vecs.shape[0])
+            int(vecs.shape[0]), int(vecs.shape[1])
         ):
             # certified-exact select (ops/scan.py): byte-identical to
             # the exact top_k path, several-fold cheaper at capacity

@@ -329,19 +329,41 @@ def scan_topk_exact_l2(
 
 CERT_MIN_ROWS = 1 << 19
 
+# The certificate trades the exact path's D-INDEPENDENT lax.top_k for a
+# D-SCALED second matmul (the count pass re-scores every chunk), so its
+# win shrinks linearly in D. Measured on the v5e at 1M rows (B=2048):
+# 128d saves ~32ms/batch (20.0k vs 15.3k qps, scan_tiers.json) while
+# 960d LOSES ~94ms (6.7k vs 9.7k, artifacts/flat_highd.json) -- the
+# 2-point linear model crosses zero near D~340. Auto therefore also
+# gates on the PADDED table dim (the matmul pays the padded width).
+CERT_MAX_DIM = 340
+
 # Observability for tests and benchmarks: batches served by the
 # certified path, and how many queries needed the exact fallback.
 CERT_STATS = {"batches": 0, "queries": 0, "fallback_queries": 0}
 
 
-def cert_enabled(n_rows: int) -> bool:
+def cert_enabled(n_rows: int, dim: int = 0) -> bool:
+    """Should the certified-exact selector serve this scan? 0/1 force;
+    auto engages where it measures a win: at >= CERT_MIN_ROWS rows
+    (below, plain top_k is already cheap) AND <= CERT_MAX_DIM padded
+    columns (above, the count pass's extra matmul outweighs the top_k
+    it replaces -- see the model above). ``dim`` <= 0 skips the dim
+    gate (callers that predate it)."""
     v = os.environ.get("REDIS_HNSW_TPU_SCAN_CERT", "auto")
     if v == "0":
         return False
     if v == "1":
         return True
     if v == "auto":
-        return n_rows >= CERT_MIN_ROWS
+        try:
+            max_dim = int(
+                os.environ.get("REDIS_HNSW_TPU_SCAN_CERT_MAX_DIM")
+                or CERT_MAX_DIM
+            )
+        except ValueError:
+            max_dim = CERT_MAX_DIM
+        return n_rows >= CERT_MIN_ROWS and (dim <= 0 or dim <= max_dim)
     raise ValueError(f"REDIS_HNSW_TPU_SCAN_CERT={v!r}")
 
 
@@ -1140,7 +1162,7 @@ def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
         )
     elif (
         not approx and tscale is None and table is vecs
-        and cert_enabled(int(vecs.shape[0]))
+        and cert_enabled(int(vecs.shape[0]), int(vecs.shape[1]))
     ):
         # certified-exact: approx select + counting certificate + exact
         # fallback for uncertified queries -- byte-identical results,

@@ -841,7 +841,7 @@ class ShardedHNSW:
                 engine != "scan-approx"
                 and self.config.metric == "euclidean"
                 and tscale is None and table is vecs
-                and SC.cert_enabled(n_pad)
+                and SC.cert_enabled(n_pad, int(vecs.shape[-1]))
             )
             if use_cert:
                 rerun_sink = _ShardedCertRerunSink(

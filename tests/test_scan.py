@@ -729,16 +729,29 @@ def test_scan_certified_audit(rng, monkeypatch):
 
 
 def test_cert_enabled_auto_threshold(monkeypatch):
-    """cert_enabled: auto engages exactly at CERT_MIN_ROWS; 0/1 force."""
+    """cert_enabled: auto engages exactly at CERT_MIN_ROWS and only up
+    to CERT_MAX_DIM (the count pass's extra matmul is D-scaled while
+    the top_k it saves is not -- measured a LOSS at 960d even at 1M,
+    artifacts/flat_highd.json); 0/1 force regardless."""
     import redis_hnsw_tpu.ops.scan as S
 
     monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT", raising=False)
+    monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT_MAX_DIM", raising=False)
     assert not S.cert_enabled(S.CERT_MIN_ROWS - 1)
     assert S.cert_enabled(S.CERT_MIN_ROWS)
+    # dim gate: 128d engages, 960d does not, dim<=0 skips the gate
+    assert S.cert_enabled(S.CERT_MIN_ROWS, 128)
+    assert S.cert_enabled(S.CERT_MIN_ROWS, S.CERT_MAX_DIM)
+    assert not S.cert_enabled(S.CERT_MIN_ROWS, 960)
+    assert S.cert_enabled(S.CERT_MIN_ROWS, 0)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT_MAX_DIM", "1024")
+    assert S.cert_enabled(S.CERT_MIN_ROWS, 960)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT_MAX_DIM", "junk")
+    assert not S.cert_enabled(S.CERT_MIN_ROWS, 960)
     monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "0")
     assert not S.cert_enabled(1 << 30)
     monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
-    assert S.cert_enabled(8)
+    assert S.cert_enabled(8, 4096)
 
 
 def test_ids_reply_guard(rng, monkeypatch, caplog):
