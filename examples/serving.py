@@ -83,6 +83,20 @@ def main() -> None:
     assert big_names.shape == (6144, k)
     print("pipelined serving: 6144 queries in one call")
 
+    # -- fetch windows: on links where EVERY device->host transfer
+    # pays a fixed round trip, REDIS_HNSW_TPU_FETCH_WINDOW=W makes W
+    # chunks' replies share ONE coalesced transfer (byte-identical
+    # results; artifacts/fetch_window_ab.json for the measured curve).
+    os.environ["REDIS_HNSW_TPU_FETCH_WINDOW"] = "3"
+    try:
+        w_names, w_sims = c.search_batch(
+            "docs", big, k=k, reply="columnar"
+        )
+    finally:
+        os.environ.pop("REDIS_HNSW_TPU_FETCH_WINDOW", None)
+    assert (w_names == big_names).all() and (w_sims == big_sims).all()
+    print("fetch window: coalesced replies identical")
+
     # -- ids-only replies: transfer the id block alone, rescore sims
     # host-side in exact direct form. For bandwidth-starved reply
     # links only: on this box's latency-bound tunnel it measured a
