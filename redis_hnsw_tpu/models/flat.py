@@ -437,8 +437,22 @@ class FlatIndex:
                 )
                 for lo in range(0, n_q, chunk)
             )
+            # Engine-aware fetch-window default (see ops/search.py):
+            # the coalesced D2H pays on the cheap-select engines
+            # (approx / certified), not the compute-bound exact top_k.
+            will_cert = (
+                tscale is None and not approx
+                and self.config.metric == "euclidean"
+                and SC.scan_dtype() == "f32"
+                and SC.cert_enabled(
+                    int(vecs.shape[0]), int(vecs.shape[1])
+                )
+            )
             id_parts, sim_parts = SC.drain_pipelined(
-                parts, dispatch, sink=sink
+                parts, dispatch, sink=sink,
+                default_window=(
+                    SC.FETCH_WINDOW_FAST if (approx or will_cert) else 1
+                ),
             )
             if len(id_parts) == 1:
                 ids, sims = id_parts[0], sim_parts[0]

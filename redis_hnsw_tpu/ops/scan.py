@@ -957,20 +957,32 @@ def pipeline_depth() -> int:
     )
 
 
-def fetch_window() -> int:
+# Measured default for the cheap-select engines (certified + approx):
+# at 1M x 128d x 8 batches the window is worth 1.24x on certified
+# (40.8k -> 50.7k qps) and 1.38x on approx (51.9k -> 71.4k), while the
+# compute-bound plain-exact scan shows no win (1.0x within noise) --
+# artifacts/fetch_window_ab.json. Callers pass 8 where it measured a
+# win and 1 elsewhere; the env var always overrides.
+FETCH_WINDOW_FAST = 8
+
+
+def fetch_window(default: int = 1) -> int:
     """REDIS_HNSW_TPU_FETCH_WINDOW: how many batches' replies share
     ONE device->host transfer in a multi-batch serving loop. The
     tunnel's D2H cost is per-TRANSFER, not per-byte (~28ms round trip
     whether the reply is 80KB or 1.3MB -- CLAUDE.md), so a window of W
     batches concatenates their packed replies device-side and fetches
     the blob once, paying ~28ms/W per batch instead of ~28ms. Window 1
-    keeps one fetch per batch (the r4 pipelined baseline)."""
+    keeps one fetch per batch (the r4 pipelined baseline). When the
+    env var is unset the caller's ``default`` applies (engine-aware:
+    FETCH_WINDOW_FAST for the measured-win engines)."""
+    v = os.environ.get("REDIS_HNSW_TPU_FETCH_WINDOW")
+    if not v:
+        return max(1, int(default))
     try:
-        return max(
-            1, int(os.environ.get("REDIS_HNSW_TPU_FETCH_WINDOW") or "1")
-        )
+        return max(1, int(v))
     except ValueError:
-        return 1
+        return max(1, int(default))
 
 
 # Ambient FetchGroup stack: drain_pipelined pushes one group per fetch
@@ -1050,7 +1062,7 @@ def fetch_handle(arr):
     return lambda: np.array(arr)
 
 
-def drain_pipelined(parts, dispatch, *, sink=None):
+def drain_pipelined(parts, dispatch, *, sink=None, default_window=1):
     """The pipelined serving loop shared by the single-chip, flat and
     sharded engines: call ``dispatch(*args)`` for each tuple in
     ``parts`` (each returns a zero-arg finish), keep up to
@@ -1065,7 +1077,7 @@ def drain_pipelined(parts, dispatch, *, sink=None):
     from collections import deque
 
     depth = pipeline_depth()
-    window = fetch_window()
+    window = fetch_window(default_window)
     pending: deque = deque()  # (FetchGroup, [finish, ...]) per window
     id_parts, sim_parts = [], []
 

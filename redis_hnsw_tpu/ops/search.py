@@ -790,9 +790,31 @@ def search_batch(
         # nearly every 2048-query chunk has a fallback, and an
         # immediate per-chunk rerun would re-serialize a round trip
         # into every finish().
-        from .scan import CertRerunSink, drain_pipelined
+        from .scan import (
+            FETCH_WINDOW_FAST,
+            CertRerunSink,
+            cert_enabled,
+            drain_pipelined,
+            scan_dtype,
+        )
 
         sink = CertRerunSink() if use_scan else None
+        # Engine-aware fetch-window default: the coalesced multi-batch
+        # D2H (FetchGroup) measured a win only where per-batch device
+        # compute is small next to the ~28ms transfer round trip --
+        # the approx and certified selectors (1.24-1.38x at 1M,
+        # artifacts/fetch_window_ab.json); the compute-bound exact
+        # top_k and the graph beam showed none. Env always overrides.
+        default_window = 1
+        if use_scan and (
+            approx
+            or (
+                cfg.metric == "euclidean"
+                and scan_dtype() == "f32"
+                and cert_enabled(snap.n_pad, int(snap.vecs.shape[1]))
+            )
+        ):
+            default_window = FETCH_WINDOW_FAST
         if not isinstance(qs, jax.Array):
             # one H2D for the whole block (H2D pays ~0.5-1s of
             # per-transfer latency on this tunnel); chunks below are
@@ -807,7 +829,9 @@ def search_batch(
             )
             for lo in range(0, n_q, chunk)
         )
-        id_parts, sim_parts = drain_pipelined(parts, dispatch, sink=sink)
+        id_parts, sim_parts = drain_pipelined(
+            parts, dispatch, sink=sink, default_window=default_window
+        )
         ids = np.concatenate(id_parts)
         sims = np.concatenate(sim_parts)
     else:

@@ -998,14 +998,21 @@ def test_fetch_window_env(monkeypatch):
 
     monkeypatch.delenv("REDIS_HNSW_TPU_FETCH_WINDOW", raising=False)
     assert fetch_window() == 1
+    # caller's engine-aware default applies when the env is unset
+    assert fetch_window(8) == 8
     monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "8")
     assert fetch_window() == 8
     monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "0")
     assert fetch_window() == 1
+    # the env overrides the default in BOTH directions
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "1")
+    assert fetch_window(8) == 1
     monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "")
     assert fetch_window() == 1
+    assert fetch_window(4) == 4
     monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "junk")
     assert fetch_window() == 1
+    assert fetch_window(4) == 4
 
 
 def test_fetch_window_matches_serial(rng, monkeypatch):
@@ -1065,6 +1072,12 @@ def test_fetch_window_certified_with_fallback(rng, monkeypatch):
     got = idx.search_batch(queries, 12, engine="scan", reply="columnar")
     assert S.CERT_STATS["batches"] == before["batches"] + 5
     assert S.CERT_STATS["queries"] == before["queries"] + 130
+    assert (got[0] == want[0]).all()
+    assert np.array_equal(got[1], want[1])
+    # env unset: the engine-aware default (FETCH_WINDOW_FAST, one
+    # window over all 5 chunks here) engages for the certified path
+    monkeypatch.delenv("REDIS_HNSW_TPU_FETCH_WINDOW")
+    got = idx.search_batch(queries, 12, engine="scan", reply="columnar")
     assert (got[0] == want[0]).all()
     assert np.array_equal(got[1], want[1])
 
