@@ -12,6 +12,15 @@ baseline) and windows 2/4/8, per engine, at the default pipeline
 depth. Replies are asserted byte-identical across windows.
 
     python benchmarks/fetch_window_ab.py /path/ckpt.npz [NBATCH] [DIM]
+    python benchmarks/fetch_window_ab.py synth:N [NBATCH] [DIM]
+
+The ``synth:N`` form builds a fresh N-row clustered index in-process
+(cheap at bench scale) instead of restoring a checkpoint — the
+small-N regime is where even the EXACT scan's per-batch device time
+is tiny next to the ~28ms round trip, so the window should pay on
+every engine there (at 1M it pays only on the cheap-select engines).
+The graph engine is measured too in synth mode (it is compute-bound
+at capacity scale but cheap at 10k).
 
 Emits one JSON line and appends it to artifacts/fetch_window_ab.json.
 """
@@ -49,6 +58,24 @@ def measure(idx, qd, engine: str, window: int) -> dict:
     }, (nm, sims)
 
 
+def build_synth(n: int, dim: int):
+    from redis_hnsw_tpu import HNSWIndex, IndexConfig
+
+    from benchmarks.million import dataset
+
+    data = dataset(n)
+    idx = HNSWIndex(
+        "fw_synth",
+        IndexConfig(dim=dim, m=16, ef_construction=200, seed=7,
+                    capacity=n, fixed_capacity=True),
+    )
+    t0 = time.perf_counter()
+    idx.add_batch([f"n{i}" for i in range(n)], data, batch_size=2048)
+    print(f"built {n} rows in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    return idx
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -58,13 +85,17 @@ def main() -> None:
     ckpt = sys.argv[1]
     nbatch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     set_dim(int(sys.argv[3]) if len(sys.argv) > 3 else 128)
-    t0 = time.perf_counter()
-    idx = load_index(ckpt)
-    print(f"restored {idx.node_count} rows in "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
-    idx._capacity_hint = max(
-        int(getattr(idx, "_capacity_hint", 0)), idx.node_count
-    )
+    if ckpt.startswith("synth:"):
+        idx = build_synth(int(ckpt.split(":", 1)[1]),
+                          int(sys.argv[3]) if len(sys.argv) > 3 else 128)
+    else:
+        t0 = time.perf_counter()
+        idx = load_index(ckpt)
+        print(f"restored {idx.node_count} rows in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        idx._capacity_hint = max(
+            int(getattr(idx, "_capacity_hint", 0)), idx.node_count
+        )
 
     queries = query_set(2048 * nbatch, "clustered")
     qd = jnp.asarray(queries)
@@ -78,11 +109,14 @@ def main() -> None:
         ),
         "platform": jax.devices()[0].platform,
     }
-    for label, engine, cert in (
+    arms = [
         ("exact", "scan", "0"),
         ("certified", "scan", "1"),
         ("approx", "scan-approx", "0"),
-    ):
+    ]
+    if ckpt.startswith("synth:"):
+        arms.append(("graph", "graph", "0"))
+    for label, engine, cert in arms:
         os.environ["REDIS_HNSW_TPU_SCAN_CERT"] = cert
         row, ref = {}, None
         try:
