@@ -331,12 +331,15 @@ CERT_MIN_ROWS = 1 << 19
 
 # The certificate trades the exact path's D-INDEPENDENT lax.top_k for a
 # D-SCALED second matmul (the count pass re-scores every chunk), so its
-# win shrinks linearly in D. Measured on the v5e at 1M rows (B=2048):
-# 128d saves ~32ms/batch (20.0k vs 15.3k qps, scan_tiers.json) while
-# 960d LOSES ~94ms (6.7k vs 9.7k, artifacts/flat_highd.json) -- the
-# 2-point linear model crosses zero near D~340. Auto therefore also
-# gates on the PADDED table dim (the matmul pays the padded width).
-CERT_MAX_DIM = 340
+# win shrinks with D -- but NOT linearly (TPU tiling regimes shift).
+# Measured bracket on the v5e at 1M rows, B=2048, cert-vs-exact qps
+# (artifacts/flat_highd.json + scan_tiers.json): 128d 1.31x, 384d
+# 1.17x, 512d 1.04x, 768d 1.01x (serving 1.08x), 960d 0.69x LOSS.
+# Auto therefore also gates on the PADDED table dim (the matmul pays
+# the padded width): engage through the measured break-even at 768,
+# stay off at 960 where the count pass clearly re-pays more than the
+# top_k it saves.
+CERT_MAX_DIM = 768
 
 # Observability for tests and benchmarks: batches served by the
 # certified path, and how many queries needed the exact fallback.
