@@ -91,8 +91,29 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
         if cached is None or cached[0] != index._epoch:
             cached = (index._epoch, SC._build_pm1(vecs))
             index._pm1_cache = cached
+        pm1 = cached[1]
+        d_bits = int(pm1.shape[1])
+        id_bits = max(int(pm1.shape[0] - 1).bit_length(), 1)
+        if (
+            not approx and d_bits.bit_length() + id_bits <= 31
+            and SC.cert_enabled(int(pm1.shape[0]), d_bits // 2)
+        ):
+            # certified-exact hamming (deep certificate, ops/scan.py):
+            # byte-identical to the exact scan, approx-select cost
+            block = SC.scan_certified_hamming(
+                pm1, sqn, valid, pd, k=k, id_bits=id_bits
+            )
+            get_block = SC.fetch_handle(block[:n_q])
+
+            def finish_hamming_cert():
+                return SC.certified_finish_hamming(
+                    pm1, sqn, valid, pd, get_block, k=k, n_q=n_q,
+                    id_bits=id_bits, rerun_sink=cert_sink,
+                )
+
+            return finish_hamming_cert
         packed = SC.scan_topk(
-            cached[1], sqn, valid, pd, k=k, metric="hamming",
+            pm1, sqn, valid, pd, k=k, metric="hamming",
             pack=True, approx=approx,
         )
     else:
@@ -360,7 +381,7 @@ class FlatIndex:
     def search_batch(
         self, queries, k: int, use_pallas: bool = False,
         approx: bool = False, recall_target: float | None = None,
-        host_qs=None,
+        host_qs=None, reply: str = "objects",
     ) -> list[list[SearchResult]]:
         # host_qs optionally mirrors device-resident ``queries`` on the
         # host: the int8-resident tier rescores host-side and otherwise
@@ -368,6 +389,12 @@ class FlatIndex:
         # recall_target follows the shared guarantee rule: targets at
         # or below the approx tier's measured floor ride the tier,
         # anything above it stays exact (ops/search.py resolve_engine).
+        # reply="columnar" returns the (names, sims) array pair like
+        # the HNSW path (ops/search.py search_batch): serving loops
+        # skip the ~30ms/batch of SearchResult construction a 1-core
+        # host pays at B=2048.
+        if reply not in ("objects", "columnar"):
+            raise ValueError(f"unknown reply mode {reply!r}")
         if recall_target is not None:
             from ..ops.search import resolve_engine
 
@@ -390,6 +417,13 @@ class FlatIndex:
             )
             raise DimensionMismatch(got)
         if self.node_count == 0:
+            if reply == "columnar":
+                return (
+                    np.full((qs.shape[0], int(k)), None, object),
+                    np.full(
+                        (qs.shape[0], int(k)), float("-inf"), np.float32
+                    ),
+                )
             return [[] for _ in range(qs.shape[0])]
         vecs, sqn, valid, tscale = self._device()
         k_eff = min(int(k), int(vecs.shape[0]))
@@ -440,12 +474,20 @@ class FlatIndex:
             # Engine-aware fetch-window default (see ops/search.py):
             # the coalesced D2H pays on the cheap-select engines
             # (approx / certified), not the compute-bound exact top_k.
-            will_cert = (
-                tscale is None and not approx
-                and self.config.metric == "euclidean"
-                and SC.scan_dtype() == "f32"
-                and SC.cert_enabled(
-                    int(vecs.shape[0]), int(vecs.shape[1])
+            will_cert = tscale is None and not approx and (
+                (
+                    self.config.metric == "euclidean"
+                    and SC.scan_dtype() == "f32"
+                    and SC.cert_enabled(
+                        int(vecs.shape[0]), int(vecs.shape[1])
+                    )
+                )
+                or (
+                    self.config.metric == "hamming"
+                    # pm1 width = 32 x packed words; /2 = int8 dim gate
+                    and SC.cert_enabled(
+                        int(vecs.shape[0]), 16 * int(vecs.shape[1])
+                    )
                 )
             )
             id_parts, sim_parts = SC.drain_pipelined(
@@ -468,6 +510,12 @@ class FlatIndex:
         ids_safe = np.where(np.isneginf(sims), 0, np.maximum(ids, 0))
         names = self._names.names_array()[ids_safe]
         neg_inf = float("-inf")
+        if reply == "columnar":
+            invalid = (ids < 0) | np.isneginf(sims)
+            if invalid.any():
+                names[invalid] = None  # fancy-index output is a copy
+                sims = np.where(invalid, neg_inf, sims)
+            return names, np.asarray(sims, np.float32)
         out = []
         for bsim, bnames in zip(sims.tolist(), names.tolist()):
             out.append(

@@ -162,12 +162,13 @@ def _select_merge(top_sims, top_ids, scores, lv, lo, *, k_sel, approx):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "metric", "pack", "pack_bits", "approx"),
+    static_argnames=("k", "metric", "pack", "pack_bits", "approx",
+                     "full_sel"),
 )
 def scan_topk(
     table, sqn, live, queries, *, k: int, metric: str,
     pack: bool = False, pack_bits: int | None = None,
-    approx: bool = False, tscale=None,
+    approx: bool = False, tscale=None, full_sel: bool = False,
 ):
     """Exact top-k of every query against every live row.
 
@@ -186,6 +187,13 @@ def scan_topk(
     a 32M-row capacity table is 64 chunks, which would otherwise
     unroll into 64 matmul+top_k segments and multi-minute compiles);
     the remainder chunk is a single unrolled step of the same helpers.
+
+    ``full_sel`` returns the ENTIRE merged selection ([B, k_sel] --
+    4k-wide under ``approx``) sorted by (-sim, id) instead of trimming
+    to k: the deep-certificate paths verify tie classes against the
+    whole selection so a tie class straddling the k boundary (the
+    common case for hamming's integer distances) still certifies when
+    it fits inside the oversampled selection.
     """
     B = queries.shape[0]
     N = table.shape[0]
@@ -254,6 +262,8 @@ def scan_topk(
             top_sims, top_ids, scores, live[lo:hi], lo,
             k_sel=k_sel, approx=approx,
         )
+    if full_sel:
+        return D.resort_desc(top_ids, top_sims)
     ids, sims = top_ids[:, :k], top_sims[:, :k]
     ids, sims = D.resort_desc(ids, sims)
     if pack and pack_bits is not None:
@@ -322,10 +332,22 @@ def scan_topk_exact_l2(
 # scores are bit-identical on TPU (fixed tiling => fixed accumulation
 # order). REDIS_HNSW_TPU_SCAN_CERT=0 kills the path; =1 forces it at any
 # size (default: engage at >= CERT_MIN_ROWS, where top_k starts to
-# dominate). f32 euclidean only: the bf16/int8 tiers are approximate by
-# declaration, and hamming's integer sims tie so heavily that the tie
-# equality would fall back constantly (its exact int8-matmul scan is
-# already cheap).
+# dominate). The bf16/int8 tiers stay uncertified: approximate by
+# declaration.
+#
+# HAMMING certifies too, via a DEEP certificate (scan_certified_hamming
+# below): integer distances tie so heavily that a k-th-slot tie class
+# almost always straddles the k boundary, so certifying at the reply's
+# k-th score would fall back on nearly every query -- instead the tie
+# counts are checked against the ENTIRE 4k-oversampled selection
+# (full_sel=True), which certifies whenever the straddling class fits
+# inside the selection (on random bits the whole >=t population is a
+# few dozen rows -- the k-th score sits in the binomial tail, where
+# per-distance counts shrink ~1.7x per step -- vs the 4k-deep
+# selection).
+# Integer scores make the counting pass exactly representable in f32
+# (|score| <= d_bits), so the hamming certificate has no cross-program
+# ulp surface at all.
 
 CERT_MIN_ROWS = 1 << 19
 
@@ -705,17 +727,23 @@ class CertRerunSink:
 
     def __init__(self) -> None:
         self._tables = None
+        self._rerun = None
         self._items: list = []
 
-    def add(self, tables, qd, bad, ids, sims, k: int) -> None:
+    def add(self, tables, qd, bad, ids, sims, k: int,
+            rerun=None) -> None:
+        """``rerun(q_bad, k) -> (ids, sims)`` numpy arrays overrides
+        the default exact-L2 rerun (the hamming certified path passes
+        its exact word-reply scan); one sink serves one engine, so the
+        first registration pins it."""
         if self._tables is None:
             self._tables = tables
+            self._rerun = rerun
         self._items.append((qd, np.asarray(bad), ids, sims, int(k)))
 
     def flush(self) -> None:
         if not self._items:
             return
-        vecs, sqn, live = self._tables
         k = self._items[0][4]
         parts, spans, off = [], [], 0
         for qd, bad, _ids, _sims, _k in self._items:
@@ -732,17 +760,201 @@ class CertRerunSink:
                 q_bad,
                 jnp.zeros((t_pad - off, q_bad.shape[1]), q_bad.dtype),
             ])
-        pb = np.asarray(
-            scan_topk_exact_l2(vecs, sqn, live, q_bad, k=k, pack=True)
-        )
+        if self._rerun is not None:
+            ids_all, sims_all = self._rerun(q_bad, k)
+        else:
+            vecs, sqn, live = self._tables
+            pb = np.asarray(
+                scan_topk_exact_l2(vecs, sqn, live, q_bad, k=k, pack=True)
+            )
+            ids_all = pb[:, :k]
+            sims_all = np.ascontiguousarray(pb[:, k:]).view(np.float32)
         for (qd, bad, ids, sims, kk), (lo, nb) in zip(self._items, spans):
-            rows = pb[lo : lo + nb]
-            ids[bad] = rows[:, :kk]
-            sims[bad] = np.ascontiguousarray(
-                rows[:, kk:]
-            ).view(np.float32)
+            ids[bad] = ids_all[lo : lo + nb, :kk]
+            sims[bad] = sims_all[lo : lo + nb, :kk]
         self._items.clear()
         self._tables = None
+        self._rerun = None
+
+
+# -- certified-exact hamming (deep certificate) --------------------------------
+#
+# Same counting proof as the euclidean certificate, with two
+# hamming-specific twists (see the certificate block comment above):
+# the tie counts are verified against the ENTIRE 4k-oversampled
+# selection (integer distances tie so heavily that the reply's k-th
+# tie class almost always straddles the k boundary -- the deep check
+# certifies whenever the class fits in the selection), and the scores
+# are small integers exactly representable in f32, so the select and
+# count passes agree bit-for-bit by arithmetic, not by tiling luck.
+
+
+def _count_vs_threshold_hamming(table, live, q, t):
+    """Per-query counts of live rows scoring (>, ==) threshold ``t``
+    over the +-1 int8 table -- the hamming certificate's second pass.
+    ``q`` is the +-1 expansion of the query block. Mirrors scan_topk's
+    chunk structure and shares _chunk_scores so the integer score
+    formulation is identical to the selection pass's."""
+    B, N = q.shape[0], table.shape[0]
+    n_chunk = min(CHUNK_N, N)
+    kw = dict(
+        metric="hamming", d_bits=table.shape[1], qq=None, qscale=None
+    )
+
+    def acc(c_gt, c_eq, rows, lv):
+        scores = _chunk_scores(q, rows, None, None, **kw)
+        scores = jnp.where(lv[None, :], scores, NEG_INF)
+        c_gt = c_gt + jnp.sum(
+            scores > t[:, None], axis=1, dtype=jnp.int32
+        )
+        c_eq = c_eq + jnp.sum(
+            scores == t[:, None], axis=1, dtype=jnp.int32
+        )
+        return c_gt, c_eq
+
+    c_gt = jnp.zeros((B,), jnp.int32)
+    c_eq = jnp.zeros((B,), jnp.int32)
+    n_full, rem = divmod(N, n_chunk)
+    if n_full >= SCAN_LOOP_MIN_CHUNKS:
+        nc = n_full * n_chunk
+        xs = (
+            table[:nc].reshape(n_full, n_chunk, table.shape[1]),
+            live[:nc].reshape(n_full, n_chunk),
+        )
+
+        def body(carry, x):
+            return acc(carry[0], carry[1], *x), None
+
+        (c_gt, c_eq), _ = jax.lax.scan(body, (c_gt, c_eq), xs)
+        tail = [(nc, N)] if rem else []
+    else:
+        tail = [
+            (lo, min(lo + n_chunk, N)) for lo in range(0, N, n_chunk)
+        ]
+    for lo, hi in tail:
+        c_gt, c_eq = acc(c_gt, c_eq, table[lo:hi], live[lo:hi])
+    return c_gt, c_eq
+
+
+@partial(jax.jit, static_argnames=("k", "id_bits"))
+def _cert_verify_hamming(table, live, queries, sel_ids, sel_sims,
+                         *, k: int, id_bits: int):
+    """Deep certificate + word-packed reply over a full hamming
+    selection ([B, k_sel], already (-sim, id)-sorted by scan_topk's
+    full_sel path). ``t`` is the k-th best score; the counts over the
+    WHOLE selection prove it holds every row scoring > t and the whole
+    tie class at t, so its first k entries are byte-identical to the
+    exact scan's (-sim, id)-ordered reply. The verdict rides the reply
+    as a trailing int32 column: one D2H per certified batch (the link
+    is latency-bound, see _cert_verify_l2)."""
+    t = sel_sims[:, k - 1]
+    s_gt = jnp.sum(sel_sims > t[:, None], axis=1, dtype=jnp.int32)
+    s_eq = jnp.sum(sel_sims == t[:, None], axis=1, dtype=jnp.int32)
+    q = pm1_table(queries)
+    c_gt, c_eq = _count_vs_threshold_hamming(table, live, q, t)
+    # identical escape logic to the euclidean certificate: c_gt == s_gt
+    # is required unconditionally (at t == -inf it asserts every live
+    # row was selected -- a short approx selection must not certify);
+    # only the tie-class equality is escaped at t == -inf, where c_eq
+    # would count dead rows.
+    ok = (c_gt == s_gt) & ((t == NEG_INF) | (c_eq == s_eq))
+    ids, sims = sel_ids[:, :k], sel_sims[:, :k]
+    dist = (-sims).astype(jnp.int32)
+    word = jnp.where(ids < 0, -1, (dist << id_bits) | ids)
+    return jnp.concatenate(
+        [word, ok.astype(jnp.int32)[:, None]], axis=1
+    )
+
+
+def scan_certified_hamming(table, sqn, live, queries, *, k: int,
+                           id_bits: int):
+    """Approx-selected, deep-certificate-checked hamming top-k.
+
+    Returns a [B, k+1] int32 block: the one-word-per-result packed
+    reply ``(dist << id_bits) | id`` in exact (-sim, id) order, with
+    the certificate verdict appended (1 = provably the exact top-k
+    including tie membership; 0 = the caller reruns that query through
+    the exact path). Two device programs (select, then count+pack),
+    composed host-side like the unfused euclidean path -- each pass's
+    [B, CHUNK_N] score tiles peak separately. ``scan_topk`` is looked
+    up at call time so tests can monkeypatch the selection."""
+    sel_ids, sel_sims = scan_topk(
+        table, sqn, live, queries, k=k, metric="hamming", approx=True,
+        full_sel=True,
+    )
+    return _cert_verify_hamming(
+        table, live, queries, sel_ids, sel_sims, k=k, id_bits=id_bits
+    )
+
+
+scan_certified_hamming.clear_cache = _cert_verify_hamming.clear_cache
+
+
+def _decode_hamming_words(w, id_bits: int):
+    """[.., k] packed words -> (ids, sims) with -1/-inf empty slots."""
+    ids = (w & ((1 << id_bits) - 1)).astype(np.int32)
+    sims = -(w >> id_bits).astype(np.float32)
+    ids[w < 0] = -1
+    sims[w < 0] = NEG_INF
+    return ids, sims
+
+
+def certified_finish_hamming(table, sqn, live, qd, block, *, k: int,
+                             n_q: int, id_bits: int, rerun_sink=None):
+    """Host half of the certified hamming path: fetch the packed
+    word+verdict block of an already-dispatched
+    :func:`scan_certified_hamming` program, decode, and re-serve any
+    uncertified queries through the exact word scan (deferred to
+    ``rerun_sink`` when given, like :func:`certified_finish`). Every
+    CERT_AUDIT_EVERY-th batch byte-compares against the exact path --
+    the integer scores leave no ulp surface, so this audits program
+    plumbing (packing, splicing), not arithmetic."""
+    block = block() if callable(block) else np.array(block[:n_q])
+    words, okh = block[:, :-1], block[:, -1] != 0
+    CERT_STATS["batches"] += 1
+    CERT_STATS["queries"] += n_q
+    audit = (
+        CERT_AUDIT_EVERY > 0
+        and CERT_STATS["batches"] % CERT_AUDIT_EVERY == 0
+    )
+
+    def exact_words(q):
+        return np.asarray(scan_topk(
+            table, sqn, live, q, k=k, metric="hamming", pack=True,
+            pack_bits=id_bits,
+        ))
+
+    ids, sims = _decode_hamming_words(words, id_bits)
+    deferred_bad = None
+    if not okh.all() or audit:
+        bad = np.flatnonzero(~okh)
+        CERT_STATS["fallback_queries"] += len(bad)
+        if audit or len(bad) * 4 > n_q:
+            full = exact_words(qd)[:n_q]
+            if audit:
+                CERT_STATS["audits"] = CERT_STATS.get("audits", 0) + 1
+                if not np.array_equal(words[okh], full[okh]):
+                    CERT_STATS["audit_mismatches"] = (
+                        CERT_STATS.get("audit_mismatches", 0) + 1
+                    )
+            ids, sims = _decode_hamming_words(full, id_bits)
+        elif rerun_sink is not None and len(bad):
+            deferred_bad = bad
+        elif len(bad):
+            b_pad = pad_pow2(len(bad))
+            sel = np.zeros(b_pad, np.int32)
+            sel[: len(bad)] = bad
+            wb = exact_words(jnp.take(qd, jnp.asarray(sel), axis=0))
+            ib, sb = _decode_hamming_words(wb[: len(bad)], id_bits)
+            ids[bad], sims[bad] = ib, sb
+    if deferred_bad is not None:
+        rerun_sink.add(
+            (table, sqn, live), qd, deferred_bad, ids, sims, k,
+            rerun=lambda q, kk: _decode_hamming_words(
+                exact_words(q), id_bits
+            ),
+        )
+    return ids, sims
 
 
 # -- ids-only replies (host exact rescore) ------------------------------------
@@ -1152,6 +1364,26 @@ def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
         d_bits = int(table.shape[1])
         id_bits = max(int(table.shape[0] - 1).bit_length(), 1)
         if d_bits.bit_length() + id_bits <= 31:
+            if not approx and cert_enabled(
+                # dim gate at d_bits/2: the count pass re-pays an int8
+                # matmul, which runs ~2x the f32 rate the euclidean
+                # CERT_MAX_DIM break-even was measured at
+                int(table.shape[0]), d_bits // 2
+            ):
+                # certified-exact hamming: deep certificate over the
+                # oversampled selection (see scan_certified_hamming)
+                block = scan_certified_hamming(
+                    table, sqn, live, qd, k=k_eff, id_bits=id_bits
+                )
+                get_block = fetch_handle(block[:n_q])
+
+                def finish_hamming_cert():
+                    return certified_finish_hamming(
+                        table, sqn, live, qd, get_block, k=k_eff,
+                        n_q=n_q, id_bits=id_bits, rerun_sink=cert_sink,
+                    )
+
+                return finish_hamming_cert
             # one-int32-per-result reply: (dist << id_bits) | id. The
             # reply transfer is half the generic [B, 2k] form -- on
             # high-latency links the reply D2H is a third of the whole

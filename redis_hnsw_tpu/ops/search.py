@@ -813,6 +813,12 @@ def search_batch(
                 and scan_dtype() == "f32"
                 and cert_enabled(snap.n_pad, int(snap.vecs.shape[1]))
             )
+            or (
+                cfg.metric == "hamming"
+                # pm1 width = 32 x packed words; /2 mirrors the int8
+                # dim gate in scan_dispatch's certified-hamming branch
+                and cert_enabled(snap.n_pad, 16 * int(snap.vecs.shape[1]))
+            )
         ):
             default_window = FETCH_WINDOW_FAST
         if not isinstance(qs, jax.Array):

@@ -1106,3 +1106,185 @@ def test_fetch_window_flat_tiers(rng, monkeypatch):
     i8_windowed = pairs(idx.search_batch(queries, 7))
     monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "1")
     assert pairs(idx.search_batch(queries, 7)) == i8_windowed
+
+
+def test_scan_certified_hamming_matches_exact(rng, monkeypatch):
+    """Certified-exact hamming (REDIS_HNSW_TPU_SCAN_CERT=1): the deep
+    certificate (scan.py scan_certified_hamming) must return replies
+    byte-identical to the exact int8-matmul scan on the HNSW scan path
+    AND the FlatIndex path, and the stats counters record the batch."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    idx, oracle, data, _ = _build(rng, n=600, dim=256, metric="hamming")
+    queries = rng.integers(0, 2**32, (32, 8), dtype=np.uint32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    before = dict(S.CERT_STATS)
+    got = idx.search_batch(queries, 10, engine="scan")
+    assert S.CERT_STATS["batches"] == before["batches"] + 1
+    assert S.CERT_STATS["queries"] == before["queries"] + 32
+    for b in range(32):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+    gotf = oracle.search_batch(queries, 10)
+    for b in range(32):
+        assert [(r.sim, r.name) for r in gotf[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+    # recall_target=1.0 rides the same certified path
+    got_rt = idx.search_batch(queries, 10, recall_target=1.0)
+    for b in range(32):
+        assert [r.name for r in got_rt[b]] == [r.name for r in want[b]]
+
+
+def test_scan_certified_hamming_straddling_ties_certify(rng, monkeypatch):
+    """The DEEP certificate's reason to exist: integer tie classes that
+    straddle the k boundary (here: every row duplicated 8x, k=10)
+    CERTIFY -- no exact fallback -- because the whole class fits inside
+    the 4k-oversampled selection. (The euclidean k-slot certificate
+    falls back on every such query, test_scan_certified_tie_fallback.)
+    Results stay byte-identical to the exact path."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    base = rng.integers(0, 2**32, (60, 8), dtype=np.uint32)
+    data = np.repeat(base, 8, axis=0)  # tie classes of 8
+    names = [f"n{i}" for i in range(len(data))]
+    idx = HNSWIndex(
+        "hct", IndexConfig(dim=256, m=8, ef_construction=48,
+                           metric="hamming", seed=5),
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = rng.integers(0, 2**32, (16, 8), dtype=np.uint32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    before = S.CERT_STATS["fallback_queries"]
+    got = idx.search_batch(queries, 10, engine="scan")
+    assert S.CERT_STATS["fallback_queries"] == before  # all certified
+    for b in range(16):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+
+
+def test_scan_certified_hamming_oversized_tie_fallback(rng, monkeypatch):
+    """A tie class BIGGER than the whole oversampled selection (48
+    copies vs the 4k=40-deep selection at k=10) cannot be proven
+    captured: the certificate must refuse and the exact fallback must
+    repair every query -- results identical to exact top_k (same tie
+    members, lowest ids)."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    base = rng.integers(0, 2**32, (12, 8), dtype=np.uint32)
+    data = np.repeat(base, 48, axis=0)
+    names = [f"n{i}" for i in range(len(data))]
+    idx = HNSWIndex(
+        "hbt", IndexConfig(dim=256, m=8, ef_construction=48,
+                           metric="hamming", seed=5),
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = np.asarray(base[:8])  # each query's 48 exact copies tie at 0
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    before = S.CERT_STATS["fallback_queries"]
+    got = idx.search_batch(queries, 10, engine="scan")
+    assert S.CERT_STATS["fallback_queries"] >= before + 8
+    for b in range(8):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+
+
+def test_scan_certified_hamming_short_selection_not_certified(
+    rng, monkeypatch
+):
+    """Soundness twin of the euclidean regression test: a truncated
+    approx selection (simulating a real-TPU approx_max_k bin miss)
+    must NOT certify through the empty-k-th-slot (t == -inf) escape --
+    c_gt == s_gt must fail unless every live row really was selected."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    idx, oracle, data, _ = _build(rng, n=300, dim=256, metric="hamming")
+    queries = rng.integers(0, 2**32, (8, 8), dtype=np.uint32)
+    want = idx.search_batch(queries, 10, engine="scan")
+
+    real_scan_topk = S.scan_topk
+
+    def truncating(table, sqn, live, qs, *, k, **kw):
+        out = real_scan_topk(table, sqn, live, qs, k=k, **kw)
+        if not (kw.get("approx") and kw.get("full_sel")):
+            return out  # the exact fallback's packed word call
+        ids, sims = out
+        ids = ids.at[:, k - 4:].set(-1)
+        sims = sims.at[:, k - 4:].set(S.NEG_INF)
+        return ids, sims
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setattr(S, "scan_topk", truncating)
+    S.scan_certified_hamming.clear_cache()
+    before = S.CERT_STATS["fallback_queries"]
+    try:
+        got = idx.search_batch(queries, 10, engine="scan")
+    finally:
+        S.scan_certified_hamming.clear_cache()
+    assert S.CERT_STATS["fallback_queries"] >= before + 8
+    for b in range(8):
+        assert [(r.sim, r.name) for r in got[b]] == [
+            (r.sim, r.name) for r in want[b]
+        ]
+
+
+def test_scan_certified_hamming_deletes_and_edges(rng, monkeypatch):
+    """Certified hamming: deletes stay masked; k > live rows certifies
+    through the c_gt equality (t == -inf, every live row selected)."""
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    idx, oracle, data, names = _build(
+        rng, n=300, dim=256, metric="hamming"
+    )
+    for i in range(0, 300, 2):
+        idx.delete_node(f"n{i}")
+    res = idx.search_batch(data[:8], 5, engine="scan")
+    surviving = {f"n{i}" for i in range(1, 300, 2)}
+    for r in res:
+        assert len(r) == 5
+        assert all(item.name in surviving for item in r)
+    small, _, sdata, _ = _build(rng, n=12, dim=256, metric="hamming")
+    for r in small.search_batch(sdata[:2], 40, engine="scan"):
+        assert len(r) == 12
+
+
+def test_fetch_window_certified_hamming_with_fallback(rng, monkeypatch):
+    """Certified hamming under the chunked pipelined drain + fetch
+    window: oversized tie classes force exact fallbacks that coalesce
+    through the (hamming-rerun) sink while the window's block
+    transfers stay coalesced -- byte-identical to the exact path,
+    with the engine-aware default window too."""
+    import redis_hnsw_tpu.ops.scan as S
+    import redis_hnsw_tpu.ops.search as SE
+
+    base = rng.integers(0, 2**32, (12, 8), dtype=np.uint32)
+    data = np.repeat(base, 48, axis=0)
+    names = [f"n{i}" for i in range(len(data))]
+    idx = HNSWIndex(
+        "hfw", IndexConfig(dim=256, m=8, ef_construction=48,
+                           metric="hamming", seed=5),
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = np.repeat(base[:10], 13, axis=0)  # 130 tie-heavy queries
+    want = idx.search_batch(queries, 10, engine="scan", reply="columnar")
+    monkeypatch.setattr(SE, "MAX_LANES", 32)
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setenv("REDIS_HNSW_TPU_FETCH_WINDOW", "3")
+    before = dict(S.CERT_STATS)
+    got = idx.search_batch(queries, 10, engine="scan", reply="columnar")
+    assert S.CERT_STATS["batches"] == before["batches"] + 5
+    assert S.CERT_STATS["queries"] == before["queries"] + 130
+    assert S.CERT_STATS["fallback_queries"] > before["fallback_queries"]
+    assert (got[0] == want[0]).all()
+    assert np.array_equal(got[1], want[1])
+    # env unset: the engine-aware default window engages for certified
+    # hamming (ops/search.py) -- replies unchanged
+    monkeypatch.delenv("REDIS_HNSW_TPU_FETCH_WINDOW")
+    got = idx.search_batch(queries, 10, engine="scan", reply="columnar")
+    assert (got[0] == want[0]).all()
+    assert np.array_equal(got[1], want[1])
