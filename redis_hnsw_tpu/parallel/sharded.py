@@ -354,6 +354,116 @@ def _sharded_scan_cert_jit(vecs, sqn, live, queries, *, k: int, mesh):
     )
 
 
+@partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_cert_select_hamming_jit(
+    table, sqn, live, queries, *, k: int, mesh
+):
+    """Program 1 of the certified sharded HAMMING scan: per-shard
+    approx select returning the FULL oversampled selection
+    (scan_topk full_sel=True -- the deep certificate verifies tie
+    classes against all of it, ops/scan.py). ``table`` is the stacked
+    [S, n_pad, d_bits] +-1 expansion; no collective runs here."""
+    from ..ops.scan import scan_topk
+
+    axes = mesh.axis_names
+
+    def local(table, sqn, live, queries):
+        ids, sims = scan_topk(
+            table[0], sqn[0], live[0], queries, k=k,
+            metric="hamming", approx=True, full_sel=True,
+        )
+        return ids[None], sims[None]
+
+    spec = P(axes)
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec, P()),
+        out_specs=(spec, spec),
+        check_vma=not len(axes) > 1,  # see _sharded_search_jit
+    )(table, sqn, live, queries)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh"))
+def _sharded_cert_verify_hamming_jit(
+    table, live, queries, ids, sims, *, k: int, mesh
+):
+    """Program 2: per-shard DEEP counting certificate over the
+    program-1 selections (the hamming twin of
+    :func:`_sharded_cert_verify_jit`; see ops/scan.py
+    scan_certified_hamming for the tie-class argument) + the same
+    all-gather top-k merge as :func:`_sharded_scan_jit`; per-shard
+    verdicts AND across the mesh. Returns one [B, 2k+1] int32 block
+    (gids | sims bits | verdict) -- the sharded reply keeps the
+    generic two-column form rather than the single-chip word packing:
+    the link is latency-bound, so reply WIDTH is nearly free while a
+    second fetch is not."""
+    from ..ops.scan import NEG_INF, _count_vs_threshold_hamming, pm1_table
+
+    n_pad = table.shape[1]
+    axes = mesh.axis_names
+    hierarchical = len(axes) > 1
+
+    def local(table, live, queries, ids, sims):
+        sel_ids, sel_sims = ids[0], sims[0]
+        t = sel_sims[:, k - 1]
+        s_gt = jnp.sum(sel_sims > t[:, None], axis=1, dtype=jnp.int32)
+        s_eq = jnp.sum(sel_sims == t[:, None], axis=1, dtype=jnp.int32)
+        q = pm1_table(queries)
+        c_gt, c_eq = _count_vs_threshold_hamming(
+            table[0], live[0], q, t
+        )
+        # same escape logic as every certificate: c_gt == s_gt required
+        # unconditionally (a short selection must not certify through
+        # the empty-k-th-slot case); tie equality escaped at t == -inf
+        ok = (c_gt == s_gt) & ((t == NEG_INF) | (c_eq == s_eq))
+        lids, lsims = sel_ids[:, :k], sel_sims[:, :k]
+        s = _shard_index(mesh)
+        gids = jnp.where(lids >= 0, s * n_pad + lids, -1)
+        bad = (~ok).astype(jnp.int32)
+        for ax in axes:
+            bad = jax.lax.psum(bad, ax)
+        ok = bad == 0
+        if hierarchical:
+            for ax in reversed(axes):
+                gids, lsims = _merge_topk_over(gids, lsims, k, ax)
+            return gids, lsims, ok
+        return gids[None], lsims[None], ok
+
+    spec = P(axes)
+    out_spec = P() if hierarchical else spec
+    gids, sims, ok = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, P(), spec, spec),
+        out_specs=(out_spec, out_spec, P()),
+        check_vma=not hierarchical,  # see _sharded_search_jit
+    )(table, live, queries, ids, sims)
+    if not hierarchical:
+        gids, sims = _merge_stacked_topk(gids, sims, k)
+    return jnp.concatenate(
+        [
+            gids,
+            jax.lax.bitcast_convert_type(sims, jnp.int32),
+            ok.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _sharded_scan_cert_hamming_jit(table, sqn, live, queries, *,
+                                   k: int, mesh):
+    """Certified-exact sharded hamming scan: the two-program host
+    composition mirroring :func:`_sharded_scan_cert_jit`. A certified
+    merged top-k is byte-identical to the exact sharded scan's (each
+    shard's certified list IS its exact local top-k, ties ordered by
+    local id = global id within a shard; the merge structure is
+    shared); uncertified queries re-serve through it."""
+    ids, sims = _sharded_cert_select_hamming_jit(
+        table, sqn, live, queries, k=k, mesh=mesh
+    )
+    return _sharded_cert_verify_hamming_jit(
+        table, live, queries, ids, sims, k=k, mesh=mesh
+    )
+
+
 class _ShardedCertRerunSink:
     """Coalesces the sharded certified scan's fallback reruns across a
     chunked serving loop -- the sharded analog of ops/scan.py
@@ -789,7 +899,9 @@ class ShardedHNSW:
         when engaged (ops/scan.py cert_enabled, judged on the per-shard
         padded rows): per-shard certificates AND across the mesh, and
         uncertified queries re-serve through the exact sharded scan --
-        results stay byte-identical to it. ``reply="columnar"`` returns (names, sims) arrays
+        results stay byte-identical to it. The exact HAMMING scan rides
+        the deep-certificate twin the same way
+        (_sharded_scan_cert_hamming_jit; int8-rate dim gate). ``reply="columnar"`` returns (names, sims) arrays
         like the single-chip path. ``seeds`` > 0 seeds each shard's
         graph beam with that many per-lane pivot entrypoints (scan
         engines ignore it, matching single-chip). ``recall_target``
@@ -837,11 +949,18 @@ class ShardedHNSW:
             table, vecs, sqn, live, tscale = self._scan_stack()
             n_pad = self._scan_npad
             k_eff = min(int(k), n_pad)
-            use_cert = (
-                engine != "scan-approx"
-                and self.config.metric == "euclidean"
-                and tscale is None and table is vecs
-                and SC.cert_enabled(n_pad, int(vecs.shape[-1]))
+            use_cert = engine != "scan-approx" and tscale is None and (
+                (
+                    self.config.metric == "euclidean"
+                    and table is vecs
+                    and SC.cert_enabled(n_pad, int(vecs.shape[-1]))
+                )
+                or (
+                    self.config.metric == "hamming"
+                    # dim gate at d_bits/2: int8 count matmul runs ~2x
+                    # the f32 rate CERT_MAX_DIM was measured at
+                    and SC.cert_enabled(n_pad, int(table.shape[-1]) // 2)
+                )
             )
             if use_cert:
                 rerun_sink = _ShardedCertRerunSink(
@@ -884,9 +1003,14 @@ class ShardedHNSW:
                 # cost a full round trip. In ids-reply mode the sims
                 # columns are ignored host-side (rescored in the
                 # shared tail below).
-                block = _sharded_scan_cert_jit(
-                    vecs, sqn, live, pd, k=k_eff, mesh=self.mesh
-                )
+                if self.config.metric == "hamming":
+                    block = _sharded_scan_cert_hamming_jit(
+                        table, sqn, live, pd, k=k_eff, mesh=self.mesh
+                    )
+                else:
+                    block = _sharded_scan_cert_jit(
+                        vecs, sqn, live, pd, k=k_eff, mesh=self.mesh
+                    )
                 get_block = SC.fetch_handle(block[:pn])
 
                 def fin_cert():

@@ -492,3 +492,47 @@ def test_sharded_empty_query_batch(sharded_built):
     assert idx.search_batch(empty, 5) == []
     nm, sims = idx.search_batch(empty, 5, reply="columnar")
     assert nm.shape == (0, 5) and sims.shape == (0, 5)
+
+
+def test_sharded_certified_hamming_scan(rng, monkeypatch):
+    """Certified-exact sharded HAMMING scan (the deep-certificate twin,
+    _sharded_scan_cert_hamming_jit): byte-identical to the exact
+    sharded scan on 1-D and 2-D meshes; straddling tie classes that
+    fit the oversampled selection certify, oversized duplicate slabs
+    fall back through the exact sharded path and still match."""
+    import redis_hnsw_tpu.ops.scan as S
+    from redis_hnsw_tpu.parallel import make_mesh2d
+
+    n, words, k = 840, 8, 10
+    data = rng.integers(0, 2**32, (n, words), dtype=np.uint32)
+    # a 48x-duplicated slab: its tie class exceeds the 4k=40-deep
+    # selection, so dead-center queries cannot certify
+    data[300:588] = np.repeat(data[300:306], 48, axis=0)
+    names = [f"h{i}" for i in range(n)]
+    cfg = dict(dim=256, m=6, ef_construction=48, metric="hamming",
+               seed=1)
+    queries = np.concatenate(
+        [rng.integers(0, 2**32, (12, words), dtype=np.uint32),
+         data[310:314]]  # dead-center on the duplicated slab
+    )
+    for mesh in (make_mesh(8), make_mesh2d(2, 4)):
+        idx = ShardedHNSW("csh", IndexConfig(**cfg), mesh=mesh)
+        idx.add_batch(names, data, batch_size=256)
+        monkeypatch.delenv("REDIS_HNSW_TPU_SCAN_CERT", raising=False)
+        want = idx.search_batch(queries, k, engine="scan")
+        monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+        before = dict(S.CERT_STATS)
+        got = idx.search_batch(queries, k, engine="scan")
+        assert S.CERT_STATS["batches"] == before["batches"] + 1
+        assert S.CERT_STATS["queries"] == before["queries"] + 16
+        for b in range(16):
+            assert [(r.sim, r.name) for r in got[b]] == [
+                (r.sim, r.name) for r in want[b]
+            ], b
+        # recall_target=1.0 routes through the same certified path
+        got_rt = idx.search_batch(queries, k, recall_target=1.0)
+        for b in range(16):
+            assert [r.name for r in got_rt[b]] == [
+                r.name for r in want[b]
+            ]
+    assert S.CERT_STATS["fallback_queries"] > 0
