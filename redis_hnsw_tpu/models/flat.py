@@ -447,6 +447,13 @@ class FlatIndex:
 
             n_q = qs.shape[0]
             if n_q == 0:
+                if reply == "columnar":
+                    # same empty array-pair shape as the
+                    # node_count==0 branch above
+                    return (
+                        np.empty((0, int(k)), object),
+                        np.empty((0, int(k)), np.float32),
+                    )
                 return []
             chunk = max_lanes_for(int(vecs.shape[0]))
             sink = SC.CertRerunSink()
@@ -484,9 +491,10 @@ class FlatIndex:
                 )
                 or (
                     self.config.metric == "hamming"
-                    # pm1 width = 32 x packed words; /2 = int8 dim gate
-                    and SC.cert_enabled(
-                        int(vecs.shape[0]), 16 * int(vecs.shape[1])
+                    # both dispatcher gates: 31-bit word pack + int8
+                    # dim gate (see SC.hamming_cert_ready)
+                    and SC.hamming_cert_ready(
+                        int(vecs.shape[0]), int(vecs.shape[1])
                     )
                 )
             )

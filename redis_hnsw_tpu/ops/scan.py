@@ -32,6 +32,7 @@ identical to the graph engine's reply contract (ops/search.py).
 from __future__ import annotations
 
 import os
+import threading
 from functools import partial
 
 import jax
@@ -390,6 +391,24 @@ def cert_enabled(n_rows: int, dim: int = 0) -> bool:
             max_dim = CERT_MAX_DIM
         return n_rows >= CERT_MIN_ROWS and (dim <= 0 or dim <= max_dim)
     raise ValueError(f"REDIS_HNSW_TPU_SCAN_CERT={v!r}")
+
+
+def hamming_cert_ready(n_rows: int, words: int) -> bool:
+    """True iff the certified-exact hamming branch will actually run
+    for an ``n_rows`` table of ``words`` packed 32-bit words. Mirrors
+    BOTH gates of the dispatchers (scan_dispatch, models/flat.
+    _dispatch_flat): the word-packed reply ``(dist << id_bits) | id``
+    must fit 31 bits, and the count pass's int8 dim gate must admit
+    the table (cert_enabled at d_bits/2 = 16*words). Engine-aware
+    fetch-window predicates use this so the wide-window default only
+    engages where the certified path is really taken -- very large
+    hamming tables fail the 31-bit pack and serve the compute-bound
+    exact top_k, where the wide window measured no win."""
+    d_bits = 32 * int(words)
+    id_bits = max((int(n_rows) - 1).bit_length(), 1)
+    if d_bits.bit_length() + id_bits > 31:
+        return False
+    return cert_enabled(int(n_rows), 16 * int(words))
 
 
 def _count_vs_threshold(vecs, sqn, live, q, qq, t):
@@ -1204,7 +1223,15 @@ def fetch_window(default: int = 1) -> int:
 # window around its dispatch calls; fetch_handle() inside a dispatcher
 # registers with the innermost group. Single-batch calls (no drain
 # loop) see an empty stack and keep their own immediate fetch.
-_ACTIVE_GROUP: list = []
+# Thread-LOCAL: api.py's per-index locks allow concurrent search_batch
+# calls on different indexes, and a shared stack would let one thread's
+# dispatcher register its reply into another thread's fetch window.
+class _ActiveGroups(threading.local):
+    def __init__(self) -> None:
+        self.stack: list = []
+
+
+_ACTIVE_GROUPS = _ActiveGroups()
 
 
 class FetchGroup:
@@ -1272,8 +1299,9 @@ def fetch_handle(arr):
     transfer (:class:`FetchGroup`); otherwise the returned zero-arg
     getter pays its own (deferred) fetch, preserving the dispatch/
     finish async split. Always returns a WRITABLE numpy array."""
-    if _ACTIVE_GROUP:
-        return _ACTIVE_GROUP[-1].add(arr)
+    stack = _ACTIVE_GROUPS.stack
+    if stack:
+        return stack[-1].add(arr)
     return lambda: np.array(arr)
 
 
@@ -1306,11 +1334,11 @@ def drain_pipelined(parts, dispatch, *, sink=None, default_window=1):
 
     group, fins = FetchGroup(), []
     for args in parts:
-        _ACTIVE_GROUP.append(group)
+        _ACTIVE_GROUPS.stack.append(group)
         try:
             fins.append(dispatch(*args))
         finally:
-            _ACTIVE_GROUP.pop()
+            _ACTIVE_GROUPS.stack.pop()
         if len(fins) >= window:
             pending.append((group, fins))
             group, fins = FetchGroup(), []

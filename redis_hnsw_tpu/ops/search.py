@@ -795,6 +795,7 @@ def search_batch(
             CertRerunSink,
             cert_enabled,
             drain_pipelined,
+            hamming_cert_ready,
             scan_dtype,
         )
 
@@ -815,9 +816,9 @@ def search_batch(
             )
             or (
                 cfg.metric == "hamming"
-                # pm1 width = 32 x packed words; /2 mirrors the int8
-                # dim gate in scan_dispatch's certified-hamming branch
-                and cert_enabled(snap.n_pad, 16 * int(snap.vecs.shape[1]))
+                # both dispatcher gates: 31-bit word pack + int8 dim
+                # gate (scan_dispatch's certified-hamming branch)
+                and hamming_cert_ready(snap.n_pad, int(snap.vecs.shape[1]))
             )
         ):
             default_window = FETCH_WINDOW_FAST

@@ -1288,3 +1288,123 @@ def test_fetch_window_certified_hamming_with_fallback(rng, monkeypatch):
     got = idx.search_batch(queries, 10, engine="scan", reply="columnar")
     assert (got[0] == want[0]).all()
     assert np.array_equal(got[1], want[1])
+
+
+def test_fetch_group_stack_is_thread_local():
+    """The ambient FetchGroup stack is per-thread (r4 advisor): a
+    second thread's fetch_handle() during another thread's drain
+    window must NOT register into that thread's FetchGroup -- it gets
+    its own immediate fetch."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from redis_hnsw_tpu.ops.scan import (
+        _ACTIVE_GROUPS,
+        FetchGroup,
+        fetch_handle,
+    )
+
+    g = FetchGroup()
+    _ACTIVE_GROUPS.stack.append(g)
+    try:
+        arr = jnp.arange(6, dtype=jnp.int32)
+        err, out = [], []
+
+        def worker():
+            try:
+                # fresh thread: sees an EMPTY stack, not main's group
+                assert _ACTIVE_GROUPS.stack == []
+                out.append(fetch_handle(arr)())
+            except BaseException as e:  # pragma: no cover
+                err.append(e)
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert not err
+        assert np.array_equal(out[0], np.arange(6, dtype=np.int32))
+        # main thread's group saw nothing from the worker
+        assert g._parts == []
+        # ... while the main thread's own handle does join the group
+        fetch_handle(arr)
+        assert len(g._parts) == 1
+    finally:
+        _ACTIVE_GROUPS.stack.pop()
+
+
+def test_concurrent_search_batch_two_indexes(rng):
+    """Two threads draining chunked search_batch loops on DIFFERENT
+    indexes concurrently (api.py's per-index locks allow this) get
+    byte-identical replies to the serial run -- the per-thread fetch
+    windows must not cross (r4 advisor, medium)."""
+    import threading
+
+    import redis_hnsw_tpu.ops.search as SE
+
+    idx_a, _, _, _ = _build(rng, n=300)
+    idx_b, _, _, _ = _build(rng, n=280)
+    qa = rng.standard_normal((130, 24)).astype(np.float32)
+    qb = rng.standard_normal((140, 24)).astype(np.float32)
+    want_a = idx_a.search_batch(qa, 7, engine="scan", reply="columnar")
+    want_b = idx_b.search_batch(qb, 7, engine="scan", reply="columnar")
+    old = SE.MAX_LANES
+    SE.MAX_LANES = 32  # force the chunked drain path in both threads
+    try:
+        got, err = {}, []
+        barrier = threading.Barrier(2)
+
+        def run(name, idx, qs):
+            try:
+                barrier.wait(timeout=30)
+                got[name] = idx.search_batch(
+                    qs, 7, engine="scan", reply="columnar"
+                )
+            except BaseException as e:
+                err.append(e)
+
+        ts = [
+            threading.Thread(target=run, args=("a", idx_a, qa)),
+            threading.Thread(target=run, args=("b", idx_b, qb)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+    finally:
+        SE.MAX_LANES = old
+    assert not err, err
+    assert (got["a"][0] == want_a[0]).all()
+    assert np.array_equal(got["a"][1], want_a[1])
+    assert (got["b"][0] == want_b[0]).all()
+    assert np.array_equal(got["b"][1], want_b[1])
+
+
+def test_flat_empty_query_columnar(rng):
+    """FlatIndex with rows + an EMPTY query batch: columnar reply
+    returns the (0, k) array pair, not [] (r4 advisor, low)."""
+    flat = FlatIndex("fe", IndexConfig(dim=16))
+    data = rng.standard_normal((40, 16)).astype(np.float32)
+    flat.add_batch([f"n{i}" for i in range(40)], data)
+    empty = np.zeros((0, 16), np.float32)
+    nm, sims = flat.search_batch(empty, 5, reply="columnar")
+    assert nm.shape == (0, 5) and sims.shape == (0, 5)
+    assert sims.dtype == np.float32
+    assert flat.search_batch(empty, 5) == []
+
+
+def test_hamming_cert_ready_word_pack_gate(monkeypatch):
+    """hamming_cert_ready mirrors BOTH dispatcher gates: even with the
+    cert forced on, a table whose (dist << id_bits) | id reply cannot
+    fit 31 bits is not certified-served -- the engine-aware window
+    predicate must say so (r4 advisor, low)."""
+    from redis_hnsw_tpu.ops.scan import cert_enabled, hamming_cert_ready
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    words = 8  # 256 bits -> d_bits.bit_length() = 9 -> id_bits <= 22
+    assert hamming_cert_ready(2**22, words)  # id_bits = 22: fits
+    assert cert_enabled(2**23, 16 * words)  # cert alone would say yes
+    assert not hamming_cert_ready(2**23, words)  # id_bits = 23: no
+    # the cert gate itself still applies when the pack fits
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "0")
+    assert not hamming_cert_ready(2**22, words)
