@@ -73,7 +73,9 @@ def main() -> None:
            "cert_kernel": os.environ.get(
                "REDIS_HNSW_TPU_CERT_KERNEL", "auto"),
            "cert_fuse": os.environ.get(
-               "REDIS_HNSW_TPU_CERT_FUSE", "auto")}
+               "REDIS_HNSW_TPU_CERT_FUSE", "auto"),
+           "cert_onepass": os.environ.get(
+               "REDIS_HNSW_TPU_CERT_ONEPASS", "auto")}
 
     # warm every program first (shared compile server; cache persists)
     sel = S.scan_topk(vecs, sqn, live, qd, k=k, metric="euclidean",
@@ -98,6 +100,11 @@ def main() -> None:
         lambda: S.certified_topk_l2(vecs, sqn, live, qd, k=k, n_q=b),
         reps)
     out["certified_e2e_reps"] = reps_l
+    # the certified select program alone (one dispatch; under
+    # CERT_ONEPASS this is the single-table-read pallas_select form)
+    out["cert_select_program_ms"], reps_l = med_ms(
+        lambda: S.scan_certified_l2(vecs, sqn, live, qd, k=k), reps)
+    out["cert_select_program_reps"] = reps_l
     out["cert_stats"] = dict(S.CERT_STATS)
 
     line = json.dumps(out)

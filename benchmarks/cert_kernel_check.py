@@ -94,8 +94,10 @@ def main() -> None:
     print(f"bitwise counts: gt mismatches {gt_mism}, eq {eq_mism}",
           flush=True)
 
-    # -- 2. forced-audit serving with the kernel on
+    # -- 2. forced-audit serving with the count kernel on (one-pass
+    # pinned OFF so this section really exercises the two-pass form)
     os.environ["REDIS_HNSW_TPU_CERT_KERNEL"] = "1"
+    os.environ["REDIS_HNSW_TPU_CERT_ONEPASS"] = "0"
     S._scan_certified_clear_cache()
     S.CERT_STATS.clear()
     S.CERT_STATS.update(batches=0, queries=0, fallback_queries=0)
@@ -109,6 +111,42 @@ def main() -> None:
     S.certified_topk_l2(vecs, sqn, live, q_tie, k=k, n_q=b)
     out["cert_stats_kernel_on"] = dict(S.CERT_STATS)
     print("forced-audit stats (kernel on):", S.CERT_STATS, flush=True)
+    os.environ.pop("REDIS_HNSW_TPU_CERT_ONEPASS", None)
+
+    # -- 2b. one-pass select kernel (ops/pallas_select.py): bitwise vs
+    # the XLA reference at 2^18 rows (full-score ref fits HBM there;
+    # the 1M case is covered by the forced-audit serving below), then
+    # forced-audit serving at 1M with the one-pass path on.
+    from redis_hnsw_tpu.ops import pallas_select as PS
+
+    n_small = 1 << 18
+    sq_small = jnp.where(live[:n_small], sqn[:n_small], jnp.inf)
+    qq1 = qq[:, 0]
+    want_b = PS.select_bins_ref(vecs[:n_small], sq_small, qd, qq1)
+    got_b = PS.select_bins(vecs[:n_small], sq_small, qd, qq1)
+    out["onepass_mismatches"] = {
+        name: int(jnp.sum(g != w))
+        for name, g, w in zip(("sims", "ids", "m2"), got_b, want_b)
+    }
+    print("one-pass bitwise vs ref (2^18):",
+          out["onepass_mismatches"], flush=True)
+
+    os.environ["REDIS_HNSW_TPU_CERT_ONEPASS"] = "1"
+    S._scan_certified_clear_cache()
+    S.CERT_STATS.clear()
+    S.CERT_STATS.update(batches=0, queries=0, fallback_queries=0)
+    for rep in range(4):
+        S.certified_topk_l2(vecs, sqn, live, qd, k=k, n_q=b)
+    S.certified_topk_l2(vecs, sqn, live, q_tie, k=k, n_q=b)
+    out["cert_stats_onepass_on"] = dict(S.CERT_STATS)
+    print("forced-audit stats (one-pass on):", S.CERT_STATS, flush=True)
+    ms_op, reps_op = med_ms(
+        lambda: S.scan_certified_l2(vecs, sqn, live, qd, k=k)
+    )
+    out["onepass_select_ms"] = {"ms": ms_op, "reps": reps_op}
+    print(f"one-pass select program: {ms_op}ms", flush=True)
+    os.environ.pop("REDIS_HNSW_TPU_CERT_ONEPASS", None)
+    S._scan_certified_clear_cache()
 
     # -- 3. timing: cert pass with kernel off vs on
     os.environ["REDIS_HNSW_TPU_CERT_KERNEL"] = "0"

@@ -53,7 +53,7 @@ def _point_sims(metric, q, qn, vecs, vn, ids):
 )
 def construct_scores(
     vecs, sqn, adj0, adj_up, upper_of, ep, max_layer,
-    queries, levels, nbrvec=None, nbrsqn=None, qrows=None,
+    queries, levels, nbrvec=None, nbrsqn=None, qrows=None, up_sel=None,
     *, ef: int, metric: str, expand: int = 1, fetch_c: int | None = None,
     fetch_l: int | None = None,
 ):
@@ -67,12 +67,29 @@ def construct_scores(
     recompiles -- one compile serves a whole build at fixed table shapes
     (see ops/snapshot.py presizing).
 
-    Returns:
-      up_ids, up_sims: [L_pad, W, C] -- candidates at layer lc live at
-        index lc-1, valid only for lanes with levels >= lc and lc <=
-        max_layer;
-      l0_ids, l0_sims: [W, C] -- layer-0 candidates, all lanes;
-      cross: [W, W] -- intra-wave similarity matrix (matmul form).
+    **Split upper beams (the r5 construction speedup):** only ~W/m lanes
+    sample level >= 1 (P(level >= L) ~ m^-L, core.rs:601-605), yet the
+    original layer scan ran the full-width ef-wide beam at EVERY padded
+    upper layer -- ~6 masked beams whose results all but ~128 of 2048
+    lanes discard. Measured at 1M x 128d (artifacts/build1m_breakdown):
+    the device pass was 2.58s of a 3.2s wave, ~70%% of it those dead
+    beams. With ``up_sel`` (host-computed compact lane list, pow2-
+    padded by repeating lane up_sel[0]), the upper scan beams only the
+    [W_up] gathered lanes; all W lanes run the cheap ef=1 hill-climb
+    descent, and the layer-1 beam result is scattered back as the
+    layer-0 entrypoint. Per-lane semantics are IDENTICAL (each lane's
+    descent/beam sequence is unchanged -- lanes are independent);
+    tests/test_core.py pins split == unsplit bit-for-bit.
+    ``up_sel=None`` keeps the original full-width scan (also the path
+    for waves with no upper lanes, where the scan is all descent).
+
+    Returns (flat, cross):
+      flat packs, in order: up_ids [l_keep, W_up|W, C], up_sims
+        (bitcast), l0_ids [W, C], l0_sims (bitcast) -- candidates at
+        layer lc live at index lc-1, valid only for lanes with levels
+        >= lc and lc <= max_layer (compact W_up lanes under up_sel);
+      cross: [W, W] intra-wave sims (hamming) or None (euclidean --
+        the host computes them, see dispatch_wave).
 
     ``C = min(ef, fetch_c)``: the surgery step links only the top-m of
     each sorted candidate list, so fetching the full ef-wide beam wastes
@@ -85,51 +102,101 @@ def construct_scores(
     L_pad = adj_up.shape[0]
     ids = jnp.full((W,), ep, jnp.int32)
     sims = _point_sims(metric, queries, qn, vecs, sqn, ids)
-
-    def layer_step(carry, i):
-        ids, sims = carry
-        lc = L_pad - i  # layer number, descending L_pad .. 1
-        adj_l = jax.lax.dynamic_index_in_dim(
-            adj_up, lc - 1, axis=0, keepdims=False
-        )
-        exists = lc <= max_layer
-        descending = (levels < lc) & exists
-        beaming = (levels >= lc) & exists
-        d_ids, d_sims = hill_climb_layer(
-            metric, queries, qn, vecs, sqn, adj_l, upper_of,
-            ids, sims, active=descending,
-        )
-        b_ids, b_sims = beam_search(
-            metric, queries, qn, vecs, sqn, adj_l, ids, sims, ef,
-            row_map=upper_of, active=beaming, expand=expand,
-            iters=(ef + expand - 1) // expand + BUILD_ITER_SLACK,
-        )
-        # ep for the next layer: best of beam where beaming, else the
-        # descent result (w.peek(), core.rs:576).
-        ids = jnp.where(beaming, b_ids[:, 0], d_ids)
-        sims = jnp.where(beaming, b_sims[:, 0], d_sims)
-        return (ids, sims), (b_ids, b_sims)
-
-    (ids, sims), (up_ids, up_sims) = jax.lax.scan(
-        layer_step, (ids, sims), jnp.arange(L_pad)
-    )
-    # scan emits layers L_pad..1; store layer lc at index lc-1
-    up_ids = up_ids[::-1]
-    up_sims = up_sims[::-1]
-
-    l0_ids, l0_sims = beam_search(
-        metric, queries, qn, vecs, sqn, adj0, ids, sims, ef,
-        expand=expand,
-        iters=(ef + expand - 1) // expand + BUILD_ITER_SLACK,
-        nbrvec=nbrvec, nbrsqn=nbrsqn, qrows=qrows,
-    )
+    iters = (ef + expand - 1) // expand + BUILD_ITER_SLACK
 
     c = min(ef, fetch_c) if fetch_c is not None else ef
     # only the first fetch_l upper layers are populated for this wave
     # (no lane's sampled level reaches higher): don't ship dead bytes
     l_keep = L_pad if fetch_l is None else min(fetch_l, L_pad)
-    up_ids = up_ids[:l_keep, :, :c]
-    up_sims = up_sims[:l_keep, :, :c]
+
+    if up_sel is None:
+        def layer_step(carry, i):
+            ids, sims = carry
+            lc = L_pad - i  # layer number, descending L_pad .. 1
+            adj_l = jax.lax.dynamic_index_in_dim(
+                adj_up, lc - 1, axis=0, keepdims=False
+            )
+            exists = lc <= max_layer
+            descending = (levels < lc) & exists
+            beaming = (levels >= lc) & exists
+            d_ids, d_sims = hill_climb_layer(
+                metric, queries, qn, vecs, sqn, adj_l, upper_of,
+                ids, sims, active=descending,
+            )
+            b_ids, b_sims = beam_search(
+                metric, queries, qn, vecs, sqn, adj_l, ids, sims, ef,
+                row_map=upper_of, active=beaming, expand=expand,
+                iters=iters,
+            )
+            # ep for the next layer: best of beam where beaming, else
+            # the descent result (w.peek(), core.rs:576).
+            ids = jnp.where(beaming, b_ids[:, 0], d_ids)
+            sims = jnp.where(beaming, b_sims[:, 0], d_sims)
+            return (ids, sims), (b_ids[:, :c], b_sims[:, :c])
+
+        (ids, sims), (up_ids, up_sims) = jax.lax.scan(
+            layer_step, (ids, sims), jnp.arange(L_pad)
+        )
+        # scan emits layers L_pad..1; store layer lc at index lc-1
+        up_ids = up_ids[::-1][:l_keep]
+        up_sims = up_sims[::-1][:l_keep]
+    else:
+        # -- all-lane descent: layers l_max..l_i+1 (ef=1 hill climb) --
+        def descend_step(carry, i):
+            ids, sims = carry
+            lc = L_pad - i
+            adj_l = jax.lax.dynamic_index_in_dim(
+                adj_up, lc - 1, axis=0, keepdims=False
+            )
+            descending = (levels < lc) & (lc <= max_layer)
+            ids, sims = hill_climb_layer(
+                metric, queries, qn, vecs, sqn, adj_l, upper_of,
+                ids, sims, active=descending,
+            )
+            return (ids, sims), None
+
+        (ids, sims), _ = jax.lax.scan(
+            descend_step, (ids, sims), jnp.arange(L_pad)
+        )
+
+        # -- compact upper beams: layers min(l_max, l_i)..1 ----------
+        q_u = queries[up_sel]
+        qn_u = qn[up_sel]
+        lv_u = levels[up_sel]
+        ids_u = ids[up_sel]
+        sims_u = sims[up_sel]
+
+        def upper_step(carry, i):
+            ids_u, sims_u = carry
+            lc = L_pad - i
+            adj_l = jax.lax.dynamic_index_in_dim(
+                adj_up, lc - 1, axis=0, keepdims=False
+            )
+            beaming = (lv_u >= lc) & (lc <= max_layer)
+            b_ids, b_sims = beam_search(
+                metric, q_u, qn_u, vecs, sqn, adj_l, ids_u, sims_u,
+                ef, row_map=upper_of, active=beaming, expand=expand,
+                iters=iters,
+            )
+            ids_u = jnp.where(beaming, b_ids[:, 0], ids_u)
+            sims_u = jnp.where(beaming, b_sims[:, 0], sims_u)
+            return (ids_u, sims_u), (b_ids[:, :c], b_sims[:, :c])
+
+        (ids_u, sims_u), (up_ids, up_sims) = jax.lax.scan(
+            upper_step, (ids_u, sims_u), jnp.arange(L_pad)
+        )
+        up_ids = up_ids[::-1][:l_keep]
+        up_sims = up_sims[::-1][:l_keep]
+        # layer-0 entrypoint for upper lanes = their layer-1 beam best
+        # (duplicate up_sel pad entries scatter identical data: safe)
+        ids = ids.at[up_sel].set(ids_u)
+        sims = sims.at[up_sel].set(sims_u)
+
+    l0_ids, l0_sims = beam_search(
+        metric, queries, qn, vecs, sqn, adj0, ids, sims, ef,
+        expand=expand, iters=iters,
+        nbrvec=nbrvec, nbrsqn=nbrsqn, qrows=qrows,
+    )
     l0_ids = l0_ids[:, :c]
     l0_sims = l0_sims[:, :c]
 
@@ -152,13 +219,20 @@ def construct_scores(
     return flat, cross
 
 
-def unpack_scores(flat: np.ndarray, l_pad: int, w_pad: int, c: int):
-    """Host-side inverse of construct_scores' packed return."""
-    n_up = l_pad * w_pad * c
+def unpack_scores(
+    flat: np.ndarray, l_pad: int, w_pad: int, c: int,
+    w_up: int | None = None,
+):
+    """Host-side inverse of construct_scores' packed return. ``w_up``
+    is the compact upper-lane width when the wave ran the split upper
+    beams (up_sel); defaults to the full wave width (unsplit)."""
+    if w_up is None:
+        w_up = w_pad
+    n_up = l_pad * w_up * c
     n_l0 = w_pad * c
-    up_ids = flat[:n_up].reshape(l_pad, w_pad, c)
+    up_ids = flat[:n_up].reshape(l_pad, w_up, c)
     up_sims = flat[n_up : 2 * n_up].view(np.float32).reshape(
-        l_pad, w_pad, c
+        l_pad, w_up, c
     )
     l0_ids = flat[2 * n_up : 2 * n_up + n_l0].reshape(w_pad, c)
     l0_sims = flat[2 * n_up + n_l0 :].view(np.float32).reshape(w_pad, c)
@@ -289,6 +363,15 @@ def _phase(name: str):
     return BUILD_TIMER.phase(name)
 
 
+def _wave_split() -> bool:
+    """Split upper beams onto a compacted lane block (default on; see
+    construct_scores). REDIS_HNSW_TPU_WAVE_SPLIT=0 restores the
+    full-width layer scan for A/B measurement."""
+    import os
+
+    return os.environ.get("REDIS_HNSW_TPU_WAVE_SPLIT", "1") != "0"
+
+
 class InFlightWave:
     """A dispatched (but not yet applied) construction wave: the device
     pass is in flight; ``complete_wave`` fetches and applies it. Lets
@@ -298,6 +381,7 @@ class InFlightWave:
     __slots__ = (
         "names", "qs", "qs_dev", "levels", "flat", "cross",
         "w_pad", "fetch_c", "fetch_l", "n_up_used", "l_max",
+        "up_sel", "w_up",
     )
 
 
@@ -341,6 +425,27 @@ def dispatch_wave(index, names, data, ef: int, qs_dev=None) -> InFlightWave:
     while fetch_l < n_up_used:
         fetch_l *= 2
     fetch_l = min(fetch_l, int(snap.adj_up.shape[0]))
+    # split upper beams: compact lane list (pow2-padded by repeating
+    # its first entry -- duplicate lanes compute identical results and
+    # the scatter-back writes identical data). Lanes with level 0 in
+    # the pad are inert in every upper beam (their beaming mask is
+    # False, so the beam's while_loop exits immediately).
+    up_sel = None
+    if _wave_split():
+        up_lanes = np.nonzero(levels >= 1)[0].astype(np.int32)
+        if up_lanes.size == 0:
+            up_lanes = np.zeros(1, np.int32)
+        # Stable compact width: E[#upper] = W/m with std ~sqrt(W/m);
+        # pow2-bucketing the OBSERVED count flip-flops right at the
+        # mean (e.g. W=2048, m=16 -> 128 +- 11 straddles the 128
+        # bucket), compiling the wave program twice. Size to the
+        # mean + 5 sigma once; only a ~1e-6 tail wave recompiles.
+        mu = w_pad / max(cfg.m, 2)
+        w_up = 8
+        while w_up < min(max(up_lanes.size, mu + 5 * mu**0.5), w_pad):
+            w_up *= 2
+        up_sel = np.full(w_up, up_lanes[0], np.int32)
+        up_sel[: up_lanes.size] = up_lanes
     with _phase("device_pass"):
         if qs_dev is None:
             qs_dev = jnp.asarray(_pad_lanes(qs))
@@ -348,6 +453,7 @@ def dispatch_wave(index, names, data, ef: int, qs_dev=None) -> InFlightWave:
             snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
             snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
             snap.nbrvec, snap.nbrsqn, snap.qrows,
+            None if up_sel is None else jnp.asarray(up_sel),
             ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
             fetch_c=fetch_c, fetch_l=fetch_l,
         )
@@ -364,6 +470,8 @@ def dispatch_wave(index, names, data, ef: int, qs_dev=None) -> InFlightWave:
     w.fetch_c, w.fetch_l, w.n_up_used, w.l_max = (
         fetch_c, fetch_l, n_up_used, l_max
     )
+    w.up_sel = up_sel
+    w.w_up = None if up_sel is None else len(up_sel)
     return w
 
 
@@ -390,9 +498,26 @@ def complete_wave(index, wave: InFlightWave) -> None:
             l_pad=wave.fetch_l,
             w_pad=wave.w_pad,
             c=wave.fetch_c,
+            w_up=wave.w_up,
         )
-        up_ids = np.ascontiguousarray(up_ids[: wave.n_up_used, :W])
-        up_sims = np.ascontiguousarray(up_sims[: wave.n_up_used, :W])
+        if wave.up_sel is not None:
+            # expand the compact upper-lane block back to wave order
+            # (surgery + native apply_wave index candidates by lane);
+            # level-0 lanes never read their rows -- fill inert.
+            n_up = wave.n_up_used
+            full_i = np.full((n_up, W, wave.fetch_c), -1, np.int32)
+            full_s = np.full(
+                (n_up, W, wave.fetch_c), -np.inf, np.float32
+            )
+            # the pad repeats up_sel[0]: keep the first occurrence of
+            # each lane (all copies carry identical data anyway)
+            sel = wave.up_sel
+            full_i[:, sel] = up_ids[:n_up]
+            full_s[:, sel] = up_sims[:n_up]
+            up_ids, up_sims = full_i, full_s
+        else:
+            up_ids = np.ascontiguousarray(up_ids[: wave.n_up_used, :W])
+            up_sims = np.ascontiguousarray(up_sims[: wave.n_up_used, :W])
         l0_ids = np.ascontiguousarray(l0_ids[:W])
         l0_sims = np.ascontiguousarray(l0_sims[:W])
         if isinstance(cross, jnp.ndarray):

@@ -1,0 +1,222 @@
+"""One-pass fused select+certify kernel for the certified scan.
+
+The certified-exact path (ops/scan.py) historically ran TWO full passes
+over the row table: an oversampled ``approx_max_k`` selection (~60ms at
+1M x 128d, B=2048 on the v5e -- the [B, chunk] score tile round-trips
+HBM between the dot and the select) and the counting certificate
+(~30ms with the fused pallas_count kernel). This kernel collapses both
+into ONE pass by restructuring the certificate itself:
+
+Partition the table's rows into fixed bins of ``BIN_L`` consecutive
+rows. Per grid step the kernel computes one [B, TILE_N] score panel in
+VMEM (single MXU dot + broadcast adds -- identical formulation to
+``ops/scan._chunk_scores``) and emits, per bin,
+
+* ``max1``  -- the bin's best score,
+* ``id1``   -- its row id (lowest row id on ties),
+
+and accumulates per query
+
+* ``m2`` -- the max over ALL bins of the bin's SECOND-best score.
+
+The candidate set C (one entry per bin) plus the scalar ``m2`` replace
+the counting pass entirely: let S = the stable (-sim, id) top-k over C
+and t = S's k-th score. Every row not in C is bounded by its own bin's
+second-best, hence by ``m2``. Therefore when
+
+    m2 < t                                             (the certificate)
+
+every row scoring >= t is in C (a non-C row x has score <= m2 < t), so
+the stable top-k over C IS the stable top-k over the whole table --
+including the complete tie class at t, and with the same lowest-id tie
+resolution (bins are ascending row ranges; ``jax.lax.top_k`` prefers
+lower indices on ties). Queries with m2 >= t (two true-top-k rows in
+one bin, or a tie at the boundary -- measured rare, the same ~1%%
+regime as the approx tier's recall floor) fall back to the exact path
+through the existing machinery (ops/scan.certified_finish), so served
+results stay byte-identical to the exact scan on EVERY query.
+
+Within-bin ties at max1 cannot corrupt a certified result: if the tied
+score >= t then max2 == max1 >= t and the query is uncertified by
+construction; ties below t never enter the top-k.
+
+Soundness of the scores themselves has the same epistemic status as
+pallas_count (see that module's docstring): the kernel's dot runs the
+same single-K-tile f32 accumulation as the XLA scan's at D <= 128-pad,
+``benchmarks/cert_kernel_check.py`` pins bitwise equality on the live
+backend, tests/test_pallas.py pins interpret-mode semantics, and the
+every-256th-batch exact audit in ops/scan.py converts any residual
+drift into a counted, repaired signal.
+
+Reference frame: this is the rebuild's answer to the reference's
+hand-tuned AVX2 hot kernel (src/hnsw/metrics.rs:48-77) -- the one pass
+over the data that the whole serving rate hangs off -- except here the
+pass also PROVES its result exact.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Row-panel width per grid step (same budget as pallas_count: the
+# [B, TILE_N] f32 score tile is 8MB of VMEM at B=2048).
+TILE_N = 1024
+# Rows per certificate bin. 128 keeps the in-kernel reshape
+# [B, TILE_N] -> [B, TILE_N//BIN_L, BIN_L] lane-aligned (the minor dim
+# stays a 128-lane multiple) and makes the candidate set N/128 wide --
+# 8192 candidates per query at 1M rows, whose exact top-k costs ~64x
+# less than the full table's.
+BIN_L = 128
+J_BINS = TILE_N // BIN_L
+
+try:  # pallas import kept lazy-tolerant like ops/pallas_count.py
+    from jax.experimental import pallas as pl
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _select_kernel(q_ref, x_ref, sq_ref, qq_ref,
+                   sims_ref, ids_ref, m2_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        m2_ref[...] = jnp.full_like(m2_ref, -jnp.inf)
+
+    dots = jax.lax.dot_general(
+        q_ref[...], x_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # [B, TILE_N]
+    scores = 2.0 * dots - qq_ref[...] - sq_ref[...]
+    b = scores.shape[0]
+    s3 = scores.reshape(b, J_BINS, BIN_L)
+    max1 = jnp.max(s3, axis=2)                    # [B, J]
+    col = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    # lowest column index among ties = lowest row id (rows ascend)
+    idx = jnp.min(
+        jnp.where(s3 == max1[:, :, None], col, BIN_L), axis=2
+    )                                             # [B, J]
+    # second-best: the bin max with the argmax ELEMENT removed (a
+    # duplicate of max1 elsewhere in the bin still counts -- it is a
+    # distinct row at the same score)
+    masked = jnp.where(col == idx[:, :, None], -jnp.inf, s3)
+    max2 = jnp.max(masked, axis=2)                # [B, J]
+    sims_ref[...] = max1
+    base = j * TILE_N + jax.lax.broadcasted_iota(
+        jnp.int32, (1, J_BINS), 1
+    ) * BIN_L
+    ids_ref[...] = base + idx
+    m2_ref[...] = jnp.maximum(
+        m2_ref[...], jnp.max(max2, axis=1)[:, None]
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def select_bins(vecs, sq_masked, q, qq, *, interpret: bool = False):
+    """Per-bin best (score, row id) + the global second-best bound.
+
+    ``vecs`` [N, D] f32 row table; ``sq_masked`` [N] f32 row sqnorms
+    with +inf on dead rows (their score is exactly -inf, the same
+    dead-row encoding as pallas_count); ``q`` [B, D] f32 queries;
+    ``qq`` [B] query sqnorms. Returns ``(sims [B, N'/BIN_L] f32,
+    ids [B, N'/BIN_L] int32, m2 [B] f32)`` where N' is N padded to the
+    panel width with dead rows (padding bins surface as -inf / some
+    dead id; they can never certify or rank)."""
+    B, D = q.shape
+    N = vecs.shape[0]
+    pad = -N % TILE_N
+    if pad:
+        vecs = jnp.pad(vecs, ((0, pad), (0, 0)))
+        sq_masked = jnp.pad(
+            sq_masked, (0, pad), constant_values=jnp.inf
+        )
+        N += pad
+    grid = (N // TILE_N,)
+    nbins = N // BIN_L
+    sims, ids, m2 = pl.pallas_call(
+        _select_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0)),        # q
+            pl.BlockSpec((TILE_N, D), lambda j: (j, 0)),   # rows panel
+            pl.BlockSpec((1, TILE_N), lambda j: (0, j)),   # sq panel
+            pl.BlockSpec((B, 1), lambda j: (0, 0)),        # qq
+        ],
+        out_specs=(
+            pl.BlockSpec((B, J_BINS), lambda j: (0, j)),
+            pl.BlockSpec((B, J_BINS), lambda j: (0, j)),
+            pl.BlockSpec((B, 1), lambda j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((B, nbins), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        q,
+        vecs,
+        sq_masked.reshape(1, N),
+        qq.reshape(B, 1),
+    )
+    return sims, ids, m2[:, 0]
+
+
+def select_bins_ref(vecs, sq_masked, q, qq):
+    """Pure-XLA reference of :func:`select_bins` (tests pin the kernel
+    against this bitwise, mirroring pallas_count's equality tests)."""
+    N = vecs.shape[0]
+    pad = -N % TILE_N
+    if pad:
+        vecs = jnp.pad(vecs, ((0, pad), (0, 0)))
+        sq_masked = jnp.pad(
+            sq_masked, (0, pad), constant_values=jnp.inf
+        )
+        N += pad
+    dots = jax.lax.dot_general(
+        q, vecs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = 2.0 * dots - qq[:, None] - sq_masked[None, :]
+    B = q.shape[0]
+    s3 = scores.reshape(B, N // BIN_L, BIN_L)
+    max1 = jnp.max(s3, axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    idx = jnp.min(
+        jnp.where(s3 == max1[:, :, None], col, BIN_L), axis=2
+    )
+    masked = jnp.where(col == idx[:, :, None], -jnp.inf, s3)
+    m2 = jnp.max(jnp.max(masked, axis=2), axis=1)
+    base = jnp.arange(N // BIN_L, dtype=jnp.int32)[None, :] * BIN_L
+    return max1, base + idx, m2
+
+
+def onepass_interpret() -> bool:
+    """Interpret-mode pallas off the TPU backend (CPU tests force the
+    one-pass path with REDIS_HNSW_TPU_CERT_ONEPASS=1)."""
+    return jax.default_backend() != "tpu"
+
+
+def onepass_enabled() -> bool:
+    """Trace-time gate for the one-pass certified select.
+
+    REDIS_HNSW_TPU_CERT_ONEPASS=0 keeps the two-pass form (approx
+    select + count certificate), =1 forces the one-pass kernel
+    (interpret mode off-TPU, for tests); default auto = TPU only,
+    like the count kernel."""
+    v = os.environ.get("REDIS_HNSW_TPU_CERT_ONEPASS", "auto")
+    if v == "0" or not _HAVE_PALLAS:
+        return False
+    if v == "1":
+        return True
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    raise ValueError(f"REDIS_HNSW_TPU_CERT_ONEPASS={v!r}")

@@ -459,18 +459,60 @@ def _count_vs_threshold(vecs, sqn, live, q, qq, t):
 
 
 def certified_local(vecs, sqn, live, queries, *, k: int):
-    """Traced core of the certified path: approx select + counting
-    certificate + exact direct-form rescore. Returns
-    ``(ids, sims, ok)`` with the rescored (-sim, id)-ordered reply and
-    the [B] bool certificate verdicts. Used per shard under
-    ``shard_map`` (parallel/sharded.py:_sharded_scan_cert_jit), where
-    each shard's table is 1/S of the rows so the one-program peak is
-    fine; the single-chip path below splits the two passes into two
-    programs instead (see :func:`scan_certified_l2`)."""
+    """Traced core of the certified path. Returns ``(ids, sims, ok)``
+    with the rescored (-sim, id)-ordered reply and the [B] bool
+    certificate verdicts. Used per shard under ``shard_map``
+    (parallel/sharded.py:_sharded_scan_cert_jit), where each shard's
+    table is 1/S of the rows so the one-program peak is fine; the
+    single-chip path below splits the two passes into two programs
+    instead (see :func:`scan_certified_l2`).
+
+    Two forms, same contract: the ONE-PASS bin-max kernel
+    (ops/pallas_select.py -- select and certificate from a single
+    table read; default on TPU) or the two-pass approx select +
+    counting certificate (the XLA form, and the fallback everywhere
+    the kernel is off)."""
+    from .pallas_select import BIN_L, onepass_enabled
+
+    if onepass_enabled() and k <= max(1, vecs.shape[0] // BIN_L):
+        return _certified_onepass_local(vecs, sqn, live, queries, k=k)
     ids, sims = scan_topk(
         vecs, sqn, live, queries, k=k, metric="euclidean", approx=True
     )
     return _cert_verify(vecs, sqn, live, queries, ids, sims)
+
+
+def _certified_onepass_local(vecs, sqn, live, queries, *, k: int):
+    """One-pass certified select (traced): the pallas_select kernel
+    emits per-bin (best score, row id) plus the global second-best
+    bound m2; the stable top-k over the bin maxes is PROVABLY the
+    exact top-k whenever m2 < t (see ops/pallas_select.py for the
+    argument, including tie classes at t). Same (ids, sims, ok)
+    contract as the two-pass form; uncertified queries fall back
+    through the shared machinery (certified_finish)."""
+    from .pallas_select import onepass_interpret, select_bins
+
+    qf = queries.astype(jnp.float32)
+    qq = jnp.sum(qf * qf, axis=-1)
+    sq_masked = jnp.where(live, sqn, jnp.inf)
+    sims_c, ids_c, m2 = select_bins(
+        vecs, sq_masked, qf, qq, interpret=onepass_interpret()
+    )
+    # stable top-k over the candidate set: lax.top_k prefers lower
+    # indices on ties, and ids_c ascends with the column index, so tie
+    # resolution is by lowest row id -- the exact path's order.
+    top_sims, pos = jax.lax.top_k(sims_c, k)
+    top_ids = jnp.take_along_axis(ids_c, pos, axis=1)
+    top_ids = jnp.where(top_sims == NEG_INF, -1, top_ids)
+    t = top_sims[:, -1]
+    # strict: t == -inf (fewer than k live rows / empty bins) never
+    # certifies -- the exact fallback serves those queries.
+    ok = m2 < t
+    sims = D.exact_neg_sq_l2(
+        queries, vecs, jnp.maximum(top_ids, 0), top_sims != NEG_INF
+    )
+    ids, sims = D.resort_desc(top_ids, sims)
+    return ids, sims, ok
 
 
 def _cert_verify(vecs, sqn, live, queries, ids, sims):
@@ -589,12 +631,21 @@ def scan_certified_l2(vecs, sqn, live, queries, *, k: int,
     recomputes sims). Queries with fewer than k live rows certify
     through the c_gt equality (every live row selected).
 
-    One fused device program when the Pallas count kernel is engaged
-    (:func:`_scan_certified_fused`); otherwise a host-level
-    composition of two programs (approx select, then
-    certificate+rescore) -- see :func:`_cert_verify_l2` for why the
-    XLA-count form must not fuse. ``scan_topk`` is looked up at call
-    time so tests can monkeypatch the selection."""
+    One fused device program when the one-pass select kernel or the
+    Pallas count kernel is engaged (:func:`_scan_certified_fused`);
+    otherwise a host-level composition of two programs (approx select,
+    then certificate+rescore) -- see :func:`_cert_verify_l2` for why
+    the XLA-count form must not fuse. ``scan_topk`` is looked up at
+    call time so tests can monkeypatch the selection."""
+    from .pallas_select import BIN_L, onepass_enabled
+
+    if onepass_enabled() and k <= max(1, vecs.shape[0] // BIN_L):
+        # one-pass form: the only full-table op is the pallas_select
+        # kernel (score panels in VMEM), so the fused program's peak
+        # is the bin outputs -- always safe to run as one program
+        return _scan_certified_fused(
+            vecs, sqn, live, queries, k=k, ids_only=ids_only
+        )
     if _cert_fuse_enabled(vecs.shape[0]):
         return _scan_certified_fused(
             vecs, sqn, live, queries, k=k, ids_only=ids_only

@@ -455,3 +455,33 @@ def test_delete_batch_recall_after_repair(rng):
         got = {r.name for r in idx.search_knn(q, k)}
         hits += len(truth & got)
     assert hits / (k * len(queries)) >= 0.9
+
+
+@pytest.mark.slow
+def test_wave_split_builds_identical_graph(rng, monkeypatch):
+    """The split upper-beam wave pass (construct_scores with up_sel:
+    all-lane hill-climb descent + compacted upper beams) must build a
+    graph BIT-IDENTICAL to the original full-width layer scan -- lanes
+    are independent, so compaction may not change any lane's candidate
+    stream (r5 construction speedup)."""
+    n, dim = 1200, 24
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+
+    def build(split):
+        monkeypatch.setenv("REDIS_HNSW_TPU_WAVE_SPLIT", split)
+        idx = HNSWIndex(
+            "ws", IndexConfig(dim=dim, m=8, ef_construction=64, seed=5)
+        )
+        idx.add_batch(names, data, batch_size=512)
+        return idx
+
+    a, b = build("0"), build("1")
+    assert a.max_layer == b.max_layer
+    assert a.enterpoint == b.enterpoint
+    for row in range(a._names.high_water):
+        assert a._levels[row] == b._levels[row]
+        for lc in range(int(a._levels[row]) + 1):
+            assert sorted(a._nbrs(row, lc)) == sorted(b._nbrs(row, lc)), (
+                row, lc,
+            )

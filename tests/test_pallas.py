@@ -148,3 +148,58 @@ def test_count_kernel_matches_blocked_counts(rng, n_extra):
     )
     assert (np.asarray(got_gt) == np.asarray(want_gt)).all()
     assert (np.asarray(got_eq) == np.asarray(want_eq)).all()
+
+
+@pytest.mark.parametrize("n_extra", [0, -724])
+def test_select_bins_kernel_matches_ref(rng, n_extra):
+    """pallas_select.select_bins == the pure-XLA reference bitwise:
+    pins the in-kernel bin max/argmax (lowest row id on ties), the
+    second-best bound m2 (argmax ELEMENT excluded, duplicates kept),
+    dead-row masking, and (n_extra < 0) self-padding of
+    non-panel-aligned tables."""
+    from redis_hnsw_tpu.ops.pallas_select import (
+        TILE_N,
+        select_bins,
+        select_bins_ref,
+    )
+
+    B, N, dim = 16, 2 * TILE_N + n_extra, 32
+    q = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
+    # duplicates INSIDE one bin: ties at a bin max must pick the lower
+    # row id and surface the duplicate as the bin's second-best
+    v = v.at[100:110].set(v[90:100])
+    live = jnp.asarray(rng.random(N) > 0.2)
+    sqn = jnp.sum(v * v, axis=1)
+    qq = jnp.sum(q * q, axis=1)
+    sq_masked = jnp.where(live, sqn, jnp.inf)
+    want = select_bins_ref(v, sq_masked, q, qq)
+    got = select_bins(v, sq_masked, q, qq, interpret=True)
+    for g, w, name in zip(got, want, ("sims", "ids", "m2")):
+        assert np.array_equal(
+            np.asarray(g), np.asarray(w), equal_nan=True
+        ), name
+
+
+def test_select_bins_all_dead_bin(rng):
+    """A bin whose rows are all dead surfaces as (-inf, some dead id)
+    and can never certify or rank above a live candidate."""
+    from redis_hnsw_tpu.ops.pallas_select import (
+        BIN_L,
+        TILE_N,
+        select_bins,
+    )
+
+    B, N, dim = 4, TILE_N, 16
+    q = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((N, dim)).astype(np.float32))
+    live = np.ones(N, bool)
+    live[:BIN_L] = False  # bin 0 entirely dead
+    sqn = jnp.sum(v * v, axis=1)
+    sq_masked = jnp.where(jnp.asarray(live), sqn, jnp.inf)
+    qq = jnp.sum(q * q, axis=1)
+    sims, ids, m2 = select_bins(v, sq_masked, q, qq, interpret=True)
+    sims, ids = np.asarray(sims), np.asarray(ids)
+    assert np.isneginf(sims[:, 0]).all()
+    assert (ids[:, 0] < BIN_L).all()  # a dead id, never resolved
+    assert np.isfinite(np.asarray(m2)).all()  # other bins have >= 2 live

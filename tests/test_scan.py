@@ -1408,3 +1408,105 @@ def test_hamming_cert_ready_word_pack_gate(monkeypatch):
     # the cert gate itself still applies when the pack fits
     monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "0")
     assert not hamming_cert_ready(2**22, words)
+
+
+def test_scan_certified_onepass_matches_exact(rng, monkeypatch):
+    """One-pass certified select (REDIS_HNSW_TPU_CERT_ONEPASS=1, the
+    pallas_select bin-max kernel in interpret mode): queries whose true
+    top-k spreads across distinct bins certify with NO fallback, and
+    results stay byte-identical to the exact path."""
+    import redis_hnsw_tpu.ops.scan as S
+    from redis_hnsw_tpu.ops.pallas_select import BIN_L
+
+    n, dim, k, n_q = 2600, 24, 10, 8
+    data = (10 * rng.standard_normal((n, dim))).astype(np.float32)
+    queries = (10 * rng.standard_normal((n_q, dim))).astype(np.float32)
+    # plant each query's true top-k in DISTINCT bins (rows j*2*BIN_L+i)
+    for i in range(n_q):
+        for j in range(k):
+            row = j * 2 * BIN_L + i
+            data[row] = queries[i] + 0.01 * rng.standard_normal(dim)
+    names = [f"n{i}" for i in range(n)]
+    idx = HNSWIndex(
+        "op", IndexConfig(dim=dim, m=8, ef_construction=48, seed=5)
+    )
+    idx.add_batch(names, data, batch_size=512)
+    want = idx.search_batch(queries, k, engine="scan")  # cert off: exact
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "1")
+    S.scan_certified_l2.clear_cache()
+    before = dict(S.CERT_STATS)
+    try:
+        got = idx.search_batch(queries, k, engine="scan")
+        assert S.CERT_STATS["batches"] == before["batches"] + 1
+        # planted spread -> every query certified, zero fallbacks
+        assert (
+            S.CERT_STATS["fallback_queries"]
+            == before["fallback_queries"]
+        )
+        for b in range(n_q):
+            assert [(r.sim, r.name) for r in got[b]] == [
+                (r.sim, r.name) for r in want[b]
+            ]
+        # deletes stay masked through the one-pass kernel
+        idx.delete_node("n0")  # a planted top-1 for query 0
+        want_d = idx.search_batch(queries, k, engine="scan")
+        monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+        got_d = idx.search_batch(queries, k, engine="scan")
+        for b in range(n_q):
+            assert [(r.sim, r.name) for r in got_d[b]] == [
+                (r.sim, r.name) for r in want_d[b]
+            ]
+    finally:
+        S.scan_certified_l2.clear_cache()
+
+
+def test_scan_certified_onepass_bin_collision_falls_back(
+    rng, monkeypatch
+):
+    """Two true-top-k rows in ONE bin defeat the bin-max selection; the
+    m2 >= t certificate must refuse and the exact fallback must serve
+    the query -- byte-identical results, counted fallbacks. Also pins
+    the adjacent-duplicate case (max2 == max1 ties inside a bin)."""
+    import redis_hnsw_tpu.ops.scan as S
+
+    base = (10 * rng.standard_normal((60, 24))).astype(np.float32)
+    data = np.repeat(base, 8, axis=0)  # 8 CONSECUTIVE copies: same bin
+    names = [f"n{i}" for i in range(480)]
+    idx = HNSWIndex(
+        "opc", IndexConfig(dim=24, m=8, ef_construction=48, seed=5)
+    )
+    idx.add_batch(names, data, batch_size=256)
+    queries = (10 * rng.standard_normal((16, 24))).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_CERT", "1")
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "1")
+    S.scan_certified_l2.clear_cache()
+    before = S.CERT_STATS["fallback_queries"]
+    try:
+        got = idx.search_batch(queries, 10, engine="scan")
+        assert S.CERT_STATS["fallback_queries"] >= before + 16
+        for b in range(16):
+            assert [(r.sim, r.name) for r in got[b]] == [
+                (r.sim, r.name) for r in want[b]
+            ]
+    finally:
+        S.scan_certified_l2.clear_cache()
+
+
+def test_cert_onepass_env_grammar(monkeypatch):
+    import jax
+
+    from redis_hnsw_tpu.ops.pallas_select import onepass_enabled
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "0")
+    assert onepass_enabled() is False
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "1")
+    assert onepass_enabled() is True
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "auto")
+    assert onepass_enabled() is (jax.default_backend() == "tpu")
+    monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "junk")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CERT_ONEPASS"):
+        onepass_enabled()
