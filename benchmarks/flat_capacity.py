@@ -153,10 +153,37 @@ def run_stage(n: int) -> None:
             hits += len(got & truth[b])
         return hits / (K * N_TRUTH)
 
-    # first call: host int8 quantization + 4GB upload + compile
-    t0 = time.perf_counter()
+    # Recall/qps ladder over the int8 rescore width (VERDICT r4
+    # next#4): the tier's recall is pinned by int8 SCORING error, so
+    # the device selects mult*K candidates and the host f32-rescore
+    # keeps the exact-best K (ops/scan.py int8_rescore_mult). Each
+    # width is its own program shape (static k), so the first call per
+    # width pays a compile; qps is timed over REPS warm reps.
+    ladder = []
+    for mult in (1, 2, 4, 8, 16):
+        os.environ["REDIS_HNSW_TPU_INT8_RESCORE"] = str(mult)
+        t0 = time.perf_counter()
+        res = idx.search_batch(queries, K, approx=True,
+                               host_qs=queries_np)
+        first_s = time.perf_counter() - t0
+        if "first_call_s" not in out:
+            out["first_call_s"] = round(first_s, 1)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            idx.search_batch(queries, K, approx=True,
+                             host_qs=queries_np)
+        dt = (time.perf_counter() - t0) / REPS
+        row = {"rescore_mult": mult, "select": "approx",
+               "recall": round(recall(res), 4),
+               "qps": round(B / dt, 1),
+               "first_call_s": round(first_s, 1)}
+        ladder.append(row)
+        log(f"ladder {row}")
+    out["int8_rescore_ladder"] = ladder
+    os.environ["REDIS_HNSW_TPU_INT8_RESCORE"] = "1"
+
+    # legacy single-point rows (mult=1), comparable with r4 lines
     res = idx.search_batch(queries, K, host_qs=queries_np)
-    out["first_call_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     for _ in range(REPS):
         idx.search_batch(queries, K, host_qs=queries_np)
@@ -177,6 +204,7 @@ def run_stage(n: int) -> None:
         "recall": round(recall(res), 4), "qps": round(B / dt, 1)
     }
     log(f"int8 approx-select: {out['int8_approx_select']}")
+    os.environ.pop("REDIS_HNSW_TPU_INT8_RESCORE", None)
 
     line = json.dumps(out)
     log(line)

@@ -38,6 +38,11 @@ WAVE = 2048
 # north star's 0.95 serving bar); REDIS_HNSW_TPU_STREAM_ENGINE=graph
 # re-runs the traversal-under-mutation variant.
 ENGINE = os.environ.get("REDIS_HNSW_TPU_STREAM_ENGINE", "auto")
+# Overlapped interleave (utils/streaming.py): sliced waves with the
+# query batch dispatched behind each sub-beam on the device FIFO.
+# Bounded query wait at one-sub-wave staleness; see run_mixed.
+OVERLAP = os.environ.get("REDIS_HNSW_TPU_STREAM_OVERLAP", "0") == "1"
+SLICES = int(os.environ.get("REDIS_HNSW_TPU_STREAM_SLICES", "4"))
 
 
 def log(*a):
@@ -101,10 +106,13 @@ def main() -> None:
         insert_wave=WAVE, query_batch=WAVE,
         ef_search=EF, expand=EXPAND, iters=ITERS,
         validate_every=16, capacity_hint=n_total, engine=ENGINE,
+        overlap=OVERLAP, slices=SLICES,
     )
     s = stats.summary()
     s["start"], s["end"] = start, hi
     s["engine"] = ENGINE
+    if OVERLAP:
+        s["overlap"], s["slices"] = True, SLICES
     # recall of the stream's serving path vs the exact scan engine
     try:
         probe = queries[:256]
@@ -161,6 +169,14 @@ def summarize(stats_path: str, n_total: int) -> None:
         ),
         "graph_recall_at_ef_last": rows[-1].get("graph_recall_at_ef"),
     }
+    if rows[-1].get("overlap"):
+        out["overlap"], out["slices"] = True, rows[-1].get("slices")
+    for key in ("insert_total_s", "query_total_s", "validate_total_s",
+                "other_total_s"):
+        if key in rows[-1]:
+            out[key] = round(
+                sum(r.get(key, 0.0) for r in rows), 1
+            )
     log("AGGREGATE " + json.dumps(out))
     agg = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -62,8 +62,18 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
             [pd, jnp.zeros((b_pad - n_q, pd.shape[1]), pd.dtype)]
         )
     if tscale is not None:
+        # int8-resident recall ladder: select mult*k candidates on the
+        # device int8 table, rescore ALL of them exact-f32 host-side,
+        # keep the top k. The tier's recall is pinned by int8 SCORING
+        # picking the wrong top-k (measured 0.9734 at 32M with mult=1,
+        # artifacts/flat_capacity.json); a wider selection recovers
+        # true neighbors ranked just past k by the quantized scores at
+        # ~no device cost (the select is already oversample-shaped)
+        # and a tiny host gemm (B x mult*k x D).
+        mult = SC.int8_rescore_mult()
+        k_dev = min(mult * k, int(vecs.shape[0]))
         ids_dev, _ = SC.scan_topk(
-            vecs, sqn, valid, pd, k=k, metric="euclidean",
+            vecs, sqn, valid, pd, k=k_dev, metric="euclidean",
             tscale=tscale, approx=approx,
         )
         get_ids = SC.fetch_handle(ids_dev[:n_q])
@@ -71,7 +81,7 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
         def finish_int8():
             # only the id block crosses the link: invalid slots carry
             # id -1 (scan_topk), and the sims are recomputed host-side
-            # anyway -- the [B, k] f32 selection sims and (with a
+            # anyway -- the [B, k_dev] f32 selection sims and (with a
             # host mirror) the query block stay on device
             ids = get_ids()
             invalid = ids < 0
@@ -83,7 +93,8 @@ def _dispatch_flat(index, vecs, sqn, valid, part, *, k: int,
             sims = np.where(
                 invalid, np.float32(-np.inf), exact.astype(np.float32)
             )
-            return SC.sort_reply(ids, sims)
+            ids, sims = SC.sort_reply(ids, sims)
+            return ids[:, :k], sims[:, :k]
 
         return finish_int8
     if metric == "hamming":

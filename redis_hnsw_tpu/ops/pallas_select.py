@@ -62,9 +62,30 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# Row-panel width per grid step (same budget as pallas_count: the
-# [B, TILE_N] f32 score tile is 8MB of VMEM at B=2048).
+# Rows per grid step. The bin epilogue materializes several
+# [B_TILE, TILE_N] intermediates (scores, iota, tie masks), so the
+# query axis is blocked and the kernel raises the scoped-VMEM limit
+# (default 16MB; the v5e has 128MB): B=2048 with a one-dot panel
+# measured 33.6MB of scoped demand -- compile-OOM at the default
+# limit.
 TILE_N = 1024
+# Output-block grouping. One grid step produces J_BINS = 8 bin values
+# per query, but Mosaic requires output block minor dims 128-divisible
+# (or full width): a [B_TILE, 8] store is neither, and the first cut's
+# workaround -- transposed [8, B_TILE] blocks -- measured 133-145ms at
+# 1M x 128d (10x the arithmetic cost: a per-step relayout + 8-lane
+# store). Instead each [B_TILE, 128] output block stays RESIDENT
+# across GROUP = 16 consecutive row steps (index_map j -> j // GROUP)
+# and each step rolls its 8 fresh bins in with a static 8-lane shift;
+# after 16 shifts the block is fully displaced in ascending-bin order
+# and Mosaic flushes it on the block-index change. (A fully-unrolled
+# 16-dot variant writing the 128-bin block in one step was tried
+# first: the unrolled intermediates' liveness blew the scoped-VMEM
+# budget at any useful B_TILE.)
+GROUP = 16
+PANEL = GROUP * TILE_N
+B_TILE = int(os.environ.get("REDIS_HNSW_TPU_SELECT_BTILE", "1024"))
+_VMEM_LIMIT = 100 * 1024 * 1024
 # Rows per certificate bin. 128 keeps the in-kernel reshape
 # [B, TILE_N] -> [B, TILE_N//BIN_L, BIN_L] lane-aligned (the minor dim
 # stays a 128-lane multiple) and makes the candidate set N/128 wide --
@@ -75,15 +96,42 @@ J_BINS = TILE_N // BIN_L
 
 try:  # pallas import kept lazy-tolerant like ops/pallas_count.py
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     _HAVE_PALLAS = True
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 
+def _bin_reduce(scores):
+    """[B, TILE_N] score tile -> per-bin (max1, idx-in-bin, max2).
+
+    ``idx`` is the lowest in-bin column among ties (= lowest row id;
+    rows ascend within a bin); ``max2`` is the bin max with the argmax
+    ELEMENT removed (a duplicate of max1 elsewhere in the bin still
+    counts -- it is a distinct row at the same score)."""
+    b = scores.shape[0]
+    s3 = scores.reshape(b, J_BINS, BIN_L)
+    max1 = jnp.max(s3, axis=2)                    # [B, J]
+    col = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    idx = jnp.min(
+        jnp.where(s3 == max1[:, :, None], col, BIN_L), axis=2
+    )                                             # [B, J]
+    masked = jnp.where(col == idx[:, :, None], -jnp.inf, s3)
+    max2 = jnp.max(masked, axis=2)                # [B, J]
+    return max1, idx, max2
+
+
 def _select_kernel(q_ref, x_ref, sq_ref, qq_ref,
                    sims_ref, ids_ref, m2_ref):
-    j = pl.program_id(0)
+    # Grid = (query blocks, row steps), row steps INNERMOST so the m2
+    # accumulator block and the 128-bin rolling output blocks stay
+    # VMEM-resident across one query block's whole sweep. Each step
+    # rolls its J_BINS fresh bin values into the resident output block
+    # with a static 8-lane shift (see the GROUP comment above); the
+    # block's pre-roll content is fully displaced by the time its
+    # index advances, so no initialization is needed.
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -95,24 +143,16 @@ def _select_kernel(q_ref, x_ref, sq_ref, qq_ref,
         preferred_element_type=jnp.float32,
     )                                             # [B, TILE_N]
     scores = 2.0 * dots - qq_ref[...] - sq_ref[...]
-    b = scores.shape[0]
-    s3 = scores.reshape(b, J_BINS, BIN_L)
-    max1 = jnp.max(s3, axis=2)                    # [B, J]
-    col = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-    # lowest column index among ties = lowest row id (rows ascend)
-    idx = jnp.min(
-        jnp.where(s3 == max1[:, :, None], col, BIN_L), axis=2
-    )                                             # [B, J]
-    # second-best: the bin max with the argmax ELEMENT removed (a
-    # duplicate of max1 elsewhere in the bin still counts -- it is a
-    # distinct row at the same score)
-    masked = jnp.where(col == idx[:, :, None], -jnp.inf, s3)
-    max2 = jnp.max(masked, axis=2)                # [B, J]
-    sims_ref[...] = max1
+    max1, idx, max2 = _bin_reduce(scores)
     base = j * TILE_N + jax.lax.broadcasted_iota(
         jnp.int32, (1, J_BINS), 1
     ) * BIN_L
-    ids_ref[...] = base + idx
+    sims_ref[...] = jnp.concatenate(
+        [sims_ref[:, J_BINS:], max1], axis=1
+    )
+    ids_ref[...] = jnp.concatenate(
+        [ids_ref[:, J_BINS:], base + idx], axis=1
+    )
     m2_ref[...] = jnp.maximum(
         m2_ref[...], jnp.max(max2, axis=1)[:, None]
     )
@@ -131,28 +171,40 @@ def select_bins(vecs, sq_masked, q, qq, *, interpret: bool = False):
     dead id; they can never certify or rank)."""
     B, D = q.shape
     N = vecs.shape[0]
-    pad = -N % TILE_N
+    pad = -N % PANEL
     if pad:
         vecs = jnp.pad(vecs, ((0, pad), (0, 0)))
         sq_masked = jnp.pad(
             sq_masked, (0, pad), constant_values=jnp.inf
         )
         N += pad
-    grid = (N // TILE_N,)
+    bt = min(B_TILE, B)
+    grid = (B // bt, N // TILE_N)
     nbins = N // BIN_L
+    bins_blk = PANEL // BIN_L                     # 128-bin out blocks
     sims, ids, m2 = pl.pallas_call(
         _select_kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            # query blocks write disjoint output slabs; row steps are
+            # sequential (m2 + the rolling bin blocks accumulate)
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         in_specs=[
-            pl.BlockSpec((B, D), lambda j: (0, 0)),        # q
-            pl.BlockSpec((TILE_N, D), lambda j: (j, 0)),   # rows panel
-            pl.BlockSpec((1, TILE_N), lambda j: (0, j)),   # sq panel
-            pl.BlockSpec((B, 1), lambda j: (0, 0)),        # qq
+            pl.BlockSpec((bt, D), lambda bq, j: (bq, 0)),      # q
+            pl.BlockSpec((TILE_N, D), lambda bq, j: (j, 0)),   # rows
+            pl.BlockSpec((1, TILE_N), lambda bq, j: (0, j)),   # sq
+            pl.BlockSpec((bt, 1), lambda bq, j: (bq, 0)),      # qq
         ],
         out_specs=(
-            pl.BlockSpec((B, J_BINS), lambda j: (0, j)),
-            pl.BlockSpec((B, J_BINS), lambda j: (0, j)),
-            pl.BlockSpec((B, 1), lambda j: (0, 0)),
+            pl.BlockSpec(
+                (bt, bins_blk), lambda bq, j: (bq, j // GROUP)
+            ),
+            pl.BlockSpec(
+                (bt, bins_blk), lambda bq, j: (bq, j // GROUP)
+            ),
+            pl.BlockSpec((bt, 1), lambda bq, j: (bq, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, nbins), jnp.float32),
@@ -173,7 +225,7 @@ def select_bins_ref(vecs, sq_masked, q, qq):
     """Pure-XLA reference of :func:`select_bins` (tests pin the kernel
     against this bitwise, mirroring pallas_count's equality tests)."""
     N = vecs.shape[0]
-    pad = -N % TILE_N
+    pad = -N % PANEL
     if pad:
         vecs = jnp.pad(vecs, ((0, pad), (0, 0)))
         sq_masked = jnp.pad(

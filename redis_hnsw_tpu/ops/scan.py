@@ -61,6 +61,38 @@ if os.environ.get("REDIS_HNSW_TPU_SCAN_CHUNK"):
 SCAN_LOOP_MIN_CHUNKS = 8
 
 
+def scan_oversample() -> int:
+    """Approx-select oversampling factor: per chunk the approx tier
+    keeps k_sel = factor*k approx_max_k candidates before the exact
+    re-reduce (default 4, measured ~0.999 recall at 1M x 128d). The
+    capacity regime trades it against recall -- at 32M rows the int8
+    selection's recall floor moves with it (the flat_capacity.py
+    ladder, artifacts/flat_capacity.json). Read at trace time like the
+    other scan gates; benchmarks flipping it mid-process must clear
+    the scan caches."""
+    v = os.environ.get("REDIS_HNSW_TPU_SCAN_OVERSAMPLE", "4")
+    try:
+        return max(1, int(v))
+    except ValueError:
+        raise ValueError(f"REDIS_HNSW_TPU_SCAN_OVERSAMPLE={v!r}")
+
+
+def int8_rescore_mult() -> int:
+    """Selection width multiplier for the int8-RESIDENT flat tier:
+    the device selects mult*k candidates on the quantized table and
+    the host f32-rescore keeps the exact-best k of them. Buys recall
+    lost to int8 scoring error (the capacity ladder,
+    artifacts/flat_capacity.json) for one slightly wider id transfer
+    plus a tiny host gemm. REDIS_HNSW_TPU_INT8_RESCORE, default 8;
+    the 32M ladder (artifacts/flat_capacity.json) records the
+    recall/qps tradeoff per width."""
+    v = os.environ.get("REDIS_HNSW_TPU_INT8_RESCORE", "8")
+    try:
+        return max(1, int(v))
+    except ValueError:
+        raise ValueError(f"REDIS_HNSW_TPU_INT8_RESCORE={v!r}")
+
+
 def scan_dtype() -> str:
     """Euclidean scan-table tier: REDIS_HNSW_TPU_SCAN_DTYPE.
 
@@ -205,7 +237,11 @@ def scan_topk(
     # dominates the exact scan). The oversampled union is re-reduced
     # exactly below, so only true neighbors ranked outside a chunk's
     # approx top-4k can be missed (measured recall ~0.999).
-    k_sel = min(4 * k, n_chunk) if approx else min(k, n_chunk)
+    k_sel = (
+        min(scan_oversample() * k, n_chunk)
+        if approx
+        else min(k, n_chunk)
+    )
     top_sims = jnp.full((B, k_sel), NEG_INF)
     top_ids = jnp.full((B, k_sel), -1, jnp.int32)
     d_bits = qq = qscale = None

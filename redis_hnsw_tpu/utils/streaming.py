@@ -8,8 +8,29 @@ The TPU-native equivalent interleaves *batched* phases: an insert wave
 batch (batched traversal, ops/search.py), with the device snapshot
 refreshed incrementally between phases (ops/snapshot.py delta path).
 
-This module is the harness: it drives a mixed stream against one index
-and reports sustained throughput + per-phase latency percentiles.
+Two interleave shapes:
+
+* serial (default) -- insert wave, then query batch, strictly
+  alternating. Query batches see every preceding insert (the
+  reference's visibility). The wave's full latency (device beam +
+  host surgery + snapshot delta) sits between query batches, so query
+  p95 tracks the wave wall time.
+* overlap=True -- each wave is sliced into ``slices`` sub-waves; every
+  sub-wave's device beam is dispatched ASYNC and the query batch is
+  dispatched right behind it on the device FIFO, so the query waits for
+  one sub-beam (bounded, ~wave_device/slices) instead of the whole
+  wave + host surgery. Queries see the state as of the PREVIOUS
+  completed sub-wave (one sub-wave staler than serial -- the snapshot
+  delta for the in-flight rows lands at the next dispatch, not on the
+  query's clock). Sub-waves still serialize beam -> surgery -> beam so
+  graph semantics are IDENTICAL to add_batch at batch_size =
+  wave/slices.
+
+The harness reports sustained throughput, per-phase latency
+percentiles/maxima, and a wall-clock decomposition (insert / query /
+validate / other) so stalls outside the timed phases are visible
+rather than silently eaten (the r4 1M run lost ~85% of its wall to a
+gap the old two-bucket stats could not localize).
 """
 
 from __future__ import annotations
@@ -31,6 +52,10 @@ class MixedStats:
     qps: float
     insert_ms: list[float]          # per insert-phase latency
     query_ms: list[float]           # per query-phase latency
+    insert_total_s: float = 0.0
+    query_total_s: float = 0.0
+    validate_total_s: float = 0.0
+    other_total_s: float = 0.0
 
     def percentile(self, series: str, p: float) -> float:
         data = getattr(self, series)
@@ -47,7 +72,31 @@ class MixedStats:
             "insert_p95_ms": round(self.percentile("insert_ms", 95), 2),
             "query_p50_ms": round(self.percentile("query_ms", 50), 2),
             "query_p95_ms": round(self.percentile("query_ms", 95), 2),
+            "insert_max_ms": round(max(self.insert_ms, default=0.0), 1),
+            "query_max_ms": round(max(self.query_ms, default=0.0), 1),
+            "insert_total_s": round(self.insert_total_s, 1),
+            "query_total_s": round(self.query_total_s, 1),
+            "validate_total_s": round(self.validate_total_s, 1),
+            "other_total_s": round(self.other_total_s, 1),
         }
+
+
+def _device_query_batches(q_pool: np.ndarray, chunk: int):
+    """Upload the query pool ONCE and serve per-phase batches as
+    device-resident slices. Every separate host->device transfer on
+    the dev tunnel pays ~0.5-1s of latency (CLAUDE.md); the old
+    per-phase np.take + implicit upload charged that to every query
+    batch. Falls back to None (host path) when the pool does not
+    divide evenly."""
+    if chunk <= 0 or q_pool.shape[0] % chunk:
+        return None
+    import jax.numpy as jnp
+
+    pool_dev = jnp.asarray(q_pool)
+    return [
+        pool_dev[i:i + chunk]
+        for i in range(0, q_pool.shape[0], chunk)
+    ]
 
 
 def run_mixed(
@@ -64,11 +113,18 @@ def run_mixed(
     validate_every: int = 0,
     capacity_hint: int | None = None,
     engine: str = "auto",
+    overlap: bool = False,
+    slices: int = 1,
 ) -> MixedStats:
     """Interleave insert waves and query batches 50/50 until ``data`` is
-    exhausted; queries cycle through ``queries``. Each query batch runs
-    against the index state as of the preceding insert wave (the
-    reference's serialized interleave gives the same visibility).
+    exhausted; queries cycle through ``queries``.
+
+    Serial mode: each query batch runs against the index state as of
+    the preceding insert wave (the reference's serialized interleave
+    gives the same visibility). ``overlap=True``: each wave is cut
+    into ``slices`` sub-waves whose device beams the query batches
+    ride behind (see module docstring for the visibility/latency
+    trade).
 
     ``validate_every`` > 0 asserts every Nth query batch returns the
     freshly-inserted wave's own vectors as top-1 self-hits (sanity that
@@ -94,53 +150,114 @@ def run_mixed(
         else index._names.high_water + n_total,
     )
     q_pool = np.atleast_2d(np.asarray(queries, dtype=data.dtype))
+    slices = max(1, int(slices))
+    q_chunk = query_batch if not overlap else max(
+        1, insert_wave // slices
+    )
+    dev_batches = _device_query_batches(q_pool, q_chunk)
     insert_ms: list[float] = []
     query_ms: list[float] = []
+    t_ins = t_q = t_val = 0.0
     n_queries = 0
-    q_off = 0
+    q_i = 0
     phase = 0
 
-    t_start = time.perf_counter()
-    for lo in range(0, n_total, insert_wave):
-        hi = min(lo + insert_wave, n_total)
-        t0 = time.perf_counter()
-        index.add_batch(names[lo:hi], data[lo:hi], batch_size=insert_wave)
-        insert_ms.append((time.perf_counter() - t0) * 1e3)
+    def next_batch():
+        nonlocal q_i
+        if dev_batches is not None:
+            qb = dev_batches[q_i % len(dev_batches)]
+        else:
+            qb = np.take(
+                q_pool,
+                range(q_i * q_chunk, (q_i + 1) * q_chunk),
+                axis=0,
+                mode="wrap",
+            )
+        q_i += 1
+        return qb
 
-        qb = np.take(
-            q_pool,
-            range(q_off, q_off + query_batch),
-            axis=0,
-            mode="wrap",
-        )
-        q_off += query_batch
+    def serve(qb):
+        nonlocal n_queries, t_q
         t0 = time.perf_counter()
         res = index.search_batch(
             qb, k, ef_search=ef_search, expand=expand, iters=iters,
             engine=engine,
         )
-        query_ms.append((time.perf_counter() - t0) * 1e3)
+        dt = time.perf_counter() - t0
+        query_ms.append(dt * 1e3)
+        t_q += dt
         n_queries += len(res)
+
+    def validate(lo, hi):
+        nonlocal t_val
+        t0 = time.perf_counter()
+        # Visibility probe, not a perf probe: use a generous beam
+        # (the stream's operating ef/iters can be too tight for
+        # guaranteed self-hits at large N -- iters caps the slowest
+        # lane; a 230k-row graph needs more steps than a 30k one).
+        probe_n = min(8, hi - lo)
+        self_res = index.search_batch(
+            data[lo:hi][:probe_n], 1, ef_search=max(256, ef_search or 0),
+            expand=expand, iters=None, engine="graph",
+        )
+        hits = sum(
+            1
+            for i, r in enumerate(self_res)
+            if r and r[0].name == names[lo + i]
+        )
+        assert hits >= probe_n - 1, (
+            f"stream visibility: only {hits}/{probe_n} self-hits after "
+            f"wave at {lo}"
+        )
+        t_val += time.perf_counter() - t0
+
+    if overlap:
+        from ..ops import construct as C
+
+        ef_con = index.config.ef_construction
+
+    t_start = time.perf_counter()
+    for lo in range(0, n_total, insert_wave):
+        hi = min(lo + insert_wave, n_total)
+        if not overlap:
+            t0 = time.perf_counter()
+            index.add_batch(
+                names[lo:hi], data[lo:hi], batch_size=insert_wave
+            )
+            dt = time.perf_counter() - t0
+            insert_ms.append(dt * 1e3)
+            t_ins += dt
+            serve(next_batch())
+        else:
+            step = max(1, (hi - lo + slices - 1) // slices)
+            for sl in range(lo, hi, step):
+                sh = min(sl + step, hi)
+                t0 = time.perf_counter()
+                if index.node_count == 0:
+                    # seed node: the wave machinery needs an enterpoint
+                    index.add_node(names[sl], data[sl])
+                    wave = C.dispatch_wave(
+                        index, names[sl + 1:sh], data[sl + 1:sh],
+                        ef_con,
+                    ) if sh - sl > 1 else None
+                else:
+                    wave = C.dispatch_wave(
+                        index, names[sl:sh], data[sl:sh], ef_con
+                    )
+                t_disp = time.perf_counter() - t0
+                # the query batch rides the device FIFO right behind
+                # this sub-wave's beam: bounded wait, pre-wave snapshot
+                serve(next_batch())
+                t1 = time.perf_counter()
+                if wave is not None:
+                    C.complete_wave(index, wave)
+                dt = t_disp + (time.perf_counter() - t1)
+                insert_ms.append(dt * 1e3)
+                t_ins += dt
 
         phase += 1
         if validate_every and phase % validate_every == 0:
-            # Visibility probe, not a perf probe: use a generous beam
-            # (the stream's operating ef/iters can be too tight for
-            # guaranteed self-hits at large N -- iters caps the slowest
-            # lane; a 230k-row graph needs more steps than a 30k one).
-            self_res = index.search_batch(
-                data[lo:hi][:8], 1, ef_search=max(256, ef_search or 0),
-                expand=expand, iters=None, engine="graph",
-            )
-            hits = sum(
-                1
-                for i, r in enumerate(self_res)
-                if r and r[0].name == names[lo + i]
-            )
-            assert hits >= 7, (
-                f"stream visibility: only {hits}/8 self-hits after wave "
-                f"at {lo}"
-            )
+            validate(lo, hi)
 
     elapsed = time.perf_counter() - t_start
     return MixedStats(
@@ -151,4 +268,8 @@ def run_mixed(
         qps=n_queries / elapsed,
         insert_ms=insert_ms,
         query_ms=query_ms,
+        insert_total_s=t_ins,
+        query_total_s=t_q,
+        validate_total_s=t_val,
+        other_total_s=elapsed - t_ins - t_q - t_val,
     )

@@ -1510,3 +1510,69 @@ def test_cert_onepass_env_grammar(monkeypatch):
 
     with _pytest.raises(ValueError, match="CERT_ONEPASS"):
         onepass_enabled()
+
+
+def test_int8_rescore_mult_ladder(rng, monkeypatch):
+    """REDIS_HNSW_TPU_INT8_RESCORE=mult widens the int8-resident flat
+    tier's device selection to mult*k before the exact host rescore
+    (the 32M recall ladder, artifacts/flat_capacity.json). Pins: the
+    reply stays [B, k] and exactly sorted, mult*k > node_count clamps,
+    recall at a wide mult dominates mult=1 on a quantization-hostile
+    table, and the grammar is hardened."""
+    from redis_hnsw_tpu.models.flat import FlatIndex
+    from redis_hnsw_tpu.ops import scan as S
+
+    # quantization-hostile: one huge-norm row per 50 stretches the
+    # symmetric int8 scale so fine distinctions collapse
+    n, dim = 400, 24
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    data[::50] *= 64.0
+    names = [f"n{i}" for i in range(n)]
+    cfg = IndexConfig(dim=dim)
+    exact = FlatIndex("ex", cfg)
+    exact.add_batch(names, data)
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+    want = exact.search_batch(queries, 10)
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_DTYPE", "int8")
+    flat = FlatIndex("f8l", cfg)
+    flat.add_batch(names, data)
+
+    def run(mult):
+        monkeypatch.setenv("REDIS_HNSW_TPU_INT8_RESCORE", str(mult))
+        got = flat.search_batch(queries, 10, approx=True)
+        assert all(len(rr) == 10 for rr in got)
+        for rr in got:
+            sims = [r.sim for r in rr]
+            assert sims == sorted(sims, reverse=True)
+        return sum(
+            len({r.name for r in got[b]} & {r.name for r in want[b]})
+            for b in range(16)
+        )
+
+    # mult=64 covers 640 >= n rows: selection is exhaustive, so the
+    # host f32 rescore makes the result EXACT; mult=1 is the floor
+    assert run(64) == 160
+    assert run(1) <= 160
+    monkeypatch.setenv("REDIS_HNSW_TPU_INT8_RESCORE", "zero")
+    with pytest.raises(ValueError, match="INT8_RESCORE"):
+        S.int8_rescore_mult()
+
+
+def test_scan_oversample_knob(rng, monkeypatch):
+    """REDIS_HNSW_TPU_SCAN_OVERSAMPLE scales the approx tier's
+    per-chunk keep width. A full-width oversample makes scan-approx
+    byte-identical to the exact scan (the union re-reduce is exact);
+    the grammar is hardened."""
+    from redis_hnsw_tpu.ops import scan as S
+
+    idx, oracle, data, _ = _build(rng, n=300)
+    queries = rng.standard_normal((8, 24)).astype(np.float32)
+    want = idx.search_batch(queries, 10, engine="scan")
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_OVERSAMPLE", "1000")
+    got = idx.search_batch(queries, 10, engine="scan-approx")
+    assert [[(r.name, r.sim) for r in rr] for rr in got] == \
+        [[(r.name, r.sim) for r in rr] for rr in want]
+    monkeypatch.setenv("REDIS_HNSW_TPU_SCAN_OVERSAMPLE", "4.5")
+    with pytest.raises(ValueError, match="SCAN_OVERSAMPLE"):
+        S.scan_oversample()
