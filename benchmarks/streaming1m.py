@@ -182,7 +182,8 @@ def summarize(stats_path: str, n_total: int) -> None:
         os.path.dirname(os.path.abspath(__file__)),
         "..", "artifacts", "streaming1m_aggregate.json",
     )
-    with open(agg, "w") as f:
+    # append: serial and overlap records coexist (one line each run)
+    with open(agg, "a") as f:
         f.write(json.dumps(out) + "\n")
 
 

@@ -67,8 +67,10 @@ import jax.numpy as jnp
 # query axis is blocked and the kernel raises the scoped-VMEM limit
 # (default 16MB; the v5e has 128MB): B=2048 with a one-dot panel
 # measured 33.6MB of scoped demand -- compile-OOM at the default
-# limit.
-TILE_N = 1024
+# limit. Per-step cost is OVERHEAD-dominated at small tiles (65us/step
+# measured at bt=1024/TILE_N=1024 vs ~6us of roofline compute), so the
+# product bt*TILE_N should be as large as the scoped budget admits.
+TILE_N = int(os.environ.get("REDIS_HNSW_TPU_SELECT_TILEN", "1024"))
 # Output-block grouping. One grid step produces J_BINS = 8 bin values
 # per query, but Mosaic requires output block minor dims 128-divisible
 # (or full width): a [B_TILE, 8] store is neither, and the first cut's
@@ -82,7 +84,9 @@ TILE_N = 1024
 # 16-dot variant writing the 128-bin block in one step was tried
 # first: the unrolled intermediates' liveness blew the scoped-VMEM
 # budget at any useful B_TILE.)
-GROUP = 16
+GROUP = max(1, 2048 // TILE_N) * int(
+    os.environ.get("REDIS_HNSW_TPU_SELECT_GROUP", "8")
+)
 PANEL = GROUP * TILE_N
 B_TILE = int(os.environ.get("REDIS_HNSW_TPU_SELECT_BTILE", "1024"))
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -262,13 +266,18 @@ def onepass_enabled() -> bool:
 
     REDIS_HNSW_TPU_CERT_ONEPASS=0 keeps the two-pass form (approx
     select + count certificate), =1 forces the one-pass kernel
-    (interpret mode off-TPU, for tests); default auto = TPU only,
-    like the count kernel."""
+    (interpret mode off-TPU, for tests). Default auto = OFF: the
+    kernel is bitwise-correct but measured SLOWER than the two-pass
+    form it replaces (145ms vs ~103ms e2e at 1M x 128d B=2048 on the
+    v5e, artifacts/cert_kernel_check.json r5 line) -- per-grid-step
+    overhead dominates at the VMEM-safe tile sizes (65us/step vs ~6us
+    roofline). It stays as an opt-in experiment until a geometry
+    beats the two-pass numbers."""
     v = os.environ.get("REDIS_HNSW_TPU_CERT_ONEPASS", "auto")
     if v == "0" or not _HAVE_PALLAS:
         return False
     if v == "1":
         return True
     if v == "auto":
-        return jax.default_backend() == "tpu"
+        return False
     raise ValueError(f"REDIS_HNSW_TPU_CERT_ONEPASS={v!r}")

@@ -1503,8 +1503,10 @@ def test_cert_onepass_env_grammar(monkeypatch):
     assert onepass_enabled() is False
     monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "1")
     assert onepass_enabled() is True
+    # auto = OFF until a kernel geometry beats the two-pass form
+    # (measured slower r5, see onepass_enabled's docstring)
     monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "auto")
-    assert onepass_enabled() is (jax.default_backend() == "tpu")
+    assert onepass_enabled() is False
     monkeypatch.setenv("REDIS_HNSW_TPU_CERT_ONEPASS", "junk")
     import pytest as _pytest
 
