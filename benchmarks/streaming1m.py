@@ -17,12 +17,18 @@ reaches N_total it prints the aggregate summary JSON and exits 0.
 
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# kill -USR1 <pid> dumps all Python stacks to stderr (diagnosing a
+# wedged tunnel RPC without a debugger on this box)
+faulthandler.register(signal.SIGUSR1)
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -107,6 +113,11 @@ def main() -> None:
         ef_search=EF, expand=EXPAND, iters=ITERS,
         validate_every=16, capacity_hint=n_total, engine=ENGINE,
         overlap=OVERLAP, slices=SLICES,
+        progress=lambda ph, at, el: (
+            log(f"wave {ph}: {at} rows, {el:.0f}s, "
+                f"{(at - start) / max(el, 1e-9):.0f}/s")
+            if ph % 16 == 0 else None
+        ),
     )
     s = stats.summary()
     s["start"], s["end"] = start, hi

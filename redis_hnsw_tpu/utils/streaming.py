@@ -115,6 +115,7 @@ def run_mixed(
     engine: str = "auto",
     overlap: bool = False,
     slices: int = 1,
+    progress=None,
 ) -> MixedStats:
     """Interleave insert waves and query batches 50/50 until ``data`` is
     exhausted; queries cycle through ``queries``.
@@ -258,6 +259,10 @@ def run_mixed(
         phase += 1
         if validate_every and phase % validate_every == 0:
             validate(lo, hi)
+        if progress is not None:
+            # hook for harness-level liveness logging: (wave phase,
+            # rows inserted so far, wall so far)
+            progress(phase, hi, time.perf_counter() - t_start)
 
     elapsed = time.perf_counter() - t_start
     return MixedStats(
