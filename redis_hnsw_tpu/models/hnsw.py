@@ -787,7 +787,7 @@ class HNSWIndex:
         self._dirty_adj.clear()
         return out
 
-    def device_snapshot(self):
+    def device_snapshot(self, max_staleness: int = 0):
         """Dense device-resident snapshot for the batched engines.
 
         Cached per mutation epoch; refreshed incrementally (dirty-row
@@ -795,7 +795,27 @@ class HNSWIndex:
         donates the previous snapshot's buffers, so callers must NOT
         hold a returned Snapshot across a later mutation -- re-fetch it
         here each time (free when the epoch is unchanged).
+
+        ``max_staleness`` > 0 returns the ALREADY-MATERIALIZED snapshot
+        when it lags the index by at most that many mutation epochs,
+        instead of dispatching the dirty-row delta. That keeps the
+        delta's host->device upload (a full tunnel round trip per wave
+        on latency-bound links, measured 0.6-1.4s in the query path of
+        the r5 serial streaming run) OFF the serving critical path: a
+        query sees the graph as of the previous completed wave --
+        bounded, documented staleness -- and the delta rides the next
+        construction dispatch where its latency hides under host
+        surgery. Rows allocated after the snapshot (``live_hw``) are
+        invisible; rows deleted after it are still served as they
+        were. The stale view is the live cache: its buffers are
+        donated by the NEXT refresh, so callers must finish consuming
+        results before triggering one (the single-controller serving
+        loops do).
         """
+        if self._snapshot is not None and (
+            0 < self._epoch - self._snapshot_epoch <= max_staleness
+        ):
+            return self._snapshot
         if self._snapshot is None or self._snapshot_epoch != self._epoch:
             from ..ops.snapshot import build_snapshot
 
@@ -816,6 +836,7 @@ class HNSWIndex:
         expand: int = 1, iters: int | None = None, engine: str = "auto",
         reply: str = "objects", seeds: int = 0,
         recall_target: float | None = None, host_qs=None,
+        staleness: int = 0,
     ) -> list[list[SearchResult]]:
         """Batched device search. See ops/search.py.
 
@@ -832,6 +853,10 @@ class HNSWIndex:
         ``host_qs`` optionally mirrors device-resident ``queries`` on
         the host so REDIS_HNSW_TPU_REPLY=ids can rescore sims
         host-side (ops/scan.py reply_ids_only); ignored otherwise.
+        ``staleness`` > 0 serves from the bounded-stale device view
+        (at most that many mutation epochs behind; see
+        ``device_snapshot``) -- queries never wait on a pending
+        dirty-row delta, the basis of utils/streaming.py overlap mode.
         """
         from ..ops.search import search_batch as _search_batch
 
@@ -839,4 +864,5 @@ class HNSWIndex:
             self, queries, k, ef_search=ef_search, expand=expand,
             iters=iters, engine=engine, reply=reply, seeds=seeds,
             recall_target=recall_target, host_qs=host_qs,
+            staleness=staleness,
         )

@@ -1228,7 +1228,7 @@ def sort_reply(ids, sims):
 
 # -- host-side engine wrapper -------------------------------------------------
 
-def _scan_state(index):
+def _scan_state(index, max_staleness: int = 0):
     """Per-epoch device state for the scan engine:
     (table, vecs, sqn, live, metric, tscale) -- ``table`` is the
     selection table (f32 vecs, the bf16/int8 tier copy, or the hamming
@@ -1236,18 +1236,25 @@ def _scan_state(index):
     for hamming, whose int32 distances are already exact), ``tscale``
     the int8 tier's per-row scales (None otherwise).
 
-    Cached on the index keyed by (mutation epoch, scan dtype).
-    ``live`` rides up once per epoch (a [N] bool is small); derived
-    tables are built device-side from the snapshot (no host
-    round-trip).
+    Cached on the index keyed by (SNAPSHOT epoch, scan dtype) -- the
+    epoch the underlying tables actually hold, which lags the index's
+    mutation epoch under bounded-staleness serving. ``live`` rides up
+    once per build (a [N] bool is small); derived tables are built
+    device-side from the snapshot (no host round-trip).
+
+    ``max_staleness`` passes through to ``device_snapshot``: with a
+    stale snapshot the live mask is truncated at the snapshot's row
+    high-water (``live_hw``) so rows allocated after it -- whose
+    vectors the stale table does not hold -- can never score.
     """
-    snap = index.device_snapshot()
+    snap = index.device_snapshot(max_staleness)
+    snap_epoch = index._snapshot_epoch
     dt = scan_dtype()
     cached = getattr(index, "_scan_cache", None)
-    if cached is not None and cached[0] == (index.epoch, dt):
+    if cached is not None and cached[0] == (snap_epoch, dt):
         return cached[1]
     live_np = np.zeros(snap.n_pad, bool)
-    h = min(len(index._levels), snap.n_pad)
+    h = min(len(index._levels), snap.n_pad, snap.live_hw)
     live_np[:h] = index._levels[:h] >= 0
     live = jnp.asarray(live_np)
     tscale = None
@@ -1260,7 +1267,7 @@ def _scan_state(index):
     else:
         table = vecs = snap.vecs
     state = (table, vecs, snap.sqnorms, live, snap.metric, tscale)
-    index._scan_cache = ((index.epoch, dt), state)
+    index._scan_cache = ((snap_epoch, dt), state)
     return state
 
 
@@ -1441,7 +1448,7 @@ def drain_pipelined(parts, dispatch, *, sink=None, default_window=1):
 
 
 def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
-                  cert_sink=None):
+                  cert_sink=None, staleness: int = 0):
     """Enqueue one scan batch; returns a zero-arg ``finish()`` that
     yields the (ids, sims) numpy reply. All device work is dispatched
     (asynchronously) before this returns; ``finish()`` pays the single
@@ -1459,8 +1466,14 @@ def scan_dispatch(index, qs, k: int, approx: bool = False, host_qs=None,
     With REDIS_HNSW_TPU_REPLY=ids and host-resident queries available
     (numpy ``qs``, or a ``host_qs`` mirror from the caller), euclidean
     replies transfer only the [B, k] id block and sims are recomputed
-    host-side in exact direct form (see reply_ids_only above)."""
-    table, vecs, sqn, live, metric, tscale = _scan_state(index)
+    host-side in exact direct form (see reply_ids_only above).
+
+    ``staleness`` > 0 serves from the bounded-stale snapshot view
+    (see models/hnsw.py device_snapshot): the query never waits on a
+    pending dirty-row delta."""
+    table, vecs, sqn, live, metric, tscale = _scan_state(
+        index, max_staleness=staleness
+    )
     if host_qs is None and not isinstance(qs, jax.Array):
         host_qs = qs
     ids_mode = (

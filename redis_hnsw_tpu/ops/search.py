@@ -667,6 +667,7 @@ def search_batch(
     expand: int = 1, iters: int | None = None, engine: str = "auto",
     reply: str = "objects", seeds: int = 0,
     recall_target: float | None = None, host_qs=None,
+    staleness: int = 0,
 ):
     """Host entry: batched k-NN over an index. Returns per-query result
     lists of models.hnsw.SearchResult, nearest first -- or, with
@@ -696,6 +697,12 @@ def search_batch(
     ``recall_target`` turns the route into a guarantee: with "auto",
     a target above APPROX_TIER_FLOOR pins the exact scan and a target
     at or below it picks the approx tier (see resolve_engine).
+
+    ``staleness`` > 0 serves from the bounded-stale snapshot view (at
+    most that many mutation epochs behind; models/hnsw.py
+    device_snapshot): queries never wait on a pending dirty-row delta,
+    at the cost of not seeing the most recent wave(s). The
+    mutation/serve-overlap mode of utils/streaming.py is built on it.
     """
     from ..models.hnsw import SearchResult
 
@@ -730,7 +737,7 @@ def search_batch(
 
     ef = cfg.ef_construction if ef_search is None else int(ef_search)
     ef = max(ef, 1)
-    snap = index.device_snapshot()
+    snap = index.device_snapshot(max_staleness=staleness)
     use_scan = engine in ("scan", "scan-approx") or (
         engine == "auto"
         and snap.n_pad <= SCAN_MAX_ROWS.get(cfg.metric, 0)
@@ -744,7 +751,7 @@ def search_batch(
         def dispatch(part, hpart=None, sink=None):
             return scan_dispatch(
                 index, part, k, approx=approx, host_qs=hpart,
-                cert_sink=sink,
+                cert_sink=sink, staleness=staleness,
             )
     else:
         from .scan import host_exact_sims, reply_ids_engaged, sort_reply

@@ -88,6 +88,11 @@ class Snapshot:
     # bytes (see ops/distance.py frontier_int8_neg_sq_l2). Built when
     # euclidean and D >= QUANT_MIN_DIM and nbrvec is absent.
     qrows: jnp.ndarray | None = None    # [N_pad, D+8] int8
+    # Row high-water mark AT BUILD TIME: rows >= live_hw were allocated
+    # after this snapshot and hold no data here. Bounded-staleness
+    # serving (device_snapshot(max_staleness=...)) masks them dead so a
+    # stale view never scores uninitialized vectors.
+    live_hw: int = 0
 
     @property
     def arrays(self):
@@ -429,6 +434,7 @@ def build_snapshot(index, prev: Snapshot | None = None) -> Snapshot:
         nbrvec=nbrvec,
         nbrsqn=nbrsqn,
         qrows=qrows,
+        live_hw=int(index._names.high_water),
     )
 
 
@@ -644,4 +650,5 @@ def _delta_snapshot(index, prev: Snapshot) -> Snapshot:
         nbrvec=nbrvec,
         nbrsqn=nbrsqn,
         qrows=qrows,
+        live_hw=int(index._names.high_water),
     )

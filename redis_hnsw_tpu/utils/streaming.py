@@ -15,16 +15,17 @@ Two interleave shapes:
   reference's visibility). The wave's full latency (device beam +
   host surgery + snapshot delta) sits between query batches, so query
   p95 tracks the wave wall time.
-* overlap=True -- each wave is sliced into ``slices`` sub-waves; every
-  sub-wave's device beam is dispatched ASYNC and the query batch is
-  dispatched right behind it on the device FIFO, so the query waits for
-  one sub-beam (bounded, ~wave_device/slices) instead of the whole
-  wave + host surgery. Queries see the state as of the PREVIOUS
-  completed sub-wave (one sub-wave staler than serial -- the snapshot
-  delta for the in-flight rows lands at the next dispatch, not on the
-  query's clock). Sub-waves still serialize beam -> surgery -> beam so
-  graph semantics are IDENTICAL to add_batch at batch_size =
-  wave/slices.
+* overlap=True -- each wave is sliced into ``slices`` sub-waves, and
+  every query batch is served BEFORE its sub-wave, against the
+  bounded-stale device view (search_batch staleness=sub-wave; see
+  models/hnsw.py device_snapshot). The query is dispatched before the
+  sub-wave's dirty-row delta or beam exist on the device FIFO, so its
+  latency is its own scan + one fetch round trip -- NOT the delta's
+  host->device upload (measured 0.6-1.4s of serial mode's query path
+  at 1M) and NOT the wave's device pass. Queries see the state as of
+  the previous completed sub-wave -- one sub-wave staler than serial.
+  Sub-waves still serialize beam -> surgery -> beam so graph semantics
+  are IDENTICAL to add_batch at batch_size = wave/slices.
 
 The harness reports sustained throughput, per-phase latency
 percentiles/maxima, and a wall-clock decomposition (insert / query /
@@ -177,12 +178,12 @@ def run_mixed(
         q_i += 1
         return qb
 
-    def serve(qb):
+    def serve(qb, staleness: int = 0):
         nonlocal n_queries, t_q
         t0 = time.perf_counter()
         res = index.search_batch(
             qb, k, ef_search=ef_search, expand=expand, iters=iters,
-            engine=engine,
+            engine=engine, staleness=staleness,
         )
         dt = time.perf_counter() - t0
         query_ms.append(dt * 1e3)
@@ -233,6 +234,15 @@ def run_mixed(
             step = max(1, (hi - lo + slices - 1) // slices)
             for sl in range(lo, hi, step):
                 sh = min(sl + step, hi)
+                # Serve FIRST, against the bounded-stale device view:
+                # dispatched before this sub-wave's dirty-row delta or
+                # beam exist, the query waits only for its own scan --
+                # never the delta's host->device upload (measured
+                # 0.6-1.4s of the query path in serial mode) nor the
+                # wave's device pass. Staleness bound = one sub-wave
+                # (epochs bump at most once per insert; `step` covers
+                # both graph backends' accounting).
+                serve(next_batch(), staleness=step)
                 t0 = time.perf_counter()
                 if index.node_count == 0:
                     # seed node: the wave machinery needs an enterpoint
@@ -245,14 +255,9 @@ def run_mixed(
                     wave = C.dispatch_wave(
                         index, names[sl:sh], data[sl:sh], ef_con
                     )
-                t_disp = time.perf_counter() - t0
-                # the query batch rides the device FIFO right behind
-                # this sub-wave's beam: bounded wait, pre-wave snapshot
-                serve(next_batch())
-                t1 = time.perf_counter()
                 if wave is not None:
                     C.complete_wave(index, wave)
-                dt = t_disp + (time.perf_counter() - t1)
+                dt = time.perf_counter() - t0
                 insert_ms.append(dt * 1e3)
                 t_ins += dt
 

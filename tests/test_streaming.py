@@ -51,10 +51,62 @@ def test_mixed_stream_visibility_and_recall(rng):
     assert hits / (k * len(queries)) >= 0.9
 
 
+def test_staleness_serves_pre_wave_view(rng):
+    """search_batch(staleness=N) serves the bounded-stale device view:
+    rows inserted after the materialized snapshot are invisible and no
+    dirty-row delta is dispatched; a fresh search afterwards sees them.
+    The stale reply must be BYTE-IDENTICAL to a fresh search on a twin
+    index frozen at the pre-wave state (same engine)."""
+    n0, nw, dim, k = 300, 64, 16, 5
+    data = rng.standard_normal((n0 + nw, dim)).astype(np.float32)
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n0 + nw)]
+    cfg = dict(dim=dim, m=6, ef_construction=48, seed=4)
+
+    idx = HNSWIndex("st", IndexConfig(**cfg))
+    idx._capacity_hint = n0 + nw
+    idx.add_batch(names[:n0], data[:n0], batch_size=64)
+    idx.search_batch(queries, k)  # materialize snapshot + scan state
+
+    twin = HNSWIndex("tw0", IndexConfig(**cfg))
+    twin._capacity_hint = n0 + nw
+    twin.add_batch(names[:n0], data[:n0], batch_size=64)
+
+    # mutate: one wave lands; the snapshot has NOT been refreshed
+    idx.add_batch(names[n0:], data[n0:], batch_size=nw)
+    epoch_before = idx._snapshot_epoch
+
+    for eng in ("scan", "graph"):
+        stale = idx.search_batch(
+            queries, k, staleness=10 * nw, engine=eng,
+            ef_search=64, expand=4,
+        )
+        want = twin.search_batch(
+            queries, k, engine=eng, ef_search=64, expand=4
+        )
+        assert [[(r.name, r.sim) for r in rr] for rr in stale] == \
+            [[(r.name, r.sim) for r in rr] for rr in want], eng
+        # stale serving must not have refreshed the snapshot
+        assert idx._snapshot_epoch == epoch_before, eng
+        new_names = {nm for rr in stale for r in rr for nm in [r.name]}
+        assert not (new_names & set(names[n0:])), eng
+
+    # a fresh search refreshes and sees the wave
+    fresh = idx.search_batch(queries, 2 * k, engine="scan")
+    assert idx._snapshot_epoch != epoch_before
+    seen = {r.name for rr in fresh for r in rr}
+    full = HNSWIndex("tw1", IndexConfig(**cfg))
+    full.add_batch(names, data, batch_size=64)
+    want_full = full.search_batch(queries, 2 * k, engine="scan")
+    assert [[(r.name, r.sim) for r in rr] for rr in fresh] == \
+        [[(r.name, r.sim) for r in rr] for rr in want_full]
+    assert seen & set(names[n0:])  # wave rows rank for some query
+
+
 @pytest.mark.slow
 def test_mixed_stream_overlap_mode(rng):
-    """overlap=True: sliced waves with async-dispatched beams and
-    queries riding the device FIFO behind them. Graph semantics must
+    """overlap=True: every query batch served BEFORE its sub-wave on
+    the bounded-stale view (staleness=sub-wave). Graph semantics must
     equal add_batch at the slice size (beam -> surgery -> beam
     serialization is preserved); all nodes inserted and searchable;
     validate probes (post-complete visibility) pass; wall decomposition
