@@ -43,7 +43,7 @@ from .search import _query_sqnorms, _score, beam_search, hill_climb_layer
 
 
 def _point_sims(metric, q, qn, vecs, vn, ids):
-    mask = jnp.ones((ids.shape[0], 1), bool)
+    mask = np.ones((ids.shape[0], 1), bool)
     return _score(metric, q, qn, vecs, vn, ids[:, None], mask)[:, 0]
 
 
@@ -134,8 +134,15 @@ def construct_scores(
             sims = jnp.where(beaming, b_sims[:, 0], d_sims)
             return (ids, sims), (b_ids[:, :c], b_sims[:, :c])
 
+        # lax.iota, NOT jnp.arange: a trace-time jnp.arange creates a
+        # CONCRETE device array that lowering re-fetches to embed as an
+        # MLIR constant -- a device->host round trip per compile, and
+        # on the tunnel transport that fetch DEADLOCKS when a snapshot
+        # delta's host->device upload is still in flight (r5: two 1M
+        # streaming runs froze 20+ minutes inside _pjit_lower with this
+        # exact stack). iota is a traced op: nothing to fetch.
         (ids, sims), (up_ids, up_sims) = jax.lax.scan(
-            layer_step, (ids, sims), jnp.arange(L_pad)
+            layer_step, (ids, sims), jax.lax.iota(jnp.int32, L_pad)
         )
         # scan emits layers L_pad..1; store layer lc at index lc-1
         up_ids = up_ids[::-1][:l_keep]
@@ -156,7 +163,7 @@ def construct_scores(
             return (ids, sims), None
 
         (ids, sims), _ = jax.lax.scan(
-            descend_step, (ids, sims), jnp.arange(L_pad)
+            descend_step, (ids, sims), jax.lax.iota(jnp.int32, L_pad)
         )
 
         # -- compact upper beams: layers min(l_max, l_i)..1 ----------
@@ -183,7 +190,7 @@ def construct_scores(
             return (ids_u, sims_u), (b_ids[:, :c], b_sims[:, :c])
 
         (ids_u, sims_u), (up_ids, up_sims) = jax.lax.scan(
-            upper_step, (ids_u, sims_u), jnp.arange(L_pad)
+            upper_step, (ids_u, sims_u), jax.lax.iota(jnp.int32, L_pad)
         )
         up_ids = up_ids[::-1][:l_keep]
         up_sims = up_sims[::-1][:l_keep]

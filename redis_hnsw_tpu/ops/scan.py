@@ -143,7 +143,7 @@ def pm1_table(vecs_packed: jnp.ndarray) -> jnp.ndarray:
     Built on device once per snapshot epoch (no host round-trip);
     hamming distance then becomes (D - dot)/2 over this table.
     """
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
     bits = (vecs_packed[:, :, None] >> shifts) & jnp.uint32(1)
     n = vecs_packed.shape[0]
     return (2 * bits.astype(jnp.int8) - 1).reshape(n, -1)
@@ -242,8 +242,8 @@ def scan_topk(
         if approx
         else min(k, n_chunk)
     )
-    top_sims = jnp.full((B, k_sel), NEG_INF)
-    top_ids = jnp.full((B, k_sel), -1, jnp.int32)
+    top_sims = np.full((B, k_sel), NEG_INF, np.float32)
+    top_ids = np.full((B, k_sel), -1, np.int32)
     d_bits = qq = qscale = None
     if metric == "hamming":
         d_bits = table.shape[1]
@@ -271,7 +271,7 @@ def scan_topk(
             None if tscale is None else tscale[:nc].reshape(
                 n_full, n_chunk
             ),
-            jnp.arange(n_full, dtype=jnp.int32) * n_chunk,
+            np.arange(n_full, dtype=np.int32) * n_chunk,
         )
 
         def body(carry, x):
@@ -467,8 +467,8 @@ def _count_vs_threshold(vecs, sqn, live, q, qq, t):
         )
         return c_gt, c_eq
 
-    c_gt = jnp.zeros((B,), jnp.int32)
-    c_eq = jnp.zeros((B,), jnp.int32)
+    c_gt = np.zeros((B,), np.int32)
+    c_eq = np.zeros((B,), np.int32)
     n_full, rem = divmod(N, n_chunk)
     if n_full >= SCAN_LOOP_MIN_CHUNKS:
         nc = n_full * n_chunk
@@ -918,8 +918,8 @@ def _count_vs_threshold_hamming(table, live, q, t):
         )
         return c_gt, c_eq
 
-    c_gt = jnp.zeros((B,), jnp.int32)
-    c_eq = jnp.zeros((B,), jnp.int32)
+    c_gt = np.zeros((B,), np.int32)
+    c_eq = np.zeros((B,), np.int32)
     n_full, rem = divmod(N, n_chunk)
     if n_full >= SCAN_LOOP_MIN_CHUNKS:
         nc = n_full * n_chunk

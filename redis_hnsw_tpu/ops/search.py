@@ -50,12 +50,16 @@ def _score(metric, q, qn, vecs, vn, ids, mask):
 
 def _query_sqnorms(metric, q):
     if metric == "hamming":
-        return jnp.zeros(q.shape[0], jnp.float32)
+        # zeros_like-of-a-tracer, NOT np/jnp.zeros: downstream code
+        # indexes qn with traced ids, and a trace-time jnp.zeros would
+        # be a concrete device array whose lowering fetch can deadlock
+        # the tunnel (see ops/construct.py layer scan comment)
+        return jnp.zeros_like(q[:, 0], dtype=jnp.float32)
     return jnp.sum(q * q, axis=-1)
 
 
 def _point_sims(metric, q, qn, vecs, vn, ids):
-    mask = jnp.ones((ids.shape[0], 1), bool)
+    mask = np.ones((ids.shape[0], 1), bool)
     return _score(metric, q, qn, vecs, vn, ids[:, None], mask)[:, 0]
 
 
@@ -235,7 +239,7 @@ def beam_search(
     # reference's expansion order) therefore always runs eager.
     lazy = E > 1 and _lazy_dedup()
     wb = ef + (min(LAZY_SLACK, E * F) if lazy else 0)
-    slots = jnp.arange(wb, dtype=jnp.int32)
+    slots = np.arange(wb, dtype=np.int32)
     quant_blocks = nbrvec is not None and nbrvec.dtype == jnp.int8
     if qrows is not None or quant_blocks:
         q8, qs8 = D.quantize_query(q)  # once per call, reused every step
@@ -286,10 +290,10 @@ def beam_search(
         head_sims = jnp.concatenate([ep_sims[:, None], s_sims], axis=1)
         pad = wb - (S + 1)
         beam_pid = jnp.concatenate(
-            [head_pid, jnp.full((B, pad), -1, jnp.int32)], axis=1
+            [head_pid, np.full((B, pad), -1, np.int32)], axis=1
         )
         beam_sims = jnp.concatenate(
-            [head_sims, jnp.full((B, pad), NEG_INF)], axis=1
+            [head_sims, np.full((B, pad), NEG_INF, np.float32)], axis=1
         )
     else:
         beam_pid = jnp.where(
@@ -386,7 +390,7 @@ def beam_search(
         ids1 = p1 >> 1
         dup = jnp.concatenate(
             [
-                jnp.zeros((B, 1), bool),
+                np.zeros((B, 1), bool),
                 (ids1[:, 1:] == ids1[:, :-1]) & (ids1[:, 1:] >= 0),
             ],
             axis=1,

@@ -124,7 +124,10 @@ def _sharded_search_jit(
             ok = pr >= 0
             if metric == "hamming":
                 ptable = pm1_table(rows)
-                psqn = jnp.zeros(pr.shape[0], jnp.float32)
+                # zeros_like-of-a-tracer: no trace-time device const
+                # (lowering const fetches can deadlock the tunnel --
+                # ops/construct.py layer scan comment)
+                psqn = jnp.zeros_like(pr, dtype=jnp.float32)
                 pmetric = "hamming"
             else:
                 ptable = rows
