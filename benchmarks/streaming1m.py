@@ -173,6 +173,29 @@ def summarize(stats_path: str, n_total: int) -> None:
         "insert_p95_ms": max(r["insert_p95_ms"] for r in rows),
         "query_p95_ms": max(r["query_p95_ms"] for r in rows),
         "first_stage_inserts_per_s": rows[0]["inserts_per_s"],
+        # steady = compile-spike waves excluded (MixedStats.steady);
+        # per-stage values weighted by stage elapsed time
+        "inserts_per_s_steady": (
+            round(
+                sum(
+                    r["inserts_per_s_steady"]
+                    * (r["elapsed_s"] - r.get("compile_spike_s", 0.0))
+                    for r in rows
+                    if "inserts_per_s_steady" in r
+                )
+                / max(
+                    sum(
+                        r["elapsed_s"] - r.get("compile_spike_s", 0.0)
+                        for r in rows
+                        if "inserts_per_s_steady" in r
+                    ),
+                    1e-9,
+                ),
+                1,
+            )
+            if any("inserts_per_s_steady" in r for r in rows)
+            else None
+        ),
         "last_stage_inserts_per_s": rows[-1]["inserts_per_s"],
         "last_stage_qps": rows[-1]["qps"],
         "recall_min": min(
