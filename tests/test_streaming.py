@@ -145,3 +145,39 @@ def test_mixed_stream_overlap_mode(rng):
     for nm in (names[0], names[17], names[313], names[-1]):
         a, b = idx.get_node(nm), twin.get_node(nm)
         assert a["neighbors"] == b["neighbors"], nm
+
+
+def test_steady_rate_excludes_compile_spikes():
+    """MixedStats.steady: a wave > max(10x median, 30s) is a one-time
+    compile spike; the steady rate excludes it while the raw sustained
+    rate keeps it (both reported, neither hides the other)."""
+    from redis_hnsw_tpu.utils.streaming import MixedStats
+
+    # 99 normal 1s waves + one 400s compile wave; 100 inserts/wave
+    stats = MixedStats(
+        inserts=10_000, queries=0, elapsed_s=499.0,
+        inserts_per_s=10_000 / 499.0, qps=0.0,
+        insert_ms=[1_000.0] * 99 + [400_000.0], query_ms=[],
+    )
+    s = stats.summary()
+    assert s["compile_spike_waves"] == 1
+    assert s["compile_spike_s"] == 400.0
+    # 9900 inserts over 99s
+    assert abs(s["inserts_per_s_steady"] - 100.0) < 1.0
+    assert s["inserts_per_s"] < 25.0  # raw rate keeps the spike
+
+    # all-equal waves: nothing excluded, steady == raw
+    flat = MixedStats(
+        inserts=1_000, queries=0, elapsed_s=10.0, inserts_per_s=100.0,
+        qps=0.0, insert_ms=[1_000.0] * 10, query_ms=[],
+    )
+    f = flat.summary()
+    assert f["compile_spike_waves"] == 0
+    assert f["inserts_per_s_steady"] == f["inserts_per_s"]
+
+    # no insert waves at all: steady fields absent, summary still forms
+    empty = MixedStats(
+        inserts=0, queries=5, elapsed_s=1.0, inserts_per_s=0.0,
+        qps=5.0, insert_ms=[], query_ms=[1.0] * 5,
+    )
+    assert "inserts_per_s_steady" not in empty.summary()
