@@ -45,17 +45,24 @@ K = 10
 REPS = 3
 
 GRID = [
-    # (ef, expand, iters, lazy)
-    (256, 16, 24, False),   # committed sweep point (re-measure anchor)
-    (256, 16, 28, False),
-    (288, 16, 26, False),
-    (256, 24, 18, False),
-    (320, 24, 18, False),
-    (256, 32, 14, False),
-    (320, 32, 14, False),
-    (384, 32, 16, False),
-    (320, 32, 14, True),
-    (384, 32, 16, True),
+    # (ef, expand, iters, lazy, seeds)
+    (256, 16, 24, False, 0),   # committed sweep point (re-measure anchor)
+    (256, 16, 28, False, 0),
+    (288, 16, 26, False, 0),
+    (256, 24, 18, False, 0),
+    (320, 24, 18, False, 0),
+    (256, 32, 14, False, 0),
+    (320, 32, 14, False, 0),
+    (384, 32, 16, False, 0),
+    (320, 32, 14, True, 0),
+    (384, 32, 16, True, 0),
+    # seeded multi-entrypoint beams (VERDICT r4 next#6): on clustered
+    # data the planted neighbor lives in a specific cluster; per-lane
+    # pivot entrypoints may land the beam there cheaper than more iters
+    (256, 16, 24, False, 8),
+    (256, 24, 18, False, 8),
+    (320, 32, 14, False, 8),
+    (256, 16, 20, False, 16),
 ]
 
 
@@ -85,7 +92,7 @@ def main() -> None:
     rows = []
     best = None
     prev_lazy = False
-    for ef, ex, it, lazy in GRID:
+    for ef, ex, it, lazy, seeds in GRID:
         os.environ["REDIS_HNSW_TPU_LAZY_DEDUP"] = "1" if lazy else "0"
         if lazy != prev_lazy:
             # the flag is read at trace time and is NOT part of the jit
@@ -95,20 +102,21 @@ def main() -> None:
         prev_lazy = lazy
         res = idx.search_batch(
             qd[:256], K, ef_search=ef, expand=ex, iters=it,
-            engine="graph",
+            engine="graph", seeds=seeds,
         )
         rec = sum(
             len({r.name for r in rr} & truth[b])
             for b, rr in enumerate(res)
         ) / (K * len(res))
         idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it,
-                         engine="graph")  # warm the B=2048 shape
+                         engine="graph", seeds=seeds)  # warm B=2048
         t0 = time.perf_counter()
         for _ in range(REPS):
             idx.search_batch(qd, K, ef_search=ef, expand=ex, iters=it,
-                             engine="graph")
+                             engine="graph", seeds=seeds)
         dt = (time.perf_counter() - t0) / REPS
         row = {"ef": ef, "expand": ex, "iters": it, "lazy": lazy,
+               "seeds": seeds,
                "recall": round(rec, 4), "qps": round(2048 / dt, 1)}
         rows.append(row)
         log(f"point {row}")
