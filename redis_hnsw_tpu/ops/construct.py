@@ -226,6 +226,72 @@ def construct_scores(
     return flat, cross
 
 
+@partial(
+    jax.jit,
+    static_argnames=("ef", "metric", "expand", "fetch_c", "fetch_l"),
+)
+def construct_upper_scores(
+    vecs, sqn, adj_up, upper_of, ep, max_layer, queries, levels, up_sel,
+    *, ef: int, metric: str, expand: int = 1, fetch_c: int = 32,
+    fetch_l: int = 1,
+):
+    """Upper-layer half of a wave under the scan-l0 build mode: only
+    the compact ``up_sel`` lanes (levels >= 1) run the greedy descent
+    (layers l_max..l_i+1) and the ef-wide beams (layers l_i..1); layer
+    0 never runs here because scan-l0 sources every lane's layer-0
+    candidates from the exact MXU scan instead (see dispatch_wave).
+    Per-lane semantics for the layers it DOES run are identical to
+    construct_scores (lanes are independent).
+
+    Returns the packed upper block only: up_ids [l_keep, W_up, C] then
+    bitcast up_sims, raveled into one int32 vector (the caller
+    concatenates the scan's layer-0 block behind it so the host fetch
+    stays a single transfer)."""
+    qn = _query_sqnorms(metric, queries)
+    L_pad = adj_up.shape[0]
+    q_u = queries[up_sel]
+    qn_u = qn[up_sel]
+    lv_u = levels[up_sel]
+    iters = (ef + expand - 1) // expand + BUILD_ITER_SLACK
+    c = min(ef, fetch_c)
+    l_keep = min(fetch_l, L_pad)
+
+    ids_u = jnp.full((q_u.shape[0],), ep, jnp.int32)
+    sims_u = _point_sims(metric, q_u, qn_u, vecs, sqn, ids_u)
+
+    def layer_step(carry, i):
+        ids_u, sims_u = carry
+        lc = L_pad - i
+        adj_l = jax.lax.dynamic_index_in_dim(
+            adj_up, lc - 1, axis=0, keepdims=False
+        )
+        exists = lc <= max_layer
+        descending = (lv_u < lc) & exists
+        beaming = (lv_u >= lc) & exists
+        d_ids, d_sims = hill_climb_layer(
+            metric, q_u, qn_u, vecs, sqn, adj_l, upper_of,
+            ids_u, sims_u, active=descending,
+        )
+        b_ids, b_sims = beam_search(
+            metric, q_u, qn_u, vecs, sqn, adj_l, ids_u, sims_u, ef,
+            row_map=upper_of, active=beaming, expand=expand,
+            iters=iters,
+        )
+        ids_u = jnp.where(beaming, b_ids[:, 0], d_ids)
+        sims_u = jnp.where(beaming, b_sims[:, 0], d_sims)
+        return (ids_u, sims_u), (b_ids[:, :c], b_sims[:, :c])
+
+    (_, _), (up_ids, up_sims) = jax.lax.scan(
+        layer_step, (ids_u, sims_u), jax.lax.iota(jnp.int32, L_pad)
+    )
+    up_ids = up_ids[::-1][:l_keep]
+    up_sims = up_sims[::-1][:l_keep]
+    return jnp.concatenate([
+        up_ids.ravel(),
+        jax.lax.bitcast_convert_type(up_sims, jnp.int32).ravel(),
+    ])
+
+
 def unpack_scores(
     flat: np.ndarray, l_pad: int, w_pad: int, c: int,
     w_up: int | None = None,
@@ -379,6 +445,59 @@ def _wave_split() -> bool:
     return os.environ.get("REDIS_HNSW_TPU_WAVE_SPLIT", "1") != "0"
 
 
+def _build_l0_scan(index, snap, fetch_c: int) -> bool:
+    """Scan-l0 build mode: source every lane's LAYER-0 candidates from
+    the exact MXU scan (scan_topk_exact_l2, approx-select + exact f32
+    rescore) instead of the ef-wide graph beam, and run only the
+    compact upper lanes through the graph program
+    (construct_upper_scores). Rationale: below the auto-engine
+    crossover the scan outruns the beam for QUERIES by 4-27x (measured,
+    ops/search.py SCAN_MAX_ROWS) -- and insert-candidate discovery is
+    the same computation at k=fetch_c, with the top-C of the exact scan
+    a strictly BETTER candidate set than the beam's approximation of
+    it. The bulk wave path is a documented approximation of the
+    sequential reference insert (module docstring); this mode changes
+    the approximation's candidate source, not the surgery semantics --
+    both backends still consume identical candidate arrays, so
+    py == native graph identity is preserved.
+
+    REDIS_HNSW_TPU_BUILD_L0 = beam | scan | auto ("auto": scan for
+    euclidean below the measured search crossover, beam above it and
+    for hamming builds). Default stays "beam" until the TPU A/B lands
+    (measure before switching -- CLAUDE.md)."""
+    import os
+
+    mode = os.environ.get("REDIS_HNSW_TPU_BUILD_L0", "beam").lower()
+    if mode == "beam":
+        return False
+    if snap.metric != "euclidean":
+        return False  # hamming builds keep the beam path (for now)
+    if snap.n_pad < fetch_c:
+        return False  # tiny snapshot: scan_topk would narrow the slice
+    if mode == "scan":
+        return True
+    from .search import SCAN_MAX_ROWS
+
+    return snap.n_pad <= SCAN_MAX_ROWS["euclidean"]
+
+
+def _build_live_mask(index, snap):
+    """Per-epoch device live mask for scan-l0 candidate masking (same
+    derivation as ops/scan.py _scan_state, kept on its own cache slot
+    so a bounded-staleness SERVING cache entry -- keyed to an older
+    epoch -- is not thrashed by every build wave)."""
+    cached = getattr(index, "_build_live_cache", None)
+    ep = index._snapshot_epoch
+    if cached is not None and cached[0] == ep:
+        return cached[1]
+    live_np = np.zeros(snap.n_pad, bool)
+    h = min(len(index._levels), snap.n_pad, snap.live_hw)
+    live_np[:h] = index._levels[:h] >= 0
+    live = jnp.asarray(live_np)
+    index._build_live_cache = (ep, live)
+    return live
+
+
 class InFlightWave:
     """A dispatched (but not yet applied) construction wave: the device
     pass is in flight; ``complete_wave`` fetches and applies it. Lets
@@ -388,7 +507,7 @@ class InFlightWave:
     __slots__ = (
         "names", "qs", "qs_dev", "levels", "flat", "cross",
         "w_pad", "fetch_c", "fetch_l", "n_up_used", "l_max",
-        "up_sel", "w_up",
+        "up_sel", "w_up", "scan_l0",
     )
 
 
@@ -437,8 +556,9 @@ def dispatch_wave(index, names, data, ef: int, qs_dev=None) -> InFlightWave:
     # the scatter-back writes identical data). Lanes with level 0 in
     # the pad are inert in every upper beam (their beaming mask is
     # False, so the beam's while_loop exits immediately).
+    scan_l0 = _build_l0_scan(index, snap, fetch_c)
     up_sel = None
-    if _wave_split():
+    if _wave_split() or scan_l0:
         up_lanes = np.nonzero(levels >= 1)[0].astype(np.int32)
         if up_lanes.size == 0:
             up_lanes = np.zeros(1, np.int32)
@@ -456,14 +576,46 @@ def dispatch_wave(index, names, data, ef: int, qs_dev=None) -> InFlightWave:
     with _phase("device_pass"):
         if qs_dev is None:
             qs_dev = jnp.asarray(_pad_lanes(qs))
-        flat, cross = construct_scores(
-            snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up, snap.upper_of,
-            snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
-            snap.nbrvec, snap.nbrsqn, snap.qrows,
-            None if up_sel is None else jnp.asarray(up_sel),
-            ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
-            fetch_c=fetch_c, fetch_l=fetch_l,
-        )
+        if scan_l0:
+            # layer-0 candidates for EVERY lane from the exact MXU scan
+            # (approx-select + exact f32 rescore, sorted desc); only
+            # the compact upper lanes run the graph program. Packed
+            # into ONE buffer so the host fetch stays a single
+            # transfer (CLAUDE.md: D2H is per-transfer, ~28ms).
+            from .scan import scan_topk_exact_l2
+
+            live = _build_live_mask(index, snap)
+            ids, sims = scan_topk_exact_l2(
+                snap.vecs, snap.sqnorms, live, qs_dev,
+                k=fetch_c, approx=True,
+            )
+            if n_up_used > 0:
+                up_flat = construct_upper_scores(
+                    snap.vecs, snap.sqnorms, snap.adj_up,
+                    snap.upper_of, snap.ep, snap.max_layer, qs_dev,
+                    jnp.asarray(levels_d), jnp.asarray(up_sel),
+                    ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
+                    fetch_c=fetch_c, fetch_l=fetch_l,
+                )
+            else:
+                up_flat = jnp.zeros((0,), jnp.int32)
+                fetch_l = 0
+            flat = jnp.concatenate([
+                up_flat,
+                ids.ravel(),
+                jax.lax.bitcast_convert_type(sims, jnp.int32).ravel(),
+            ])
+            cross = None
+        else:
+            flat, cross = construct_scores(
+                snap.vecs, snap.sqnorms, snap.adj0, snap.adj_up,
+                snap.upper_of,
+                snap.ep, snap.max_layer, qs_dev, jnp.asarray(levels_d),
+                snap.nbrvec, snap.nbrsqn, snap.qrows,
+                None if up_sel is None else jnp.asarray(up_sel),
+                ef=ef, metric=snap.metric, expand=BUILD_EXPAND,
+                fetch_c=fetch_c, fetch_l=fetch_l,
+            )
     if cross is None:
         # euclidean intra-wave sims: small host gemm (matmul form, f32)
         # beats shipping [W, W] f32 over the link, and overlaps the
@@ -479,6 +631,7 @@ def dispatch_wave(index, names, data, ef: int, qs_dev=None) -> InFlightWave:
     )
     w.up_sel = up_sel
     w.w_up = None if up_sel is None else len(up_sel)
+    w.scan_l0 = scan_l0
     return w
 
 

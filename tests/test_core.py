@@ -485,3 +485,117 @@ def test_wave_split_builds_identical_graph(rng, monkeypatch):
             assert sorted(a._nbrs(row, lc)) == sorted(b._nbrs(row, lc)), (
                 row, lc,
             )
+
+
+# -- scan-l0 bulk construction (ops/construct.py _build_l0_scan) ------------
+
+
+@pytest.mark.slow
+def test_scan_l0_build_recall_and_invariants(rng, monkeypatch):
+    """Scan-l0 waves (layer-0 candidates from scan_topk_exact_l2, upper
+    lanes through construct_upper_scores) must reach the beam path's
+    recall bar and preserve the reference graph invariants -- the
+    candidate SOURCE changes, the surgery semantics do not."""
+    monkeypatch.setenv("REDIS_HNSW_TPU_BUILD_L0", "scan")
+    n, dim, k = 1500, 32, 10
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((64, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+
+    oracle = FlatIndex("o", IndexConfig(dim=dim))
+    oracle.add_batch(names, data)
+    truth = [
+        {r.name for r in t} for t in oracle.search_batch(queries, k)
+    ]
+
+    idx = HNSWIndex(
+        "b", IndexConfig(dim=dim, m=8, ef_construction=100, seed=3)
+    )
+    idx.add_batch(names, data, batch_size=512)
+    assert idx.node_count == n
+    res = idx.search_batch(queries, k, ef_search=100, engine="graph")
+    rec = sum(
+        len({r.name for r in rr} & truth[b]) for b, rr in enumerate(res)
+    ) / (k * len(queries))
+    assert rec >= 0.88, f"scan-l0 bulk recall@{k} = {rec}"
+    for row in range(n):
+        lists = idx._layer_lists(row)
+        assert len(lists) == idx._levels[row] + 1
+        for lc, nbrs in enumerate(lists):
+            cap = idx.config.m_max_0 if lc == 0 else idx.config.m_max
+            assert len(nbrs) <= cap, (row, lc, len(nbrs))
+            for nb in nbrs:
+                assert idx._is_alloc(nb)
+                assert row in idx._nbrs(nb, lc), (row, nb, lc)
+
+
+@pytest.mark.slow
+def test_scan_l0_py_native_identical(rng, monkeypatch):
+    """Both backends consume the same scan-sourced candidate arrays, so
+    py == native graph identity must hold under scan-l0 exactly as it
+    does on the beam path (tests/test_native.py)."""
+    monkeypatch.setenv("REDIS_HNSW_TPU_BUILD_L0", "scan")
+    n, dim = 1200, 24
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    names = [f"n{i}" for i in range(n)]
+
+    def build(native):
+        idx = HNSWIndex(
+            "x", IndexConfig(dim=dim, m=8, ef_construction=64, seed=5)
+        )
+        if not native:
+            idx._native = None
+        idx.add_batch(names, data, batch_size=512)
+        return idx
+
+    a, b = build(True), build(False)
+    if a._native is None:
+        pytest.skip("native core unavailable")
+    assert a.max_layer == b.max_layer
+    assert a.enterpoint == b.enterpoint
+    for row in range(a._names.high_water):
+        assert a._levels[row] == b._levels[row]
+        for lc in range(int(a._levels[row]) + 1):
+            assert sorted(a._nbrs(row, lc)) == sorted(b._nbrs(row, lc)), (
+                row, lc,
+            )
+
+
+def test_scan_l0_fallbacks(rng, monkeypatch):
+    """Mode gates: hamming builds and tiny snapshots stay on the beam
+    path even when scan is forced; deletes refresh the build live mask
+    (freed rows can't be re-selected as candidates by row id)."""
+    from redis_hnsw_tpu.ops import construct as C
+
+    monkeypatch.setenv("REDIS_HNSW_TPU_BUILD_L0", "scan")
+    h = HNSWIndex(
+        "h",
+        IndexConfig(dim=64, m=5, ef_construction=32, seed=2,
+                    metric="hamming"),
+    )
+    hdata = rng.integers(0, 2**32, (120, 2)).astype(np.uint32)
+    h.add_batch([f"h{i}" for i in range(120)], hdata, batch_size=64)
+    assert h.node_count == 120  # built fine, on the beam path
+    assert not C._build_l0_scan(h, h.device_snapshot(), 32)
+
+    idx = HNSWIndex(
+        "c", IndexConfig(dim=16, m=6, ef_construction=40, seed=7)
+    )
+    idx._capacity_hint = 4096
+    d = rng.standard_normal((500, 16)).astype(np.float32)
+    idx.add_batch([f"c{i}" for i in range(500)], d, batch_size=256)
+    for i in range(100):
+        idx.delete_node(f"c{i}")
+    idx.add_batch(
+        [f"d{i}" for i in range(200)],
+        rng.standard_normal((200, 16)).astype(np.float32),
+        batch_size=128,
+    )
+    assert idx.node_count == 600
+    # graph invariants survive the delete + scan-l0 rebuild cycle
+    for row in range(idx._names.high_water):
+        if not idx._is_alloc(row):
+            continue
+        for lc, nbrs in enumerate(idx._layer_lists(row)):
+            for nb in nbrs:
+                assert idx._is_alloc(nb), (row, nb, lc)
