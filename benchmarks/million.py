@@ -187,7 +187,12 @@ def search_phase(
 
     qd = jnp.asarray(queries)
     results = {"n": n, "kind": kind, "restore_s": round(load_s, 1),
-               "oracle_scan_256q_s": round(oracle_s, 1)}
+               "oracle_scan_256q_s": round(oracle_s, 1),
+               # provenance: which wave mode built the restored graph is
+               # not recorded in the ckpt; record at least the CURRENT
+               # env so runs are labeled (ops/construct.py scan-l0)
+               "build_l0_env": os.environ.get(
+                   "REDIS_HNSW_TPU_BUILD_L0", "beam")}
 
     # Sweep the GRAPH engine's recall/qps frontier bottom-up (pinned
     # engine="graph": under auto routing the scan engine would answer
