@@ -463,11 +463,12 @@ def _build_l0_scan(index, snap, fetch_c: int) -> bool:
 
     REDIS_HNSW_TPU_BUILD_L0 = beam | scan | auto ("auto": scan for
     euclidean below the measured search crossover, beam above it and
-    for hamming builds). Default stays "beam" until the TPU A/B lands
-    (measure before switching -- CLAUDE.md)."""
+    for hamming builds). Default "auto" since the TPU A/B landed:
+    1M x 96d interleaved pairs, scan-l0 1616 inserts/s vs beam 775
+    (2.08x), self-recall probe 1.0 (artifacts/build_l0_ab.json)."""
     import os
 
-    mode = os.environ.get("REDIS_HNSW_TPU_BUILD_L0", "beam").lower()
+    mode = os.environ.get("REDIS_HNSW_TPU_BUILD_L0", "auto").lower()
     if mode == "beam":
         return False
     if snap.metric != "euclidean":

@@ -16,16 +16,24 @@ Two interleave shapes:
   host surgery + snapshot delta) sits between query batches, so query
   p95 tracks the wave wall time.
 * overlap=True -- each wave is sliced into ``slices`` sub-waves, and
-  every query batch is served BEFORE its sub-wave, against the
-  bounded-stale device view (search_batch staleness=sub-wave; see
+  query batches are served BEFORE the wave's sub-waves, against the
+  bounded-stale device view (search_batch staleness=wave; see
   models/hnsw.py device_snapshot). The query is dispatched before the
-  sub-wave's dirty-row delta or beam exist on the device FIFO, so its
+  wave's dirty-row delta or beam exist on the device FIFO, so its
   latency is its own scan + one fetch round trip -- NOT the delta's
   host->device upload (measured 0.6-1.4s of serial mode's query path
   at 1M) and NOT the wave's device pass. Queries see the state as of
-  the previous completed sub-wave -- one sub-wave staler than serial.
+  the previous completed wave -- one wave staler than serial.
   Sub-waves still serialize beam -> surgery -> beam so graph semantics
   are IDENTICAL to add_batch at batch_size = wave/slices.
+
+  Query batches stay FULL-WIDTH (``query_batch``, not wave/slices):
+  the r5 overlap run served 512-wide batches (one per sub-wave) and
+  paid the ~28ms fetch round trip plus reply assembly 4x per wave --
+  query_total 742s of the 2403s wall at 1M. One 2048-wide batch per
+  wave serves the same 50/50 query count at a quarter the fixed
+  costs; the 50/50 mix is maintained by an owed-queries counter so
+  any query_batch/insert_wave ratio keeps count parity.
 
 The harness reports sustained throughput, per-phase latency
 percentiles/maxima, and a wall-clock decomposition (insert / query /
@@ -150,10 +158,10 @@ def run_mixed(
 
     Serial mode: each query batch runs against the index state as of
     the preceding insert wave (the reference's serialized interleave
-    gives the same visibility). ``overlap=True``: each wave is cut
-    into ``slices`` sub-waves whose device beams the query batches
-    ride behind (see module docstring for the visibility/latency
-    trade).
+    gives the same visibility). ``overlap=True``: full-width query
+    batches dispatch BEFORE each wave's sub-waves against the
+    bounded-stale view, count parity kept by an owed-queries counter
+    (see module docstring for the visibility/latency trade).
 
     ``validate_every`` > 0 asserts every Nth query batch returns the
     freshly-inserted wave's own vectors as top-1 self-hits (sanity that
@@ -180,9 +188,7 @@ def run_mixed(
     )
     q_pool = np.atleast_2d(np.asarray(queries, dtype=data.dtype))
     slices = max(1, int(slices))
-    q_chunk = query_batch if not overlap else max(
-        1, insert_wave // slices
-    )
+    q_chunk = query_batch
     dev_batches = _device_query_batches(q_pool, q_chunk)
     insert_ms: list[float] = []
     query_ms: list[float] = []
@@ -220,14 +226,19 @@ def run_mixed(
     def validate(lo, hi):
         nonlocal t_val
         t0 = time.perf_counter()
-        # Visibility probe, not a perf probe: use a generous beam
-        # (the stream's operating ef/iters can be too tight for
-        # guaranteed self-hits at large N -- iters caps the slowest
-        # lane; a 230k-row graph needs more steps than a 30k one).
+        # Visibility probe on the SERVING path: an exact-scan self-query
+        # must return itself top-1 (sim 0 is the unique max up to exact
+        # duplicates -- one miss allowed). Plus a host-side linkage
+        # invariant: every probed row has layer-0 neighbors -- STRONGER
+        # graph evidence than a beam self-hit (which can succeed through
+        # the entrypoint alone) at O(1) host cost. The old generous
+        # graph-beam probe paid a fresh iteration-count compile
+        # mid-stream (338s of the r5 overlap run's stage 4, artifacts/
+        # streaming1m_overlap.jsonl); the scan probe reuses the serving
+        # program.
         probe_n = min(8, hi - lo)
         self_res = index.search_batch(
-            data[lo:hi][:probe_n], 1, ef_search=max(256, ef_search or 0),
-            expand=expand, iters=None, engine="graph",
+            data[lo:hi][:probe_n], 1, engine="scan",
         )
         hits = sum(
             1
@@ -238,6 +249,13 @@ def run_mixed(
             f"stream visibility: only {hits}/{probe_n} self-hits after "
             f"wave at {lo}"
         )
+        if index.node_count > 1:
+            for i in range(probe_n):
+                row = index._names.get(names[lo + i])
+                assert row is not None and index._nbrs(row, 0), (
+                    f"stream linkage: row for {names[lo + i]} has no "
+                    f"layer-0 neighbors after wave at {lo}"
+                )
         t_val += time.perf_counter() - t0
 
     if overlap:
@@ -246,6 +264,7 @@ def run_mixed(
         ef_con = index.config.ef_construction
 
     t_start = time.perf_counter()
+    q_owed = 0  # queries owed to keep the 50/50 count at any q_chunk
     for lo in range(0, n_total, insert_wave):
         hi = min(lo + insert_wave, n_total)
         if not overlap:
@@ -258,18 +277,21 @@ def run_mixed(
             t_ins += dt
             serve(next_batch())
         else:
+            # Serve FIRST, against the bounded-stale device view:
+            # dispatched before this wave's dirty-row delta or beams
+            # exist, the query waits only for its own scan -- never
+            # the delta's host->device upload (measured 0.6-1.4s of
+            # the query path in serial mode) nor the wave's device
+            # pass. Staleness bound = one wave (epochs bump at most
+            # once per insert). Full-width batches: the owed counter
+            # keeps queries == inserts at any q_chunk.
+            q_owed += hi - lo
+            while q_owed >= q_chunk:
+                serve(next_batch(), staleness=insert_wave)
+                q_owed -= q_chunk
             step = max(1, (hi - lo + slices - 1) // slices)
             for sl in range(lo, hi, step):
                 sh = min(sl + step, hi)
-                # Serve FIRST, against the bounded-stale device view:
-                # dispatched before this sub-wave's dirty-row delta or
-                # beam exist, the query waits only for its own scan --
-                # never the delta's host->device upload (measured
-                # 0.6-1.4s of the query path in serial mode) nor the
-                # wave's device pass. Staleness bound = one sub-wave
-                # (epochs bump at most once per insert; `step` covers
-                # both graph backends' accounting).
-                serve(next_batch(), staleness=step)
                 t0 = time.perf_counter()
                 if index.node_count == 0:
                     # seed node: the wave machinery needs an enterpoint

@@ -105,8 +105,9 @@ def test_staleness_serves_pre_wave_view(rng):
 
 @pytest.mark.slow
 def test_mixed_stream_overlap_mode(rng):
-    """overlap=True: every query batch served BEFORE its sub-wave on
-    the bounded-stale view (staleness=sub-wave). Graph semantics must
+    """overlap=True: query batches served BEFORE each wave's sub-waves
+    on the bounded-stale view (staleness=wave), full-width with the
+    owed-queries counter keeping count parity. Graph semantics must
     equal add_batch at the slice size (beam -> surgery -> beam
     serialization is preserved); all nodes inserted and searchable;
     validate probes (post-complete visibility) pass; wall decomposition
