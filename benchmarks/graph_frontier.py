@@ -126,7 +126,7 @@ def main() -> None:
 
     out = {"n": idx.node_count, "kind": "clustered", "b": 2048, "k": K,
            "build_l0_env": os.environ.get(
-               "REDIS_HNSW_TPU_BUILD_L0", "beam"),
+               "REDIS_HNSW_TPU_BUILD_L0", "auto"),
            "grid": rows, "best_at_95": best}
     line = json.dumps(out)
     print(line, flush=True)

@@ -44,11 +44,14 @@ WAVE = 2048
 # north star's 0.95 serving bar); REDIS_HNSW_TPU_STREAM_ENGINE=graph
 # re-runs the traversal-under-mutation variant.
 ENGINE = os.environ.get("REDIS_HNSW_TPU_STREAM_ENGINE", "auto")
-# Overlapped interleave (utils/streaming.py): sliced waves with the
-# query batch dispatched behind each sub-beam on the device FIFO.
-# Bounded query wait at one-sub-wave staleness; see run_mixed.
+# Overlapped interleave (utils/streaming.py): full-width query batches
+# dispatched BEFORE each wave against the bounded-stale view. Since
+# queries no longer ride between sub-waves (r5), slicing the wave only
+# adds per-dispatch overhead (~2 fetch round trips per extra slice);
+# default 1. slices > 1 remains the add_batch-equivalence-at-smaller-
+# batch knob.
 OVERLAP = os.environ.get("REDIS_HNSW_TPU_STREAM_OVERLAP", "0") == "1"
-SLICES = int(os.environ.get("REDIS_HNSW_TPU_STREAM_SLICES", "4"))
+SLICES = int(os.environ.get("REDIS_HNSW_TPU_STREAM_SLICES", "1"))
 
 
 def log(*a):
