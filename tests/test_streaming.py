@@ -127,7 +127,9 @@ def test_mixed_stream_overlap_mode(rng):
     )
     assert stats.inserts == n
     assert idx.node_count == n
-    assert stats.queries > 0
+    # owed-queries counter: 50/50 parity at q_chunk-granularity --
+    # serves exactly floor(cumulative inserts / q_chunk) batches
+    assert stats.queries == (n // 64) * 64
     s = stats.summary()
     # decomposition: buckets + other == elapsed (other can be small
     # positive or zero; never hugely negative)
