@@ -36,14 +36,14 @@ K = 10
 REPS = 3
 
 
-def measure(idx, qd, engine: str, truth) -> dict:
-    nm, _ = idx.search_batch(qd, K, engine=engine, reply="columnar")
+def measure(idx, qd, engine: str, truth, **kw) -> dict:
+    nm, _ = idx.search_batch(qd, K, engine=engine, reply="columnar", **kw)
     rec = sum(
         len(set(nm[b]) & truth[b]) for b in range(256)
     ) / (K * 256)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        idx.search_batch(qd, K, engine=engine, reply="columnar")
+        idx.search_batch(qd, K, engine=engine, reply="columnar", **kw)
     dt = (time.perf_counter() - t0) / REPS
     return {"recall": round(rec, 4), "qps": round(qd.shape[0] / dt, 1)}
 
@@ -102,6 +102,24 @@ def main() -> None:
             print(f"{label}: {e!r}", flush=True)
     os.environ.pop("REDIS_HNSW_TPU_SCAN_DTYPE", None)
     os.environ.pop("REDIS_HNSW_TPU_SCAN_CERT", None)
+
+    # graph-beam rows at the same N (the >2M crossover comparison the
+    # auto routing rests on, VERDICT r4 next#2): the sweep_1m operating
+    # points, re-measured on THIS index so graph-vs-scan rows share a
+    # build, a query set, and a window. Past the nbrvec HBM budget
+    # (~1.9M rows int8) the beam runs its row-gather fallback -- that
+    # cost is part of the regime, not an artifact.
+    if hasattr(idx, "max_layer"):  # graph kinds only (not flat)
+        for label, kw in (
+            ("graph_ef256", dict(ef_search=256, expand=16, iters=24)),
+            ("graph_ef512", dict(ef_search=512, expand=16, iters=40)),
+        ):
+            try:
+                out[label] = measure(idx, qd, "graph", truth, **kw)
+                print(f"{label}: {out[label]}", flush=True)
+            except Exception as e:  # OOM at scale is a finding too
+                out[label] = {"error": repr(e)}
+                print(f"{label}: {e!r}", flush=True)
 
     line = json.dumps(out)
     print(line, flush=True)
