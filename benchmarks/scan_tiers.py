@@ -75,6 +75,11 @@ def main() -> None:
         # top_k is cheap on cpu so the select-bound analysis inverts)
         "platform": jax.devices()[0].platform,
     }
+    # SCAN_TIERS_ONLY=exact,approx,... trims the ladder (each tier pays
+    # a cold compile on a wiped cache -- a lean run keeps a bounded
+    # measurement window honest).
+    only = os.environ.get("SCAN_TIERS_ONLY", "")
+    only_set = {s.strip() for s in only.split(",") if s.strip()}
     for label, engine, dt_env, cert in (
         ("exact", "scan", "f32", "0"),
         ("certified", "scan", "f32", "1"),
@@ -84,6 +89,8 @@ def main() -> None:
         ("int8", "scan", "int8", "0"),
         ("int8_approx", "scan-approx", "int8", "0"),
     ):
+        if only_set and label not in only_set:
+            continue
         os.environ["REDIS_HNSW_TPU_SCAN_DTYPE"] = dt_env
         os.environ["REDIS_HNSW_TPU_SCAN_CERT"] = cert
         q0, f0 = SC.CERT_STATS["queries"], SC.CERT_STATS["fallback_queries"]
@@ -114,6 +121,8 @@ def main() -> None:
             ("graph_ef256", dict(ef_search=256, expand=16, iters=24)),
             ("graph_ef512", dict(ef_search=512, expand=16, iters=40)),
         ):
+            if only_set and label not in only_set:
+                continue
             try:
                 out[label] = measure(idx, qd, "graph", truth, **kw)
                 print(f"{label}: {out[label]}", flush=True)
