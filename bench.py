@@ -84,6 +84,25 @@ def _init_devices_or_die():
     return devs
 
 
+def _tunnel_probe() -> float:
+    """32MB upload-then-fetch wall seconds (the CLAUDE.md degraded-window
+    signature: healthy <5s, degraded minutes). Carried in the bench JSON
+    so a reading taken inside a degraded window is self-labeling —
+    qps measured while this is >10s is transport fiction, not engine
+    performance."""
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).standard_normal((8_000_000,)).astype(
+        np.float32
+    )
+    t0 = time.perf_counter()
+    xd = jnp.asarray(x)
+    _ = float(xd[0])
+    dt = time.perf_counter() - t0
+    log(f"tunnel probe (32MB upload+fetch): {dt:.2f}s")
+    return round(dt, 2)
+
+
 def _timed_med(fn, reps: int, label: str):
     """Median seconds per call over ``reps`` calls, per-rep list logged.
 
@@ -518,6 +537,11 @@ def main():
     if "--config" in sys.argv:
         only = int(sys.argv[sys.argv.index("--config") + 1])
     log(f"devices: {_init_devices_or_die()}")
+    try:
+        probe_s = _tunnel_probe()
+    except Exception as e:  # the probe must never break the bench
+        log(f"tunnel probe failed: {e!r}")
+        probe_s = None
 
     if only in (3, 5):
         fn = config3 if only == 3 else config5
@@ -540,6 +564,7 @@ def main():
             "pct_peak": round(r["pct_peak"], 1),
             "build_s": round(r["build_s"], 1),
             "build_warm_s": round(r["build_warm_s"], 1),
+            "tunnel_probe_s": probe_s,
         }))
         return
 
@@ -593,6 +618,7 @@ def main():
                 "build_s": round(r["build_s"], 1),
                 "build_warm_s": round(r["build_warm_s"], 1),
                 "parity_m5": parity,
+                "tunnel_probe_s": probe_s,
             }
         )
     )
