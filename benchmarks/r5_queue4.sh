@@ -22,6 +22,11 @@ left() { echo $(( DEADLINE_TS - $(date +%s) )); }
 probe_once() {
   timeout 120 python - <<'EOF'
 import sys, time
+# importing the package enables the persistent compile cache, so the
+# probe's tiny fetch program compiles once across probe processes --
+# otherwise every probe re-pays a server-side compile and a healthy
+# window can read as degraded.
+import redis_hnsw_tpu  # noqa: F401
 import numpy as np, jax, jax.numpy as jnp
 x = np.random.default_rng(0).standard_normal((8_000_000,)).astype(np.float32)
 t0 = time.perf_counter()
@@ -29,7 +34,7 @@ xd = jnp.asarray(x)
 _ = float(xd[0])
 dt = time.perf_counter() - t0
 print(f"probe 32MB upload+fetch: {dt:.2f}s", flush=True)
-sys.exit(0 if dt < 10 else 1)
+sys.exit(0 if dt < 12 else 1)
 EOF
 }
 
