@@ -20,7 +20,7 @@ log() { echo "[$(date -u +%H:%M:%S)] $*"; }
 left() { echo $(( DEADLINE_TS - $(date +%s) )); }
 
 probe_once() {
-  timeout 120 python - <<'EOF'
+  timeout 60 python - <<'EOF'
 import sys, time
 # importing the package enables the persistent compile cache, so the
 # probe's tiny fetch program compiles once across probe processes --
@@ -44,7 +44,7 @@ while [ "$(left)" -gt $(( MEASURE_RESERVE + 300 )) ]; do
   if probe_once; then ok=$(( ok + 1 )); else ok=0; fi
   log "probe ok-streak: $ok (left $(left)s)"
   [ "$ok" -ge 2 ] && break
-  sleep 45
+  sleep 15
 done
 if [ "$ok" -lt 2 ]; then
   log "no healthy window before deadline; exiting without measuring"
@@ -54,7 +54,7 @@ log "tunnel healthy; staged build toward $TARGET rows"
 
 # -- 2. staged build (resumable; stop with measurement reserve) ------
 while [ "$(left)" -gt $(( MEASURE_RESERVE + 420 )) ]; do
-  out=$(timeout 1200 python benchmarks/million.py build "$TARGET" "$STAGE" "$CKPT" 2>&1)
+  out=$(timeout 800 python benchmarks/million.py build "$TARGET" "$STAGE" "$CKPT" 2>&1)
   rc=$?
   echo "$out" | tail -4
   if [ $rc -ne 0 ]; then
@@ -68,6 +68,6 @@ done
 [ -f "$CKPT" ] || { log "no checkpoint produced; nothing to measure"; exit 1; }
 
 # -- 3. lean tier ladder + graph rows at the reached N ---------------
-SCAN_TIERS_ONLY="exact,certified,approx,graph_ef256,graph_ef512" \
+SCAN_TIERS_ONLY="${SCAN_TIERS_ONLY:-exact,certified,approx,graph_ef256,graph_ef512}" \
   timeout $(( MEASURE_RESERVE + 300 )) python benchmarks/scan_tiers.py "$CKPT"
 log "queue done"
